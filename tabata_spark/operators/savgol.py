@@ -1,0 +1,237 @@
+"""Savitzky-Golay filtering — reference W5, the workhorse window op.
+
+The reference calls ``scipy.signal.savgol_filter(y, width, deg,
+deriv)`` everywhere (instants.py:76 indicator smoothing, 284-291 noise
+estimation, 534-537 belief smoothing; tubes.py:344-351 tube
+smoothing). SG filtering is a linear FIR: the smoothed/derived value is
+a fixed dot product of the surrounding window, with the coefficients
+given by a least-squares polynomial fit — so the *interior* is a pure
+``Window.rowsBetween(-h, h)`` expression chain (JVM-side, codegen),
+and the *edges* under scipy's default ``mode='interp'`` are another
+fixed linear map of the first/last ``width`` samples (a polynomial fit
+to the edge window evaluated at the edge positions) — also expressible
+natively because only ``h`` rows per side need it.
+
+No scipy in this environment: coefficients are derived here from first
+principles (pinv of the Vandermonde design matrix), and
+``savgol_filter_np`` is the numpy reference/oracle replicating scipy's
+``mode='interp'`` semantics.
+
+Two execution paths:
+- ``savgol_native``: lag/lead dot product + edge correction, fully
+  JVM-side — the 100 TB path (no Python, no Arrow, no optimization
+  barrier; ~3*width window expressions, use for width ≲ 64);
+- ``savgol_apply``: Arrow-batched ``applyInPandas`` per record calling
+  the numpy kernel — for very wide filters or many columns at once.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import factorial
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- design
+
+
+@lru_cache(maxsize=256)
+def savgol_coeffs(width: int, polyorder: int, deriv: int = 0, delta: float = 1.0) -> tuple:
+    """FIR taps c such that out[i] = sum_k c[k] * y[i - h + k].
+
+    Least-squares fit of a degree-``polyorder`` polynomial on the
+    centered window, evaluated (``deriv``-th derivative) at the center.
+    Matches scipy.signal.savgol_coeffs(..., use='dot') for odd widths.
+    """
+    if width % 2 != 1:
+        raise ValueError("width must be odd")
+    if polyorder >= width:
+        raise ValueError("polyorder must be < width")
+    h = width // 2
+    x = np.arange(-h, h + 1, dtype=float)
+    # V[k, j] = x_k^j ; fitted poly coeffs a = pinv(V) @ y
+    V = np.vander(x, polyorder + 1, increasing=True)
+    pinv = np.linalg.pinv(V)
+    c = pinv[deriv] * factorial(deriv) / (delta**deriv)
+    return tuple(c)
+
+
+@lru_cache(maxsize=256)
+def savgol_edge_matrix(
+    width: int, polyorder: int, deriv: int = 0, delta: float = 1.0
+) -> tuple:
+    """Head-edge linear map E (h x width): out[j] = E[j] @ y[:width].
+
+    scipy ``mode='interp'``: fit one polynomial to the first ``width``
+    samples, evaluate its ``deriv``-th derivative at positions
+    0..h-1. The tail edge is the same map under reversal with sign
+    (-1)^deriv (odd derivatives flip under coordinate reversal).
+    Returned as a tuple of row-tuples for hashability.
+    """
+    h = width // 2
+    x = np.arange(width, dtype=float)
+    V = np.vander(x, polyorder + 1, increasing=True)
+    pinv = np.linalg.pinv(V)  # y -> poly coeffs a_j
+    # derivative evaluation row at position p: sum_j a_j * d^deriv/dx^deriv x^j |_p
+    rows = []
+    for p in range(h):
+        ev = np.zeros(polyorder + 1)
+        for j in range(deriv, polyorder + 1):
+            ev[j] = (factorial(j) / factorial(j - deriv)) * (float(p) ** (j - deriv))
+        rows.append(tuple((ev @ pinv) / (delta**deriv)))
+    return tuple(rows)
+
+
+def savgol_filter_np(
+    y: np.ndarray, width: int, polyorder: int, deriv: int = 0, delta: float = 1.0
+) -> np.ndarray:
+    """Numpy reference implementation (scipy savgol_filter parity,
+    mode='interp'). Oracle for both Spark paths; also used by the
+    applyInPandas path."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    if n < width:
+        # degenerate record: single global polynomial fit (scipy raises;
+        # we degrade gracefully — fit to whole record)
+        x = np.arange(n, dtype=float)
+        order = min(polyorder, max(n - 1, 0))
+        V = np.vander(x, order + 1, increasing=True)
+        a = np.linalg.pinv(V) @ y
+        out = np.zeros(n)
+        for j in range(deriv, order + 1):
+            out += a[j] * (factorial(j) / factorial(j - deriv)) * x ** (j - deriv)
+        return out / (delta**deriv)
+    h = width // 2
+    c = np.array(savgol_coeffs(width, polyorder, deriv, delta))
+    # interior: correlation (flip for np.convolve's kernel reversal)
+    full = np.convolve(y, c[::-1], mode="same")
+    out = full.copy()
+    E = np.array(savgol_edge_matrix(width, polyorder, deriv, delta))
+    if h > 0:
+        out[:h] = E @ y[:width]
+        out[-h:] = ((-1.0) ** deriv) * (E @ y[-width:][::-1])[::-1]
+    return out
+
+
+# ---------------------------------------------------------------- native
+
+
+def _record_w() -> Window:
+    return Window.partitionBy("record_id").orderBy("seq")
+
+
+def _record_frame() -> Window:
+    return _record_w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+
+def savgol_native(
+    df: DataFrame,
+    col: str,
+    out: str,
+    width: int,
+    polyorder: int = 2,
+    deriv: int = 0,
+    delta: float = 1.0,
+) -> DataFrame:
+    """Fully JVM-side SG filter with interp edges.
+
+    interior[i] = sum_k c_k * y[i-h+k]          (lag/lead chain)
+    head[j]     = E[j] @ first ``width`` values  (conditional window aggs)
+    tail[j]     = reversed head under sign flip
+
+    One window spec for everything -> one shuffle on record_id (none if
+    already partitioned), whole-stage codegen throughout.
+    """
+    h = width // 2
+    c = savgol_coeffs(width, polyorder, deriv, delta)
+    y = F.col(f"`{col}`").cast("double")
+    w = _record_w()
+    frame = _record_frame()
+
+    pos = F.row_number().over(w) - F.lit(1)  # LEN
+    n = F.count(F.lit(1)).over(frame)
+    rev = n - F.lit(1) - pos  # rows from end
+
+    # out[i] = sum_k c_k * y[i - h + k]; lag(y, off) reads y[i - off],
+    # so the tap at window slot k needs off = h - k
+    interior = sum(
+        (F.lit(float(ck)) * F.lag(y, h - k).over(w) for k, ck in enumerate(c)),
+        F.lit(0.0),
+    )
+
+    # y at absolute position k from head / tail: conditional agg over the
+    # unbounded record frame (null everywhere except the matching row)
+    head_vals = [F.max(F.when(pos == k, y)).over(frame) for k in range(width)]
+    tail_vals = [F.max(F.when(rev == k, y)).over(frame) for k in range(width)]
+
+    E = savgol_edge_matrix(width, polyorder, deriv, delta)
+    sign = (-1.0) ** deriv
+    head_expr = F.lit(None).cast("double")
+    tail_expr = F.lit(None).cast("double")
+    for j in range(h - 1, -1, -1):
+        hj = sum(
+            (F.lit(float(E[j][k])) * head_vals[k] for k in range(width)), F.lit(0.0)
+        )
+        tj = sum(
+            (F.lit(sign * float(E[j][k])) * tail_vals[k] for k in range(width)),
+            F.lit(0.0),
+        )
+        head_expr = F.when(pos == j, hj).otherwise(head_expr)
+        tail_expr = F.when(rev == j, tj).otherwise(tail_expr)
+
+    # records shorter than the window have no valid taps in this path:
+    # null them (the applyInPandas path handles them with a global fit)
+    expr = F.when(n >= F.lit(width), F.coalesce(head_expr, tail_expr, interior))
+    return df.withColumn(out, expr)
+
+
+# ----------------------------------------------------------- applyInPandas
+
+
+def savgol_apply(
+    df: DataFrame,
+    specs: list[tuple[str, str, int, int, int]],
+    delta: float = 1.0,
+) -> DataFrame:
+    """Arrow-batched per-record SG for many (col,out,width,order,deriv)
+    specs at once — one grouped-map pass, amortizing the Arrow transfer
+    across the whole filter grid (the M1 indicator fan-out computes
+    hundreds of filtered columns; this path does them in one exchange).
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        list(df.schema)
+        + [T.StructField(o, T.DoubleType()) for _, o, _, _, _ in specs]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("seq")
+        for colname, outname, width, order, deriv in specs:
+            pdf[outname] = savgol_filter_np(
+                pdf[colname].to_numpy(), width, order, deriv, delta
+            )
+        return pdf
+
+    return df.groupBy("record_id").applyInPandas(fn, schema)
+
+
+def savgol(
+    df: DataFrame,
+    col: str,
+    out: str,
+    width: int,
+    polyorder: int = 2,
+    deriv: int = 0,
+    delta: float = 1.0,
+    native_max_width: int = 65,
+) -> DataFrame:
+    """SG filter, picking the native path for moderate widths and the
+    Arrow path for very wide kernels."""
+    if width <= native_max_width:
+        return savgol_native(df, col, out, width, polyorder, deriv, delta)
+    return savgol_apply(df, [(col, out, width, polyorder, deriv)], delta)

@@ -1,0 +1,77 @@
+"""Loaders for the driver's relational test tables and the
+events→signals adapter.
+
+``events`` (event_id, ts, user_id, event_type, value, props) doubles
+as a signal-stream analog (FIXTURES.md F5): ``user_id`` plays
+``record_id`` and ``value`` a channel, which lets every per-record
+signal operator be DuckDB-oracle-checked on driver-provided data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # runtime-settable SQL conf: required even when the caller's session
+    # wasn't built by tabata_spark.session.get_spark (e.g. the driver's
+    # own SparkSession in the verify harness)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nanosecond timestamps arrive as raw long (see session.py
+    # nanosAsLong); truncate to microseconds with integer division
+    # (ns magnitudes exceed double precision — `div`, never `/`) to
+    # match DuckDB's CAST(ts_ns AS TIMESTAMP) truncation in oracles
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_as_signals(events: DataFrame) -> DataFrame:
+    """Long signal layout from the events table.
+
+    ``seq`` is the 0-based position within each user's event stream
+    ordered by (ts, event_id) — the event_id tiebreak makes the
+    ordering total, so results are deterministic and oracle-matchable.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.col("user_id").cast("string").alias("record_id"),
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("seq"),
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+#: Shared CTE used by every oracle over the signal view of events.
+SIGNALS_CTE = """
+WITH signals AS (
+  SELECT CAST(user_id AS VARCHAR) AS record_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS seq,
+         CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value, props
+  FROM events
+)
+"""
