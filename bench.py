@@ -22,15 +22,27 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q_cube_orders",
+    "q_anti_parts",
+    "q_semi_customers",
     "w_positions",
     "w_running",
     "a_user_summary",
     "a_standardize",
     "w_segment_ramp",
+    "w_savgol_interior",
+    "w_tumbling",
+    "w_sessionize",
     "j_slice_left",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_features",
     "sim_topk_cosine",
+    "sim_lsh_ann",
 ]
 
 

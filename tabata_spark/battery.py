@@ -725,3 +725,446 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("record_id")
     )
     return summary
+
+
+# =====================================================================
+# Battery II: joins (semi/anti), streaming-twin windows, SG oracle,
+# dedup/text/similarity/multimodal additions
+# =====================================================================
+
+
+@register(
+    "q_anti_parts",
+    """
+    SELECT p_partkey, p_brand FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    ORDER BY p_partkey
+    """,
+)
+def q_anti_parts(spark, sf_dir):
+    """Anti join (SURVEY §2.3 'free in Spark' surface): parts never
+    shipped in large quantity. Broadcast the small side of the anti
+    join; at scale this is a shuffled left_anti on the join key."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_semi_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 90000)
+    ORDER BY c_custkey
+    """,
+)
+def q_semi_customers(spark, sf_dir):
+    """Semi join: customers with at least one large order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 90000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "w_tumbling",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS DOUBLE) AS win_start_s,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def w_tumbling(spark, sf_dir):
+    """Tumbling event-time window agg (streaming twin — identical
+    expression runs under a watermark in streaming/windows.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").cast("double").alias("win_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start_s", "event_type")
+    )
+
+
+@register(
+    "w_sessionize",
+    SIGNALS_CTE
+    + """
+    , tagged AS (
+      SELECT record_id, seq, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM signals WINDOW w AS (PARTITION BY record_id ORDER BY seq)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY record_id ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM tagged
+    )
+    SELECT record_id, session_id, count(*) AS n,
+           round(epoch(min(ts)), 3) AS t_start_s,
+           round(epoch(max(ts)), 3) AS t_end_s,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY record_id, session_id
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    """Gap-based sessionization with pure window functions (batch twin
+    of session_window; streaming variant in streaming/windows.py).
+    30-minute gap."""
+    from tabata_spark.streaming.windows import sessionize_batch
+
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    out = sessionize_batch(sig.withColumnRenamed("record_id", "user_id"), 30.0)
+    return out.select(
+        F.col("user_id").alias("record_id"),
+        "session_id",
+        "n",
+        F.round(F.col("t_start").cast("double"), 3).alias("t_start_s"),
+        F.round(F.col("t_end").cast("double"), 3).alias("t_end_s"),
+        "sum_value",
+    )
+
+
+def _savgol_oracle_sql(width: int, order: int, deriv: int) -> str:
+    """Machine-generate the DuckDB lag/lead dot product for the SG
+    interior — the oracle for the native Spark SG path."""
+    from tabata_spark.operators.savgol import savgol_coeffs
+
+    h = width // 2
+    terms = []
+    for k, c in enumerate(savgol_coeffs(width, order, deriv)):
+        off = h - k
+        if off > 0:
+            ref = f"lag(value, {off}) OVER w"
+        elif off < 0:
+            ref = f"lead(value, {-off}) OVER w"
+        else:
+            ref = "value"
+        terms.append(f"({c!r} * {ref})")
+    expr = " + ".join(terms)
+    return (
+        SIGNALS_CTE
+        + f"""
+    , sg AS (
+      SELECT record_id, seq,
+             count(*) OVER (PARTITION BY record_id) AS n,
+             {expr} AS sgv
+      FROM signals WINDOW w AS (PARTITION BY record_id ORDER BY seq)
+    )
+    SELECT record_id, seq, round(sgv, 6) AS sg
+    FROM sg WHERE seq >= {h} AND seq <= n - 1 - {h}
+    """
+    )
+
+
+@register("w_savgol_interior", None)
+def w_savgol_interior(spark, sf_dir):
+    """Native Savitzky-Golay (width 11, order 2, smooth) over the event
+    value channel — interior rows, oracle-checked against a
+    machine-generated lag/lead dot product (reference W5 semantics;
+    the interp edges are covered by the numpy-parity unit tests)."""
+    from tabata_spark.operators.positions import record_frame
+    from tabata_spark.operators.savgol import savgol_native
+
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    out = savgol_native(sig, "value", "sg", 11, 2, 0)
+    n = F.count(F.lit(1)).over(record_frame())
+    return (
+        out.withColumn("__n", n)
+        .filter((F.col("seq") >= 5) & (F.col("seq") <= F.col("__n") - 6))
+        .select("record_id", "seq", F.round("sg", 6).alias("sg"))
+    )
+
+
+ORACLES["w_savgol_interior"] = _savgol_oracle_sql(11, 2, 0)
+
+
+@register(
+    "dedup_norm_hash",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1 ORDER BY norm_hash
+    """,
+)
+def dedup_norm_hash(spark, sf_dir):
+    """Normalization-insensitive exact dedup (text.normalized_hash)."""
+    from tabata_spark.operators.text import normalized_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(normalized_hash("text").alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("norm_hash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs over a two-snapshot corpus
+    (documents ∪ shifted copy — every doc has one exact dup, plus any
+    organic near-dups). Candidate generation by shingle equi-join here;
+    at scale the minhash-LSH candidates feed the same verifier."""
+    from tabata_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return ngram_jaccard_pairs(corpus, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs on the two-snapshot corpus
+    (signatures + banding are engine-hash-specific -> rows-only
+    check; the verified subset is covered by dedup_ngram_jaccard)."""
+    from tabata_spark.operators.dedup import minhash_candidates, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sig = minhash_signatures(corpus, num_hashes=32)
+    return minhash_candidates(sig, bands=8, rows=4).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (engine-hash-specific -> rows-only)."""
+    from tabata_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return simhash_near_pairs(simhash(corpus), max_hamming=3).orderBy("id_a", "id_b")
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _langid_oracle() -> str:
+    from tabata_spark.operators.text import LANG_PROFILES
+
+    score_cols = []
+    for lang in _LANGS:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_cols.append(
+            f"len(list_intersect(list_distinct(string_split(text,' ')), [{words}])) AS s_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(_LANGS):
+        later = [f"s_{l2}" for l2 in _LANGS[i + 1 :]]
+        guard = ", ".join(["1"] + later)
+        cases.append(f"WHEN s_{lang} >= greatest({guard}) THEN '{lang}'")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {', '.join(score_cols)} FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register("text_langid", None)
+def text_langid(spark, sf_dir):
+    """Stopword-profile language ID (north-star text analysis)."""
+    from tabata_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLES["text_langid"] = _langid_oracle()
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','a','in','is','that'))) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, n_chars_q, n_tokens,
+           round(n_nonspace * 1.0 / n_tokens, 6) AS mean_token_len,
+           round(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(n_punct * 1.0 / n_chars_q, 6) AS punct_ratio,
+           round(n_digit * 1.0 / n_chars_q, 6) AS digit_ratio
+    FROM q ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-signal features (north-star text analysis)."""
+    from tabata_spark.operators.text import quality_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_q"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(list_slice(list_sort(list_distinct(
+             list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                            i -> md5(substr(text, i, 8))))), 1, 4), '|') AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Winnowing-style min-md5 fingerprint sketch (portable hash —
+    byte-identical across engines)."""
+    from tabata_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: text bytes as media blobs -> Arrow-batched
+    stub decode (mapInPandas). Oracle checks byte length + content
+    hash; the stub feature vector itself is Python-side."""
+    from tabata_spark.operators.multimodal import as_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(as_media(docs), dim=8)
+    return feats.select("doc_id", "n_bytes", "content_hash").orderBy("doc_id")
+
+
+ORACLES["multimodal_features"] = """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+    FROM documents ORDER BY doc_id
+"""
+
+
+_LSH_DIM = 64  # embeddings dim across all testdata scale factors
+_LSH_SEED = 7
+_LSH_NPLANES = 8
+
+
+@register("sim_lsh_ann", None)
+def sim_lsh_ann(spark, sf_dir):
+    """ANN top-10 via random-hyperplane LSH buckets (+2 multiprobe
+    neighbors), exact cosine within the probed buckets. The seeded
+    planes fold into the plan as literals, so the DuckDB oracle
+    reproduces identical buckets from the same literals."""
+    from tabata_spark.operators.similarity import lsh_topk, random_planes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    planes = random_planes(len(qvec), n_planes=_LSH_NPLANES, seed=_LSH_SEED)
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, planes, k=10, multiprobe=2)
+
+
+def _sim_lsh_oracle() -> str:
+    """Self-contained oracle: computes the query vector's bucket in
+    SQL (no driver-side lookup needed) from the same plane literals."""
+    from tabata_spark.operators.similarity import random_planes
+
+    planes = random_planes(_LSH_DIM, n_planes=_LSH_NPLANES, seed=_LSH_SEED)
+
+    def bucket_expr(col: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            plit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product({col}, {plit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ), qb AS (
+      SELECT ({bucket_expr('qe')}) AS qbucket FROM q
+    ), probe AS (
+      SELECT qbucket AS b FROM qb
+      UNION SELECT xor(qbucket, 1) FROM qb
+      UNION SELECT xor(qbucket, 2) FROM qb
+    ), bucketed AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ({bucket_expr('embedding::DOUBLE[]')}) AS bucket
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id,
+           round(list_inner_product(e, (SELECT qe FROM q))
+                 / (sqrt(list_inner_product(e, e))
+                    * sqrt(list_inner_product((SELECT qe FROM q), (SELECT qe FROM q)))), 4)
+             AS cosine
+    FROM bucketed WHERE bucket IN (SELECT b FROM probe)
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+ORACLES["sim_lsh_ann"] = _sim_lsh_oracle()

@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale text corpora (north-star
+extension; no reference citation — net-new surface).
+
+Five tiers, all designed for the 100 TB regime:
+
+- exact: content-hash groupBy — one shuffle on a 128-bit hash, no
+  skew (hashes are uniform), survivor = min id;
+- minhash (native): shingle → k seeded xxhash64 min-aggregations →
+  banded LSH bucket join → candidate pairs → exact Jaccard verify.
+  Everything JVM-side: one explode + one groupBy for signatures, one
+  self-join on (band, hash) for candidates. The band join is the
+  classic near-dup pipeline (cf. MapReduce minhash literature): at
+  100 TB the candidate set, not the corpus square, bounds the cost;
+- minhash (MLlib): HashingTF + MinHashLSH approxSimilarityJoin — the
+  library path, kept for parity/validation;
+- simhash: 64-bit sign-of-weighted-bit-sums fingerprint; near-dups =
+  pairs within Hamming distance d (joined on rotated prefix blocks);
+- n-gram Jaccard: exact token-shingle Jaccard via shingle-equi-join —
+  quadratic in candidates, used as the small-scale oracle for the
+  approximate tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, keep_id, n_dups)."""
+    return (
+        df.groupBy(F.md5(text).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def keep_first_exact(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus with exact duplicates dropped (min-id survivor)."""
+    w = Window.partitionBy(F.md5(text)).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def token_shingles(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array.
+
+    Pure built-ins: split → sliding n-window via transform over index
+    sequence → concat. Empty/short docs yield their full token string
+    as a single shingle so they still participate.
+    """
+    toks = F.split(text, " ", -1)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — k independent min-hashes of the
+    shingle set, natively: explode shingles once, take k seeded
+    xxhash64 minima in one groupBy (map-side partial min — the shuffle
+    carries k longs per doc, not the shingles)."""
+    sh = df.select(
+        F.col(id_col), F.explode(token_shingles(F.col(text), shingle_n)).alias("sh")
+    )
+    # Carter-Wegman: k hashes derived from two base hashes,
+    # (h1 + i*h2) mod P — 2 string hashes per shingle instead of k;
+    # arithmetic kept in a 31-bit prime field so ANSI mode (Spark 4
+    # default) sees no long overflow
+    P = (1 << 31) - 1
+    h1 = F.pmod(F.xxhash64(F.col("sh"), F.lit(0)), F.lit(P))
+    h2 = F.pmod(F.xxhash64(F.col("sh"), F.lit(1)), F.lit(P))
+    aggs = [
+        F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(P))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows: int = 4,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, self-join on
+    (band_idx, band_hash) → candidate pairs (id_a < id_b).
+
+    Probability a pair with Jaccard s collides: 1-(1-s^rows)^bands.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join — the standard guard against quadratic blowup on hot
+    buckets (boilerplate/low-entropy content): a 10k-doc bucket alone
+    would emit 5·10⁷ pairs. Capped buckets are the scale story at
+    100 TB; lower the cap for dirtier corpora."""
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ":", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bh")
+    )
+    if max_bucket_size:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    # the self-join consumes this subtree twice — materialize once
+    # (production pipelines persist the signature table as Parquet;
+    # localCheckpoint is the in-session equivalent)
+    banded = banded.localCheckpoint(eager=False)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs:
+    (id_a, id_b, jaccard), pairs sharing ≥1 shingle, filtered at
+    ``threshold``. With ``candidates`` given (e.g. from minhash LSH),
+    only those pairs are verified — the 100 TB path; without, the
+    shingle-equi-join generates candidates (small-scale/oracle path).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            F.broadcast(candidates), ["id_a", "id_b"] if set(candidates.columns) >= {"id_a", "id_b"} else None, "inner"
+        )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document, natively: explode
+    tokens, per bit sum ±1 of the token hash's bit, sign → bit.
+
+    Returns (id, simhash: bigint). Near-dup = small Hamming distance.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ", -1)).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: pigeonhole on ``blocks``
+    16-bit prefix blocks (a pair within Hamming d < blocks must agree
+    on ≥1 block) → equi-join per block → exact popcount filter.
+
+    Hot blocks beyond ``max_bucket_size`` are dropped (same quadratic
+    guard as minhash_candidates)."""
+    width = 64 // blocks
+    block_cols = [
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"blk{i}")
+        for i in range(blocks)
+    ]
+    # the per-block self-joins would recompute the fingerprint
+    # aggregation 2*blocks times — materialize it once
+    b = fp.select(id_col, "simhash", *block_cols).localCheckpoint(eager=False)
+    pieces = []
+    for i in range(blocks):
+        l, r = b.alias("a"), b.alias("b")
+        if max_bucket_size:
+            sizes = b.groupBy(f"blk{i}").agg(F.count(F.lit(1)).alias("__bn"))
+            keep = sizes.filter(F.col("__bn") <= max_bucket_size).select(f"blk{i}")
+            l = l.join(F.broadcast(keep), f"blk{i}").alias("a")
+            r = r.join(F.broadcast(keep), f"blk{i}").alias("b")
+        pieces.append(
+            l.join(
+                r,
+                (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"),
+            )
+        )
+    pairs = pieces[0]
+    for p in pieces[1:]:
+        pairs = pairs.unionByName(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_lsh_mllib(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Library path: HashingTF(binary) + MinHashLSH
+    approxSimilarityJoin; returns (id_a, id_b, jaccard_distance)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text, outputCol="__toks")
+    tf = HashingTF(
+        inputCol="__toks", outputCol="__feat", binary=True, numFeatures=num_features
+    )
+    feat = tf.transform(tok.transform(df.select(id_col, text)))
+    mh = MinHashLSH(inputCol="__feat", outputCol="__mh", numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, threshold, distCol="jaccard_distance")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+        )
+    )

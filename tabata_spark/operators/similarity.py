@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+
+- brute-force cosine top-k: the correctness baseline. The query
+  vector folds into the plan as an array literal; the dot product and
+  norm are `aggregate`/`zip_with` expressions (JVM, codegen) and the
+  top-k compiles to TakeOrderedAndProject — per-partition heaps, no
+  global sort. Linear scan, perfectly parallel: at 100 TB this is one
+  pass, and it is the right plan when every query is fresh.
+- LSH-bucketed ANN (random hyperplanes): sign-pattern of ``n_planes``
+  seeded hyperplane dot products → bucket id. Build once (a narrow
+  (id, bucket) table, shuffle on bucket), then a query probes only
+  its own (or few multiprobe) buckets — the scale path for repeated
+  queries. Planes are generated from a seed on the driver and folded
+  in as literals, so results are deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: Column, q: list[float]) -> Column:
+    """<vec, q> with q folded in as a literal array — evaluated
+    element-wise in the JVM (no UDF)."""
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_to_query(vec_col: Column, q: list[float]) -> Column:
+    # sequential (not pairwise) sum so the scalar matches engines that
+    # reduce lists left-to-right (oracle parity at full precision)
+    qn = float(sum(float(x) * float(x) for x in q)) ** 0.5
+    return _dot_lit(vec_col, q) / (norm_col(vec_col) * F.lit(qn))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector."""
+    return (
+        df.select(
+            id_col, F.round(cosine_to_query(F.col(vec_col), query), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit i = sign(<vec, plane_i>)."""
+    b = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        b = b + (bit.cast("long") * F.lit(1 << i).cast("long"))
+    return b
+
+
+def lsh_index(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(… , bucket) — materialize/partition by bucket for probes."""
+    return df.withColumn("bucket", bucket_col(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """ANN top-k: scan only the query's bucket (plus ``multiprobe``
+    single-bit-flip neighbor buckets), exact cosine within."""
+    qv = np.asarray(query, dtype=float)
+    qbits = [1 if float(np.dot(qv, np.asarray(p))) >= 0 else 0 for p in planes]
+    qbucket = sum(b << i for i, b in enumerate(qbits))
+    buckets = [qbucket] + [qbucket ^ (1 << i) for i in range(min(multiprobe, len(planes)))]
+    indexed = lsh_index(df, planes, vec_col)
+    return (
+        indexed.filter(F.col("bucket").isin(buckets))
+        .select(
+            id_col, F.round(cosine_to_query(F.col(vec_col), query), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup shape: per label group, the top-k most
+    similar pairs (blocked self-join — label plays the bucket; real
+    near-dup blocking swaps in LSH buckets)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm_col(F.col("va")) * norm_col(F.col("vb")))
+    pairs = a.join(b, (a["lbl"] == b["lbl"]) & (F.col("id_a") < F.col("id_b"))).select(
+        "id_a", "id_b", a["lbl"].alias("label"), F.round(cos, 4).alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), "id_a", "id_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

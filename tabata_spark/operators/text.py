@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): language-ID, quality scoring, token counting, document
+fingerprinting. All pure Column expressions — JVM codegen, no UDFs —
+so every one of them is also expressible as the DuckDB oracle SQL in
+the battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny stopword profiles per language for the n-gram/stopword-overlap
+#: language-ID heuristic. (Real pipelines plug in fastText et al.; the
+#: heuristic keeps the operator self-contained and oracle-checkable.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est", "que"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht", "zu"),
+    "es": ("el", "la", "y", "de", "un", "una", "es", "que"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai", "you", "he"),
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(text: str | Column) -> Column:
+    return F.split(text, " ", -1)
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Per-language stopword-overlap count over the token set."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_id(text: str | Column) -> Column:
+    """Predicted language = argmax profile overlap; deterministic
+    tie-break on language code order; 'und' when nothing matches."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties (checked last)
+        c = scores[lang]
+        best = F.when(c >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, c)
+    return best
+
+
+def quality_columns(text: str | Column) -> dict[str, Column]:
+    """Quality-signal features: length, token stats, stopword ratio,
+    punctuation/digit ratios, uppercase ratio."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(t)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in STOPWORDS]))
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(
+            F.length(F.regexp_replace(t, " ", "")) / n_tokens, 6
+        ),
+        "stopword_ratio": F.round(stop_hits / n_tokens, 6),
+        "punct_ratio": F.round(n_punct / n_chars, 6),
+        "digit_ratio": F.round(n_digit / n_chars, 6),
+        "upper_ratio": F.round(n_upper / n_chars, 6),
+    }
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence and
+    mid-length tokens, penalizes punctuation/digit noise."""
+    q = quality_columns(text)
+    len_ok = F.when(
+        (q["mean_token_len"] >= 3) & (q["mean_token_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    stop_ok = F.least(q["stopword_ratio"] * 4, F.lit(1.0))
+    noise = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (q["punct_ratio"] + q["digit_ratio"]) * 2
+    )
+    return F.round((len_ok + stop_ok + noise) / 3, 6)
+
+
+def char_shingles(text: str | Column, k: int = 8) -> Column:
+    """All character k-grams of the text as an array (rolling window)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.transform(idx, lambda i: F.substring(t, i, k))
+
+
+def fingerprint(text: str | Column, k: int = 8, keep: int = 4) -> Column:
+    """Document fingerprint: the ``keep`` lexicographically smallest
+    md5 digests of the char k-gram set (a winnowing-style min-hash
+    sketch using a portable hash, so any engine reproduces it).
+    Returned as a single joined string."""
+    hashed = F.transform(char_shingles(text, k), lambda s: F.md5(s))
+    return F.array_join(F.slice(F.array_sort(F.array_distinct(hashed)), 1, keep), "|")
+
+
+def normalized_hash(text: str | Column) -> Column:
+    """Normalization-insensitive exact-dup key: md5 of lowercased,
+    whitespace-collapsed text."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
+
+
+def with_text_analysis(df: DataFrame, text: str = "text") -> DataFrame:
+    """All text-analysis columns in one projection."""
+    q = quality_columns(text)
+    out = df
+    for name, colexpr in q.items():
+        out = out.withColumn(name, colexpr)
+    return (
+        out.withColumn("lang_pred", lang_id(text))
+        .withColumn("quality", quality_score(text))
+        .withColumn("fingerprint", fingerprint(text))
+        .withColumn("norm_hash", normalized_hash(text))
+    )

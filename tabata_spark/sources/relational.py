@@ -54,9 +54,21 @@ def events_as_signals(events: DataFrame) -> DataFrame:
     ordered by (ts, event_id) — the event_id tiebreak makes the
     ordering total, so results are deterministic and oracle-matchable.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    # materialize record_id BEFORE the seq window so the window
+    # partitions on the same attribute every downstream record window
+    # uses — one shuffle for the whole signal pipeline (windowing on
+    # user_id and re-shuffling on cast(user_id) would double-exchange)
+    base = events.select(
         F.col("user_id").cast("string").alias("record_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    w = Window.partitionBy("record_id").orderBy("ts", "event_id")
+    return base.select(
+        "record_id",
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("seq"),
         "ts",
         "event_id",

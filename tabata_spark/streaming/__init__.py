@@ -1,0 +1,15 @@
+from tabata_spark.streaming.windows import (
+    read_events_stream,
+    session_agg,
+    sessionize_batch,
+    sliding_agg,
+    tumbling_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "session_agg",
+    "sessionize_batch",
+    "sliding_agg",
+    "tumbling_agg",
+]

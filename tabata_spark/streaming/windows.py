@@ -1,0 +1,148 @@
+"""Structured Streaming surface (north-star extension; the reference
+is batch-only — SURVEY §2.10).
+
+Event-time windowed aggregations with watermarks over the events
+stream. Every aggregation here works identically on a batch frame and
+a streaming frame (same ``F.window``/``session_window`` expressions),
+which is how the tests validate them: run the streaming version with
+``availableNow`` against the parquet events and compare to the batch
+result.
+
+``sessionize_batch`` additionally provides the *batch* gap-session
+semantics as plain window functions (lag > gap ⇒ new session) — the
+SQL-expressible twin used for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events table as a file stream (schema taken from the batch
+    read; ns-timestamps handled identically)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # file stream sources need a directory: stream the sf dir with a
+    # glob picking out the events file
+    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    # ns->us conversion mirrors load_table
+    from pyspark.sql import types as T
+
+    for f in raw.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def tumbling_agg(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (overlapping)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user via ``session_window`` (merges events
+    closer than ``gap``)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
+    """Batch gap-sessionization with window functions only (the
+    SQL-oracle twin of session semantics): a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``; session_id
+    is the running count of starts. Returns per-session aggregates
+    (user_id, session_id, n, t_start, t_end, sum_value)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60.0
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > gap_s),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.withColumn("__new", new_sess).withColumn(
+        "session_id", F.sum("__new").over(run)
+    )
+    return (
+        tagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, name: str, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming frame to completion with availableNow into
+    an in-memory table; returns the batch result frame (test helper)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

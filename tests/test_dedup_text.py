@@ -1,0 +1,175 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with known exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    far = "completely different content about spark engines and parquet files"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, far),
+        (4, "short text"),
+        (5, far),  # exact dup of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    from tabata_spark.operators.dedup import exact_dedup, keep_first_exact
+
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert groups[0] == 2 and groups[3] == 2 and groups[2] == 1
+    kept = keep_first_exact(docs)
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {0, 2, 3, 4}
+
+
+def test_token_shingles(docs):
+    from tabata_spark.operators.dedup import token_shingles
+
+    row = (
+        docs.filter(F.col("doc_id") == 4)
+        .select(token_shingles(F.col("text"), 3).alias("sh"))
+        .first()
+    )
+    assert row["sh"] == ["short text"]  # shorter than n -> whole text
+    row = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(token_shingles(F.col("text"), 3).alias("sh"))
+        .first()
+    )
+    assert "the quick brown" in row["sh"]
+    assert len(row["sh"]) == len(set(row["sh"]))  # distinct
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from tabata_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert pairs[(3, 5)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # no shared shingles
+
+
+def test_minhash_lsh_candidates_contain_dups(docs):
+    from tabata_spark.operators.dedup import minhash_candidates, minhash_signatures
+
+    sig = minhash_signatures(docs, num_hashes=32)
+    srow = sig.filter(F.col("doc_id") == 0).first()
+    assert len(srow["sig"]) == 32
+    cand = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidates(sig, bands=8, rows=4).collect()
+    }
+    assert (0, 1) in cand and (3, 5) in cand  # exact dups always collide
+    assert (0, 2) in cand  # high-jaccard near dup collides w.h.p.
+
+
+def test_simhash_near_pairs(docs):
+    from tabata_spark.operators.dedup import simhash, simhash_near_pairs
+
+    fp = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical fingerprint
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(fp, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # near dup within hamming 8
+    assert (0, 3) not in pairs
+
+
+def test_minhash_mllib_path(docs):
+    from tabata_spark.operators.dedup import minhash_lsh_mllib
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_distance"]
+        for r in minhash_lsh_mllib(docs, threshold=0.6).collect()
+    }
+    assert pairs[(0, 1)] == 0.0
+    assert pairs[(3, 5)] == 0.0
+
+
+def test_text_analysis_columns(spark):
+    from tabata_spark.operators.text import with_text_analysis
+
+    rows = [
+        (0, "the cat and the dog in the house"),
+        (1, "le chat et le chien est dans la maison"),
+        (2, "1234 5678 !!! ??? ;;;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_text_analysis(df).collect()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["lang_pred"] == "fr"
+    assert out[0]["stopword_ratio"] > 0.3
+    assert out[2]["digit_ratio"] > 0.3
+    assert out[0]["quality"] > out[2]["quality"]  # clean text beats noise
+    assert out[0]["n_tokens"] == 8
+    assert len(out[0]["fingerprint"].split("|")) == 4
+    # normalization-insensitive hash
+    df2 = spark.createDataFrame(
+        [(0, "The  cat and the dog in THE house  ")], "doc_id long, text string"
+    )
+    from tabata_spark.operators.text import normalized_hash
+
+    h1 = df.filter(F.col("doc_id") == 0).select(normalized_hash("text")).first()[0]
+    h2 = df2.select(normalized_hash(F.lower(F.col("text")))).first()[0]
+    assert h1 == h2
+
+
+def test_similarity_bruteforce_vs_lsh(spark):
+    from tabata_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        random_planes,
+    )
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    query = vecs[7] + rng.standard_normal(16) * 0.01  # near-copy of id 7
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = brute_force_topk(df, [float(x) for x in query], k=5)
+    top = exact.collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] > 0.99
+    planes = random_planes(16, n_planes=8, seed=1)
+    ann = lsh_topk(df, [float(x) for x in query], planes, k=5, multiprobe=4).collect()
+    assert ann[0]["vec_id"] == 7  # nearest neighbor lands in the probed buckets
+
+
+def test_multimodal_stub_pipeline(spark):
+    from tabata_spark.operators.multimodal import as_media, decode_stub, extract_features
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "")], "doc_id long, text string"
+    )
+    media = as_media(df)
+    feats = {r["doc_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats[0]["n_bytes"] == 11
+    assert len(feats[0]["feat"]) == 4
+    assert feats[1]["feat"] == [0.0] * 4
+    # deterministic: same bytes -> same features
+    np.testing.assert_allclose(
+        feats[0]["feat"], decode_stub(b"hello world", 4), atol=1e-6
+    )
+    import hashlib
+
+    assert feats[0]["content_hash"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_decode_real_raises(spark):
+    from tabata_spark.operators.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"x", None)

@@ -1,0 +1,91 @@
+"""Plan-shape assertions: the structural properties that make these
+queries scale (pushdown, broadcast, codegen, no Python in JVM-only
+paths). These run on sf0.001 — plan shape, not data volume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark import battery
+from tabata_spark.plans.inspect import plan_counts, pushed_filters, read_schemas
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_q1_pushdown_and_pruning(spark, sf):
+    df = battery.QUERIES["q1_pricing_summary"](spark, sf)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf  # filter reaches the scan
+    rs = read_schemas(df)
+    # projection pruned: far fewer than the 16 lineitem columns
+    assert all("l_partkey" not in s for s in rs), rs
+
+
+def test_q3_broadcasts_customer(spark, sf):
+    c = plan_counts(battery.QUERIES["q3_shipping_priority"](spark, sf))
+    assert c["broadcast_joins"] >= 1
+    assert c["take_ordered"] == 1  # top-k, not global sort
+    assert c["python_evals"] == 0
+
+
+def test_q5_all_dims_broadcast(spark, sf):
+    c = plan_counts(battery.QUERIES["q5_region_revenue"](spark, sf))
+    assert c["broadcast_joins"] >= 4  # customer, supplier, nation, region
+    assert c["python_evals"] == 0
+
+
+def test_signal_windows_single_exchange(spark, sf):
+    """All record-window ops share one partitioning: exactly one
+    shuffle for the signals view + windows."""
+    df = battery.QUERIES["w_positions"](spark, sf)
+    c = plan_counts(df)
+    assert c["exchanges"] == 1, c
+    assert c["python_evals"] == 0
+
+
+def test_savgol_native_is_jvm_only(spark, sf):
+    df = battery.QUERIES["w_savgol_interior"](spark, sf)
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, c
+    assert c["exchanges"] == 1, c
+
+
+def test_segment_ramp_no_python(spark, sf):
+    c = plan_counts(battery.QUERIES["w_segment_ramp"](spark, sf))
+    assert c["python_evals"] == 0
+
+
+def test_slice_left_broadcasts_instants(spark, sf):
+    c = plan_counts(battery.QUERIES["j_slice_left"](spark, sf))
+    assert c["broadcast_joins"] >= 1  # instants side table broadcast
+    assert c["python_evals"] == 0
+
+
+def test_topk_is_take_ordered(spark, sf):
+    c = plan_counts(battery.QUERIES["q_topk_orders"](spark, sf))
+    assert c["take_ordered"] == 1
+    assert c["sorts"] == 0  # no global sort operator
+
+
+def test_dedup_exact_single_shuffle(spark, sf):
+    c = plan_counts(battery.QUERIES["dedup_exact"](spark, sf))
+    assert c["python_evals"] == 0
+    # hash agg with partial: one exchange on the hash
+    assert c["exchanges"] <= 2
+
+
+def test_sim_topk_no_python(spark, sf):
+    c = plan_counts(battery.QUERIES["sim_topk_cosine"](spark, sf))
+    assert c["python_evals"] == 0
+    assert c["take_ordered"] == 1
+
+
+def test_multimodal_uses_arrow_not_row_python(spark, sf):
+    from tabata_spark.plans.inspect import explain_str
+
+    df = battery.QUERIES["multimodal_features"](spark, sf)
+    s = explain_str(df, "simple")
+    assert "MapInPandas" in s  # Arrow-batched
+    assert "BatchEvalPython" not in s  # never row-at-a-time Python

@@ -1,0 +1,74 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.sources.relational import load_table
+from tabata_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_agg,
+    sessionize_batch,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    # append mode holds back windows above the watermark on a finite
+    # stream; complete mode emits the full state for batch comparison
+    got = run_stream_to_memory(
+        tumbling_agg(stream), "t_tumbling", spark, mode="complete"
+    )
+    want = tumbling_agg(events)
+    keys = ["win_start", "win_end", "event_type", "n", "sum_value"]
+    assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, events):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(sliding_agg(stream), "t_sliding", spark, mode="complete")
+    want = sliding_agg(events)
+    keys = ["win_start", "win_end", "n", "avg_value"]
+    assert _rows(got, keys) == _rows(want, keys)
+    # sliding windows overlap: strictly more windows than tumbling
+    assert got.count() > tumbling_agg(events).count() / 2
+
+
+def test_streaming_session_matches_batch(spark, sf_dir, events):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(session_agg(stream), "t_session", spark, mode="complete")
+    want = session_agg(events)
+    keys = ["user_id", "win_start", "win_end", "n", "sum_value"]
+    assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_sessionize_batch_equals_session_window(events):
+    """The window-function sessionization must produce the same
+    session partitioning as session_window (same gap)."""
+    a = sessionize_batch(events, gap_minutes=30)
+    b = session_agg(events, gap="30 minutes")
+    # compare per-session (user, start, n, sum) — end differs by the
+    # gap padding session_window adds to its window.end
+    ka = sorted(
+        (r["user_id"], r["t_start"], r["n"], r["sum_value"]) for r in a.collect()
+    )
+    kb = sorted(
+        (r["user_id"], r["win_start"], r["n"], r["sum_value"]) for r in b.collect()
+    )
+    assert ka == kb
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_agg(stream, watermark="1 hour")
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
