@@ -30,6 +30,7 @@ HEADLINE = [
     "a_standardize",
     "w_segment_ramp",
     "w_savgol_interior",
+    "w_indicator_full",
     "w_tumbling",
     "w_sessionize",
     "j_slice_left",

@@ -20,8 +20,25 @@ from tabata_spark.core.naming import byunits, get_colname, nameunit
 from tabata_spark.core.signalset import SignalSet
 from tabata_spark.session import get_spark
 
+
+def __getattr__(name):
+    # heavier subsystems load lazily so `import tabata_spark` stays cheap
+    if name in ("Selector", "Tube"):
+        from tabata_spark import ml
+
+        return getattr(ml, name)
+    if name == "Opset":
+        from tabata_spark import compat
+
+        return compat.Opset
+    raise AttributeError(name)
+
+
 __all__ = [
+    "Opset",
+    "Selector",
     "SignalSet",
+    "Tube",
     "byunits",
     "get_colname",
     "get_spark",

@@ -1168,3 +1168,198 @@ def _sim_lsh_oracle() -> str:
 
 
 ORACLES["sim_lsh_ann"] = _sim_lsh_oracle()
+
+
+# =====================================================================
+# Battery III: full indicator pipeline oracle (SG with interp edges +
+# segmentation), reversed indicator, detection-error scores
+# =====================================================================
+
+
+def _savgol_full_sql_expr(width: int, order: int, deriv: int) -> tuple[str, str]:
+    """Machine-generate the exact SQL mirror of savgol_native —
+    including the mode='interp' edge maps — over column ``value``.
+
+    Returns (window_cols_sql, case_expr_sql): per-position head/tail
+    probe columns and the CASE expression combining head, tail, and
+    interior, with the n >= width guard. Term order matches the Spark
+    expression tree so the doubles are bit-identical."""
+    from tabata_spark.operators.savgol import savgol_coeffs, savgol_edge_matrix
+
+    h = width // 2
+    c = savgol_coeffs(width, order, deriv)
+    E = savgol_edge_matrix(width, order, deriv)
+    sign = (-1.0) ** deriv
+
+    probes = []
+    for k in range(width):
+        probes.append(
+            f"max(CASE WHEN seq = {k} THEN value END) OVER p AS v{k}"
+        )
+        probes.append(
+            f"max(CASE WHEN n - 1 - seq = {k} THEN value END) OVER p AS t{k}"
+        )
+
+    def dot(mat_row, prefix, scale=1.0):
+        return " + ".join(
+            f"({float(scale * mat_row[k])!r} * {prefix}{k})" for k in range(width)
+        )
+
+    interior_terms = []
+    for k, ck in enumerate(c):
+        off = h - k
+        if off > 0:
+            ref = f"lag(value, {off}) OVER w"
+        elif off < 0:
+            ref = f"lead(value, {-off}) OVER w"
+        else:
+            ref = "value"
+        interior_terms.append(f"({float(ck)!r} * {ref})")
+    interior = " + ".join(interior_terms)
+
+    branches = []
+    for j in range(h):
+        branches.append(f"WHEN seq = {j} THEN {dot(E[j], 'v')}")
+    for j in range(h):
+        branches.append(f"WHEN n - 1 - seq = {j} THEN {dot(E[j], 't', sign)}")
+    case = (
+        f"CASE WHEN n < {width} THEN NULL "
+        + " ".join(branches)
+        + f" ELSE {interior} END"
+    )
+    return ",\n             ".join(probes), case
+
+
+def _indicator_full_oracle(width: int, order: int, sigma: float, deg: int) -> str:
+    probes, case = _savgol_full_sql_expr(width, deg, order)
+    cmp_op = ">" if sigma > 0 else "<"
+    return (
+        SIGNALS_CTE
+        + f"""
+    , base AS (
+      SELECT record_id, seq, value,
+             count(*) OVER (PARTITION BY record_id) AS n
+      FROM signals
+    ), hv AS (
+      SELECT *, {probes}
+      FROM base
+      WINDOW p AS (PARTITION BY record_id),
+             w AS (PARTITION BY record_id ORDER BY seq)
+    ), sg AS (
+      SELECT record_id, seq, ({case}) AS x
+      FROM hv WINDOW w AS (PARTITION BY record_id ORDER BY seq)
+    ), b AS (
+      SELECT record_id, seq, (x {cmp_op} {sigma!r}) AS bb FROM sg
+    ), d AS (
+      SELECT *, CASE WHEN lag(bb) OVER w IS NOT NULL AND bb <> lag(bb) OVER w
+                     THEN 1 ELSE 0 END AS chg
+      FROM b WINDOW w AS (PARTITION BY record_id ORDER BY seq)
+    ), s AS (
+      SELECT *,
+        sum(chg) OVER (PARTITION BY record_id ORDER BY seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS seg,
+        sum(chg) OVER (PARTITION BY record_id) AS nchg
+      FROM d
+    ), fr AS (
+      SELECT record_id, arg_min(bb, seq) FILTER (WHERE chg = 1) AS first_rising
+      FROM d GROUP BY record_id
+    ), m AS (
+      SELECT s.*, fr.first_rising,
+        count(*) OVER (PARTITION BY s.record_id, seg) AS seg_n,
+        row_number() OVER (PARTITION BY s.record_id, seg ORDER BY seq) - 1 AS seg_pos
+      FROM s JOIN fr ON s.record_id = fr.record_id
+    )
+    SELECT record_id, seq,
+      round(CASE WHEN nchg = 0 THEN 0.0
+            ELSE (CASE WHEN first_rising THEN 0.0 ELSE 1.0 END) + seg
+                 + (CASE WHEN seg_n > 1 THEN seg_pos * 1.0 / (seg_n - 1) ELSE 0.0 END)
+            END, 6) AS ind
+    FROM m
+    """
+    )
+
+
+@register("w_indicator_full", None)
+def w_indicator_full(spark, sf_dir):
+    """The reference's core feature operator end-to-end (W5+W6,
+    instants.py:45-93): native SG derivative (width 11, deg 2,
+    deriv 1, interp edges) -> threshold at sigma -> crossing
+    segmentation -> per-segment linspace ramp. Oracle is the
+    machine-generated SQL mirror, edge maps included."""
+    from tabata_spark.operators.indicator import indicator_col
+
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    out = indicator_col(sig, "value", "ind", width=11, order=1, sigma=2.0, deg=2)
+    return out.select("record_id", "seq", F.round("ind", 6).alias("ind"))
+
+
+ORACLES["w_indicator_full"] = _indicator_full_oracle(11, 1, 2.0, 2)
+
+
+@register(
+    "w_rev_indicator",
+    SIGNALS_CTE
+    + """
+    , r AS (
+      SELECT record_id, seq,
+             sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY record_id ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM signals
+    )
+    SELECT record_id, seq,
+           CAST(last_value(c) OVER (PARTITION BY record_id ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) - c
+             AS DOUBLE) AS rev_c
+    FROM r
+    """,
+)
+def w_rev_indicator(spark, sf_dir):
+    """W7 reversed indicator (instants.py:343,528-529): distance from
+    the final count, applied to a running threshold count."""
+    from tabata_spark.operators.indicator import reversed_indicator
+
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    run = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    counted = sig.withColumn(
+        "c", F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).over(run)
+    )
+    out = reversed_indicator(counted, "c", "rev_c")
+    return out.select("record_id", "seq", F.col("rev_c").cast("double").alias("rev_c"))
+
+
+@register(
+    "a_detect_error",
+    SIGNALS_CTE
+    + """
+    , am AS (
+      SELECT record_id, min(seq) FILTER (WHERE value = mx) AS i_max,
+             min(seq) FILTER (WHERE value = mn) AS i_min
+      FROM (SELECT record_id, seq, value,
+                   max(value) OVER (PARTITION BY record_id) AS mx,
+                   min(value) OVER (PARTITION BY record_id) AS mn FROM signals) q
+      GROUP BY record_id
+    )
+    SELECT record_id, i_max, i_min, CAST(i_max - i_min AS BIGINT) AS err,
+           CAST(abs(i_max - i_min) AS BIGINT) AS abs_err
+    FROM am ORDER BY record_id
+    """,
+)
+def a_detect_error(spark, sf_dir):
+    """A8 detection-error shape (instants.py:655-680): per-record
+    deviation between two instant detectors (here argmax vs argmin of
+    the channel, both first-occurrence like np.argmax)."""
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    out = sig.groupBy("record_id").agg(
+        F.expr("min_by(seq, struct(value * -1, seq))").alias("i_max"),
+        F.expr("min_by(seq, struct(value, seq))").alias("i_min"),
+    )
+    return out.select(
+        "record_id",
+        "i_max",
+        "i_min",
+        (F.col("i_max") - F.col("i_min")).cast("long").alias("err"),
+        F.abs(F.col("i_max") - F.col("i_min")).cast("long").alias("abs_err"),
+    ).orderBy("record_id")

@@ -1,0 +1,167 @@
+"""Reference-API compatibility facade.
+
+A user of the reference (jee51/tabata) drives an ``Opset`` with a
+storename, an integer cursor, and per-record pandas frames
+(opset.py:74-260). This module offers that exact surface on top of the
+Spark engine: ``Opset(path)`` opens/creates a Parquet-backed
+SignalSet; indexing returns *pandas* frames shaped like the
+reference's records (time index, ``index.name`` = record name);
+``put``/``clean``/``rewind``/``current_record``/``iterator`` behave as
+documented in SURVEY §2.1. The engine underneath stays lazy and
+distributed — only the frames a user explicitly pulls cross the
+driver boundary.
+
+``Selector``/``Tube`` compat constructors accept the same storename
+and surface the reference's attribute names (``selected`` keyed by
+record POSITION here, translated to record names internally —
+opset cursor semantics, instants.py:104-127).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from tabata_spark.core.naming import byunits, get_colname, nameunit  # noqa: F401
+from tabata_spark.core.signalset import SignalSet
+from tabata_spark.operators.slicing import highlight as _highlight_df
+
+
+def _spark() -> SparkSession:
+    from tabata_spark.session import get_spark
+
+    return get_spark()
+
+
+class Opset:
+    """Cursor-style facade over a Parquet-backed SignalSet."""
+
+    def __init__(
+        self,
+        storename: str,
+        phase: str | None = None,
+        pos: int = 0,
+        name: str = "",
+        sortkey=None,
+        spark: SparkSession | None = None,
+    ):
+        self.storename = storename
+        self.name = name
+        spark = spark or _spark()
+        if os.path.exists(storename):
+            self.sset = SignalSet.load(spark, storename, phase=phase)
+        else:
+            # empty store: created on first put (reference creates the
+            # file eagerly; Parquet needs a schema, so we defer)
+            self.sset = None
+        self._sortkey = sortkey
+        self.phase = phase
+        self.sigpos = 0
+        self.colname = None
+        if self.sset is not None and len(self.records) > 0:
+            self.sigpos = pos % len(self.records)
+            self.colname = get_colname(self.sset.channels, None)
+
+    # ------------------------------------------------------------ records
+
+    @property
+    def records(self) -> list[str]:
+        if self.sset is None:
+            return []
+        recs = self.sset.records
+        return sorted(recs, key=self._sortkey) if self._sortkey else recs
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    @property
+    def df(self) -> Any:
+        """Current record as a pandas frame (reference cursor state)."""
+        if not self.records:
+            return None
+        return self.sset.to_pandas_record(self.records[self.sigpos])
+
+    def __getitem__(self, pos):
+        if isinstance(pos, slice) or isinstance(pos, (list, tuple)):
+            return list(self.iterator(pos))
+        name = self.records[pos]
+        self.sigpos = pos % len(self.records)
+        return self.sset.to_pandas_record(name)
+
+    def iterator(self, *argv):
+        """Yield pandas frames; cursor restored after (opset.py:164-193)."""
+        saved = self.sigpos
+        if len(argv) == 1 and isinstance(argv[0], (slice, list, tuple)):
+            sel = argv[0]
+            idx = (
+                range(*sel.indices(len(self.records)))
+                if isinstance(sel, slice)
+                else [i % len(self.records) for i in sel]
+            )
+        elif len(argv) == 1 and isinstance(argv[0], int):
+            idx = range(min(argv[0], len(self.records)))
+        elif len(argv) == 2:
+            idx = range(argv[0], argv[1])
+        else:
+            idx = range(len(self.records))
+        for i in idx:
+            self.sigpos = i
+            yield self.sset.to_pandas_record(self.records[i])
+        self.sigpos = saved
+
+    def __iter__(self):
+        return self.iterator()
+
+    def current_record(self) -> str:
+        return self.records[self.sigpos]
+
+    def rewind(self, sigpos: int = 0) -> "Opset":
+        self.sigpos = sigpos % max(len(self.records), 1)
+        return self
+
+    # ---------------------------------------------------------------- io
+
+    def put(self, df, record: str | None = None) -> "Opset":
+        """Upsert a pandas frame as a record (opset.py:229-260)."""
+        name = record or getattr(df.index, "name", None)
+        if not name:
+            raise ValueError("record name required (arg or df.index.name)")
+        spark = _spark()
+        if self.sset is None:
+            SignalSet.from_records(spark, {name: df}).save(self.storename)
+            self.sset = SignalSet.load(spark, self.storename, phase=self.phase)
+        else:
+            self.sset = self.sset.put(df, record=name) if self.sset.path else None
+            if self.sset is None or self.sset.path is None:
+                raise RuntimeError("compat Opset requires a path-backed store")
+        self.sigpos = self.records.index(name)
+        self.colname = get_colname(self.sset.channels, self.colname)
+        return self
+
+    def clean(self) -> "Opset":
+        """Truncate the store (opset.py:215-226)."""
+        import shutil
+
+        if os.path.exists(self.storename):
+            shutil.rmtree(self.storename, ignore_errors=True)
+        self.sset = None
+        self.sigpos = 0
+        return self
+
+    def __repr__(self) -> str:
+        return (
+            f"OPSET {self.name or self.storename}: {len(self)} record(s), "
+            f"current = {self.records[self.sigpos] if self.records else None}"
+        )
+
+
+def highlight(origin: Opset, extract: Opset, flag: str = "INTERVAL") -> Opset:
+    """Reference highlight (tubes.py:41-70): mark origin rows whose
+    (record, ts) appears in the extract; writes the flagged set to a
+    sibling ``_E`` store and returns it."""
+    flagged = _highlight_df(origin.sset.df, extract.sset.df, flag=flag)
+    out_path = origin.storename.rstrip("/") + "_E"
+    SignalSet(flagged, phase=flag).save(out_path)
+    return Opset(out_path, phase=flag)

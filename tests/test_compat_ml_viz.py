@@ -1,0 +1,174 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- compat
+
+
+def test_opset_facade_roundtrip(tmp_path, spark, flights):
+    from tabata_spark.compat import Opset
+
+    store = str(tmp_path / "opset_store")
+    ds = Opset(store, spark=spark)
+    assert len(ds) == 0
+    names = sorted(flights)[:3]
+    for n in names:
+        ds.put(flights[n], record=n)
+    assert len(ds) == 3
+    assert ds.records == names  # alphabetical
+    assert ds.current_record() == names[-1]  # cursor follows put
+    pdf = ds[0]
+    assert pdf.index.name == names[0]
+    assert list(pdf.columns) == list(flights[names[0]].columns)
+    # negative indexing
+    assert ds[-1].index.name == names[-1]
+    # iterator restores cursor
+    ds.rewind(1)
+    _ = [df.shape for df in ds]
+    assert ds.sigpos == 1
+    # substring column resolution on the facade
+    from tabata_spark.compat import get_colname
+
+    assert get_colname(list(pdf.columns), "ALT") == "ALT[m]"
+
+
+def test_opset_clean(tmp_path, spark, flights):
+    from tabata_spark.compat import Opset
+
+    store = str(tmp_path / "opset_store2")
+    ds = Opset(store, spark=spark)
+    ds.put(flights[sorted(flights)[0]], record="rec_a")
+    assert len(ds) == 1
+    ds.clean()
+    assert len(ds) == 0
+
+
+def test_compat_highlight(tmp_path, spark, flights):
+    from tabata_spark.compat import Opset, highlight
+    from tabata_spark.operators.flight import with_cruise_flag
+    from tabata_spark.core.signalset import SignalSet
+
+    store = str(tmp_path / "hl_origin")
+    name = sorted(flights)[0]
+    ds = Opset(store, spark=spark)
+    ds.put(flights[name], record=name)
+    # extract = cruise rows written to a second store
+    flagged = with_cruise_flag(ds.sset.df)
+    extract_path = str(tmp_path / "hl_extract")
+    SignalSet(flagged.filter(F.col("CR"))).save(extract_path)
+    ext = Opset(extract_path, spark=spark)
+    out = highlight(ds, ext)
+    assert out.phase == "INTERVAL"
+    pdf = out[0]
+    assert pdf["INTERVAL"].sum() == len(ext[0])  # flags = extract rows
+    assert len(pdf) == len(ds[0])
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def test_pca_project(sset):
+    from tabata_spark.ml.pca import pca_project
+
+    cols = ["ALT[m]", "Tisa[K]", "TAS[m/s]"]
+    proj, ev = pca_project(sset.df, cols, k=2, keep=["record_id", "seq"])
+    assert len(ev) == 2
+    assert ev[0] > 0.8  # ALT/Tisa/TAS strongly correlated -> 1 dominant axis
+    assert sum(ev) <= 1.0 + 1e-9
+    row = proj.select("pc1", "pc2").first()
+    assert np.isfinite(row["pc1"]) and np.isfinite(row["pc2"])
+    assert proj.count() == sset.df.count()
+
+
+# ---------------------------------------------------------------- OLS
+
+
+def test_ols_recovers_linear_relation(spark):
+    rng = np.random.default_rng(3)
+    n = 2000
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(-5, 5, n)
+    y = 2.0 + 3.0 * x1 - 1.5 * x2 + rng.normal(0, 0.1, n)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "y": y}))
+    from tabata_spark.ml.ols import ols, predict_with_interval
+
+    res = ols(df, "y", ["x1", "x2"])
+    assert abs(res.intercept - 2.0) < 0.05
+    assert abs(res.coefficients["x1"] - 3.0) < 0.01
+    assert abs(res.coefficients["x2"] + 1.5) < 0.01
+    assert res.r2 > 0.99
+    assert res.p_values["x1"] < 1e-6
+    assert res.n == n
+    assert "R2" in res.summary()
+    pred = predict_with_interval(df, res)
+    row = pred.select("y", "pred", "pred_lo", "pred_hi").first()
+    assert row["pred_lo"] < row["pred"] < row["pred_hi"]
+    # ~95% of rows inside the prediction interval
+    inside = pred.filter(
+        (F.col("y") >= F.col("pred_lo")) & (F.col("y") <= F.col("pred_hi"))
+    ).count()
+    assert inside / n > 0.9
+
+
+# ---------------------------------------------------------------- viz
+
+
+def test_viz_adapters(sset):
+    from tabata_spark import viz
+
+    pdf = viz.plot_data(sset, "ALT", 0)
+    assert "ALT[m]" in pdf.columns
+    assert pdf.index.name == sset.records[0]
+
+    grid = viz.groupplot_data(sset, "ALT", records=sset.records[:3])
+    assert set(grid.columns) == set(sset.records[:3])
+    # standardized: per-record mean ~0, std ~1
+    assert abs(grid[sset.records[0]].dropna().mean()) < 1e-6
+
+    a, b = viz.doubleplot_data(sset, ["ALT", "Vz"], 0)
+    assert list(a.columns) == ["ALT[m]", "Vz[m/s]"]
+    assert "Tisa[K]" in b.columns
+
+    if not viz.HAS_PLOTLY:
+        with pytest.raises(ImportError):
+            viz.render_plot(sset, "ALT", 0)
+
+
+def test_viz_tube_and_scores(sset):
+    from tabata_spark import viz
+    from tabata_spark.ml.tube import Tube
+
+    tube = Tube(sset, seed=42)
+    tube.variables = {"Tisa[K]"}
+    tube.factors = {"ALT[m]", "Tisa[K]"}
+    tube.learn_params = dict(
+        retry_number=2, keep_best_number=2, samples_percent=0.05, max_features=2
+    )
+    tube.fit()
+    td = viz.tube_plot_data(tube, "Tisa[K]", 0)
+    assert {"y", "z", "zmin", "zmax"} <= set(td.columns)
+    sd = viz.scores_plot_data(tube)
+    assert "score_Tisa[K]" in sd.columns
+
+
+# ------------------------------------------------------------- ingest
+
+
+def test_from_record_files_csv(tmp_path, spark, flights):
+    from tabata_spark.sources.ingest import from_record_files
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    names = sorted(flights)[:2]
+    for n in names:
+        pdf = flights[n].reset_index().rename(columns={"index": "t"})
+        pdf.to_csv(d / f"{n}.csv", index=False)
+    ss = from_record_files(spark, str(d / "*.csv"), fmt="csv", ts_col="t")
+    assert ss.records == names
+    assert ss.record(names[0]).count() == len(flights[names[0]])
+    mx = ss.df.groupBy("record_id").agg(F.max("seq").alias("m")).collect()
+    for r in mx:
+        assert r["m"] == len(flights[r["record_id"]]) - 1
