@@ -882,7 +882,9 @@ def w_savgol_interior(spark, sf_dir):
     from tabata_spark.operators.savgol import savgol_native
 
     sig = events_as_signals(_t(spark, sf_dir, "events"))
-    out = savgol_native(sig, "value", "sg", 11, 2, 0)
+    # edges=False: the interior filter below makes the 2*width edge
+    # window aggregates dead weight — don't compute them
+    out = savgol_native(sig, "value", "sg", 11, 2, 0, edges=False)
     n = F.count(F.lit(1)).over(record_frame())
     return (
         out.withColumn("__n", n)
@@ -1363,3 +1365,125 @@ def a_detect_error(spark, sf_dir):
         (F.col("i_max") - F.col("i_min")).cast("long").alias("err"),
         F.abs(F.col("i_max") - F.col("i_min")).cast("long").alias("abs_err"),
     ).orderBy("record_id")
+
+
+# =====================================================================
+# Battery IV: window ranking, string scalar functions, salted agg
+# =====================================================================
+
+
+@register(
+    "q_window_rank",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) t WHERE rk = 1
+    ORDER BY c_custkey
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """Ranking window + filter (top order per customer) — the
+    rank/dense_rank surface SURVEY §2.5 lists as free in Spark."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           lower(p_type)                                    AS type_lower,
+           substr(p_name, 1, 8)                             AS name_prefix,
+           length(p_name)                                   AS name_len,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR))    AS brand_size,
+           (p_type LIKE '%BRASS%')                          AS is_brass,
+           regexp_replace(p_name, '[aeiou]', '', 'g')       AS name_novowel
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String scalar surface (SURVEY §2.8 family F1-F2 analogs)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "a_salted_agg",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over a low-cardinality (hence
+    skew-prone) key — must equal the direct groupBy (operators/skew)."""
+    from tabata_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        partials={"__s": F.sum("value"), "__c": F.count(F.lit(1))},
+        merges={
+            "n": F.sum("__c"),
+            "avg_value": F.round(F.sum("__s") / F.sum("__c"), 6),
+        },
+    )
+    return out.select("event_type", "n", "avg_value").orderBy("event_type")
+
+
+@register(
+    "a_normalize",
+    SIGNALS_CTE
+    + """
+    , p AS (
+      SELECT record_id, seq, greatest(value - 100.0, 0.0) AS pc FROM signals
+    ), z AS (
+      SELECT *, sum(pc) OVER (PARTITION BY record_id) AS zsum FROM p
+    )
+    SELECT record_id, seq,
+           round(pc / (CASE WHEN zsum = 0.0 THEN 1.0 ELSE zsum END), 9) AS p_norm
+    FROM z
+    """,
+)
+def a_normalize(spark, sf_dir):
+    """A13 belief normalization (instants.py:539-543): clip at zero,
+    divide by the per-record sum, with the reference's Z==0 -> 1
+    guard — a probability distribution over each record's rows."""
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("record_id")
+    pc = F.greatest(F.col("value") - F.lit(100.0), F.lit(0.0))
+    z = F.sum(pc).over(w)
+    return sig.select(
+        "record_id",
+        "seq",
+        F.round(
+            pc / F.when(z == 0.0, F.lit(1.0)).otherwise(z), 9
+        ).alias("p_norm"),
+    )

@@ -470,3 +470,57 @@ class Selector:
             return float("nan")
         s = self.all_scores()
         return float(max(abs(v) for v in s.values())) if s else float("nan")
+
+
+# ------------------------------------------------------------ persistence
+
+
+def save_selector(sel: Selector, path: str) -> None:
+    """Persist learned state: JSON for labels/params/idcodes + MLlib
+    model directory (reference uses pickle, instants_doc cell 74 —
+    MLlib native persistence survives cluster/driver restarts)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    state = {
+        "selected": sel.selected,
+        "variables": sorted(sel.variables),
+        "computed": sel.computed,
+        "idcodes": [list(c) for c in sel.idcodes],
+        "kept_names": sel._kept_names,
+        "learn_params": sel.learn_params,
+        "feature_params": {
+            k: (list(v) if isinstance(v, range) else v)
+            for k, v in sel.feature_params.items()
+        },
+        "predict_params": sel.predict_params,
+        "seed": sel.seed,
+    }
+    with open(os.path.join(path, "selector.json"), "w") as f:
+        json.dump(state, f, indent=1)
+    if sel._model is not None:
+        sel._model.write().overwrite().save(os.path.join(path, "tree_model"))
+
+
+def load_selector(sset: SignalSet, path: str) -> Selector:
+    import json
+    import os
+
+    with open(os.path.join(path, "selector.json")) as f:
+        state = json.load(f)
+    sel = Selector(sset, seed=state["seed"])
+    sel.selected = {k: int(v) for k, v in state["selected"].items()}
+    sel.variables = set(state["variables"])
+    sel.computed = {k: int(v) for k, v in state["computed"].items()}
+    sel.idcodes = [tuple(c) for c in state["idcodes"]]
+    sel._kept_names = state["kept_names"]
+    sel.learn_params = state["learn_params"]
+    sel.feature_params = state["feature_params"]
+    sel.predict_params = state["predict_params"]
+    model_dir = os.path.join(path, "tree_model")
+    if os.path.exists(model_dir):
+        from pyspark.ml.classification import DecisionTreeClassificationModel
+
+        sel._model = DecisionTreeClassificationModel.load(model_dir)
+    return sel

@@ -243,3 +243,48 @@ def app_tube(origin: SignalSet, tube: Tube, target: str) -> DataFrame:
     rows computed on the extract."""
     est = tube.estimate_frame(target).select("record_id", "ts", "z", "zmin", "zmax")
     return origin.df.join(est, ["record_id", "ts"], "left")
+
+
+# ------------------------------------------------------------ persistence
+
+
+def save_tube(tube: Tube, path: str) -> None:
+    """Persist the learned state (reference pickles Selector/Tube,
+    instants_doc cell 74; here: JSON — the models are plain floats)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    state = {
+        "variables": sorted(tube.variables),
+        "factors": sorted(tube.factors),
+        "learn_params": tube.learn_params,
+        "feature_params": tube.feature_params,
+        "tube_params": tube.tube_params,
+        "seed": tube.seed,
+        "reg": {
+            t: [[b0, coefs, r2] for (b0, coefs, r2) in pop]
+            for t, pop in tube._reg.items()
+        },
+    }
+    with open(os.path.join(path, "tube.json"), "w") as f:
+        json.dump(state, f, indent=1)
+
+
+def load_tube(sset: SignalSet, path: str) -> Tube:
+    import json
+    import os
+
+    with open(os.path.join(path, "tube.json")) as f:
+        state = json.load(f)
+    tube = Tube(sset, seed=state["seed"])
+    tube.variables = set(state["variables"])
+    tube.factors = set(state["factors"])
+    tube.learn_params = state["learn_params"]
+    tube.feature_params = state["feature_params"]
+    tube.tube_params = state["tube_params"]
+    tube._reg = {
+        t: [(b0, coefs, r2) for b0, coefs, r2 in pop]
+        for t, pop in state["reg"].items()
+    }
+    return tube

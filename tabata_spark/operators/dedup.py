@@ -172,9 +172,9 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     if candidates is not None:
-        inter = inter.join(
-            F.broadcast(candidates), ["id_a", "id_b"] if set(candidates.columns) >= {"id_a", "id_b"} else None, "inner"
-        )
+        if not {"id_a", "id_b"} <= set(candidates.columns):
+            raise ValueError("candidates must have columns id_a, id_b")
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "inner")
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")

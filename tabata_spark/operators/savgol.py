@@ -136,6 +136,7 @@ def savgol_native(
     polyorder: int = 2,
     deriv: int = 0,
     delta: float = 1.0,
+    edges: bool = True,
 ) -> DataFrame:
     """Fully JVM-side SG filter with interp edges.
 
@@ -162,6 +163,14 @@ def savgol_native(
         (F.lit(float(ck)) * F.lag(y, h - k).over(w) for k, ck in enumerate(c)),
         F.lit(0.0),
     )
+
+    if not edges:
+        # interior-only (edge rows null): skips 2*width conditional
+        # window aggregates — use when downstream filters to interior
+        expr = F.when(
+            (n >= F.lit(width)) & (pos >= h) & (rev >= h), interior
+        )
+        return df.withColumn(out, expr)
 
     # y at absolute position k from head / tail: conditional agg over the
     # unbounded record frame (null everywhere except the matching row)
