@@ -486,7 +486,9 @@ def a_standardize(spark, sf_dir):
     """A1 standardization with the reference's std==0 guard
     (plots.py:285-289: unstandardized when flat)."""
     sig = events_as_signals(_t(spark, sf_dir, "events"))
-    w = Window.partitionBy("record_id")
+    w = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
     z = F.when(sd > 0, (F.col("value") - mu) / sd).otherwise(F.col("value"))
@@ -1477,7 +1479,9 @@ def a_normalize(spark, sf_dir):
     divide by the per-record sum, with the reference's Z==0 -> 1
     guard — a probability distribution over each record's rows."""
     sig = events_as_signals(_t(spark, sf_dir, "events"))
-    w = Window.partitionBy("record_id")
+    w = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     pc = F.greatest(F.col("value") - F.lit(100.0), F.lit(0.0))
     z = F.sum(pc).over(w)
     return sig.select(

@@ -400,7 +400,11 @@ class Selector:
         p = pred.groupBy("record_id").applyInPandas(smooth, sm_schema)
 
         # clip + normalize (instants.py:539-543, incl. the Z==0 -> 1 guard)
-        w_rec = Window.partitionBy("record_id")
+        w_rec = (
+            Window.partitionBy("record_id")
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         pc = F.greatest(F.col("p"), F.lit(0.0))
         z = F.sum(pc).over(w_rec)
         return p.withColumn("p", pc / F.when(z == 0.0, F.lit(1.0)).otherwise(z))

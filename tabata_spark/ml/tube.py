@@ -49,12 +49,7 @@ def _with_synthetic(df: DataFrame, target: str) -> DataFrame:
     frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         df.withColumn("TIME", (F.row_number().over(w) - F.lit(1)).cast("double"))
-        .withColumn(
-            "MEDIAN",
-            F.expr(f"percentile(`{target}`, 0.5)").over(
-                Window.partitionBy("record_id")
-            ),
-        )
+        .withColumn("MEDIAN", F.expr(f"percentile(`{target}`, 0.5)").over(frame))
         .withColumn("CAUSAL", F.first(F.col(f"`{target}`")).over(frame))
     )
 

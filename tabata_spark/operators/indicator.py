@@ -56,9 +56,18 @@ def indicator_np(
 
 def segment_ramp(df: DataFrame, filtered: str, sigma: float, out: str) -> DataFrame:
     """Threshold-crossing segmentation + per-segment linspace ramp over
-    an already-filtered column (the indicator minus the SG step)."""
+    an already-filtered column (the indicator minus the SG step).
+
+    Everything stays partitioned by ``record_id`` alone: the segment
+    size/offset come from running aggregates in the ascending and
+    descending seq orders (an extra in-partition SORT, but NO second
+    shuffle on (record_id, segment) — at 10M+ rows the re-shuffle was
+    the dominant cost of this operator). Relies on the engine invariant
+    that ``seq`` is dense 0..n-1 within each record (segment sizes are
+    seq differences)."""
     w = Window.partitionBy("record_id").orderBy("seq")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_desc = Window.partitionBy("record_id").orderBy(F.desc("seq"))
     x = F.col(f"`{filtered}`")
     b = (x > F.lit(sigma)) if sigma > 0 else (x < F.lit(sigma))
     prev = F.lag(b).over(w)
@@ -73,22 +82,37 @@ def segment_ramp(df: DataFrame, filtered: str, sigma: float, out: str) -> DataFr
     )
     df = df.withColumn("__nchg", F.sum("__chg").over(frame))
     # base of segment 0: 0 if the first crossing is rising (False->True)
-    first_rising = F.first(F.when(F.col("__chg") == 1, F.col("__b")), ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    first_rising = F.first(
+        F.when(F.col("__chg") == 1, F.col("__b")), ignorenulls=True
+    ).over(frame)
     z0 = F.when(first_rising, F.lit(0.0)).otherwise(F.lit(1.0))
 
-    seg_w = Window.partitionBy("record_id", "__seg").orderBy("seq")
-    seg_frame = seg_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    m = F.count(F.lit(1)).over(seg_frame)
-    pos = F.row_number().over(seg_w) - F.lit(1)
+    # segment bounds from record-local running aggs (no re-partition):
+    # a row starts a segment when its seg differs from the previous row's
+    is_start = F.coalesce(F.col("__seg") != F.lag("__seg").over(w), F.lit(True))
+    df = df.withColumn("__start_seq", F.max(F.when(is_start, F.col("seq"))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    # next segment's start: min start-marker among rows AFTER this one
+    # (descending order => "preceding, -1" frame = higher seq rows)
+    next_start = F.min(
+        F.when(F.col("__start_seq") == F.col("seq"), F.col("seq"))
+    ).over(w_desc.rowsBetween(Window.unboundedPreceding, -1))
+    n_rec = F.count(F.lit(1)).over(frame)
+    first_seq = F.min("seq").over(frame)
+    df = df.withColumn("__end_seq", F.coalesce(next_start, first_seq + n_rec))
+
+    m = F.col("__end_seq") - F.col("__start_seq")
+    pos = F.col("seq") - F.col("__start_seq")
     ramp = F.when(m > 1, pos.cast("double") / (m - F.lit(1)).cast("double")).otherwise(
         F.lit(0.0)
     )
     z = F.when(F.col("__nchg") == 0, F.lit(0.0)).otherwise(
         z0 + F.col("__seg").cast("double") + ramp
     )
-    return df.withColumn(out, z).drop("__b", "__chg", "__seg", "__nchg")
+    return df.withColumn(out, z).drop(
+        "__b", "__chg", "__seg", "__nchg", "__start_seq", "__end_seq"
+    )
 
 
 def indicator_col(

@@ -88,3 +88,77 @@ def make_flight_records(
         else:
             out[name] = make_flight(rng, n=n_rows, start=start)
     return out
+
+
+def make_flights_distributed(
+    spark,
+    n_records: int = 200,
+    n_rows: int = 5000,
+    seed: int = 42,
+    partitions: int | None = None,
+):
+    """Distributed twin of :func:`make_flight_records`: generates the
+    same *shape* of flight signals (trapezoid altitude, anti-correlated
+    temperature, monotone mass) as pure Column expressions over
+    ``spark.range`` — no driver-side pandas, no collect. This is the
+    scale path: 10⁹ rows generate as fast as the cluster can write.
+
+    Profile parameters vary per record via seeded hashes of the record
+    index, so records differ deterministically.
+    """
+    from pyspark.sql import functions as F
+
+    total = n_records * n_rows
+    df = spark.range(0, total, 1, partitions or spark.sparkContext.defaultParallelism)
+    rec = (F.col("id") / n_rows).cast("long")
+    seq = F.col("id") % n_rows
+
+    def h(salt: int):
+        """Deterministic uniform [0,1) per record."""
+        return (
+            F.pmod(F.xxhash64(rec, F.lit(seed), F.lit(salt)), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+
+    def hrow(salt: int):
+        """Deterministic uniform [0,1) per row (noise source)."""
+        return (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+
+    cruise_alt = 8000 + 3000 * h(1)
+    climb_n = (n_rows * (0.12 + 0.08 * h(2))).cast("long")
+    desc_n = (n_rows * (0.12 + 0.08 * h(3))).cast("long")
+    cruise_end = F.lit(n_rows) - desc_n
+
+    alt_clean = (
+        F.when(seq < climb_n, cruise_alt * seq / climb_n)
+        .when(seq >= cruise_end, cruise_alt * (F.lit(n_rows) - 1 - seq) / desc_n)
+        .otherwise(cruise_alt)
+    )
+    noise = lambda s, scale: (hrow(s) - 0.5) * (2 * scale)  # noqa: E731
+    alt = alt_clean + noise(10, 3.0)
+    vz = (
+        F.when(seq < climb_n, cruise_alt / climb_n)
+        .when(seq >= cruise_end, -cruise_alt / desc_n)
+        .otherwise(F.lit(0.0))
+        + noise(11, 0.3)
+    )
+    base_ts = F.lit("2019-01-01 06:00:00").cast("timestamp")
+
+    return df.select(
+        F.concat(F.lit("record_"), F.lpad(rec.cast("string"), 6, "0")).alias(
+            "record_id"
+        ),
+        seq.cast("long").alias("seq"),
+        F.timestamp_seconds(F.unix_timestamp(base_ts) + rec * 86400 + seq).alias("ts"),
+        alt.alias("ALT[m]"),
+        (288.15 - 0.0065 * alt + noise(12, 0.5)).alias("Tisa[K]"),
+        (120 + 110 * alt / cruise_alt + noise(13, 2.0)).alias("TAS[m/s]"),
+        vz.alias("Vz[m/s]"),
+        (60000 - seq * (1.2 + 0.6 * h(4)) + noise(14, 5.0)).alias("Masse[kg]"),
+        (
+            F.when(seq < climb_n, 200000.0).otherwise(120000.0) + noise(15, 3000.0)
+        ).alias("F[N]"),
+    )

@@ -58,7 +58,9 @@ def groupplot_data(
     df = sset.df if records is None else sset.subset(records).df
     y = F.col(f"`{colname}`")
     if standardize:
-        w = Window.partitionBy("record_id")
+        w = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
         mu, sd = F.avg(y).over(w), F.stddev_samp(y).over(w)
         y = F.when(sd > 0, (y - mu) / sd).otherwise(y)
     pdf = df.select("record_id", "seq", y.alias(colname)).orderBy(

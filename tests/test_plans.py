@@ -89,3 +89,33 @@ def test_multimodal_uses_arrow_not_row_python(spark, sf):
     s = explain_str(df, "simple")
     assert "MapInPandas" in s  # Arrow-batched
     assert "BatchEvalPython" not in s  # never row-at-a-time Python
+
+
+def test_indicator_single_exchange(spark, sf):
+    """The full indicator (SG + segmentation) must stay partitioned by
+    record_id end-to-end: exactly one shuffle, no re-partition on
+    (record_id, segment)."""
+    for q in ("w_indicator_full", "w_segment_ramp"):
+        c = plan_counts(battery.QUERIES[q](spark, sf))
+        assert c["exchanges"] == 1, (q, c)
+        assert c["python_evals"] == 0, (q, c)
+
+
+def test_cruise_flag_uses_ordered_frame(spark, sf):
+    """with_cruise_flag must not use the unordered whole-group window
+    path (4x slower at 10M rows): its plan shows an ordered Sort under
+    a single exchange."""
+    from tabata_spark.operators.flight import cruise_summary
+    from tabata_spark.sources.relational import events_as_signals, load_table
+
+    sig = (
+        events_as_signals(load_table(spark, sf, "events"))
+        .withColumnRenamed("value", "ALT[m]")
+        .withColumn("Vz[m/s]", F.col("`ALT[m]`") * 0)
+        .withColumn("Tisa[K]", F.col("`ALT[m]`") + 1)
+        .withColumn("TAS[m/s]", F.col("`ALT[m]`") + 2)
+        .withColumn("Masse[kg]", F.col("`ALT[m]`") + 3)
+    )
+    c = plan_counts(cruise_summary(sig))
+    assert c["exchanges"] <= 2, c
+    assert c["python_evals"] == 0
