@@ -140,12 +140,14 @@ def savgol_native(
 ) -> DataFrame:
     """Fully JVM-side SG filter with interp edges.
 
-    interior[i] = sum_k c_k * y[i-h+k]          (lag/lead chain)
-    head[j]     = E[j] @ first ``width`` values  (conditional window aggs)
+    interior[i] = sum_k c_k * y[i-h+k]             (lag/lead chain)
+    head[j]     = E[j] @ first ``width`` values    (per-record edge map)
     tail[j]     = reversed head under sign flip
 
-    One window spec for everything -> one shuffle on record_id (none if
-    already partitioned), whole-stage codegen throughout.
+    The fact table sees exactly one shuffle (the record window); the
+    edge values come from a filtered O(records·width) side frame,
+    reduced to a per-record {seq -> value} map and broadcast-joined
+    back — the side aggregations shuffle only the tiny side.
     """
     h = width // 2
     c = savgol_coeffs(width, polyorder, deriv, delta)
@@ -165,37 +167,76 @@ def savgol_native(
     )
 
     if not edges:
-        # interior-only (edge rows null): skips 2*width conditional
-        # window aggregates — use when downstream filters to interior
+        # interior-only (edge rows null): skips the edge machinery —
+        # use when downstream filters to interior
         expr = F.when(
             (n >= F.lit(width)) & (pos >= h) & (rev >= h), interior
         )
         return df.withColumn(out, expr)
 
-    # y at absolute position k from head / tail: conditional agg over the
-    # unbounded record frame (null everywhere except the matching row)
-    head_vals = [F.max(F.when(pos == k, y)).over(frame) for k in range(width)]
-    tail_vals = [F.max(F.when(rev == k, y)).over(frame) for k in range(width)]
-
+    # Edge values (mode='interp') depend only on the first/last
+    # ``width`` samples of each record. Computing them as 2*width
+    # conditional window aggregates costs per-ROW work across the whole
+    # table; instead build a per-RECORD map {edge_seq -> value} on a
+    # filtered small side and broadcast-join it back: zero extra
+    # shuffles of the fact table, O(records) side state.
+    # (Relies on the engine invariant: seq is dense 0..n-1 per record.)
     E = savgol_edge_matrix(width, polyorder, deriv, delta)
     sign = (-1.0) ** deriv
-    head_expr = F.lit(None).cast("double")
-    tail_expr = F.lit(None).cast("double")
-    for j in range(h - 1, -1, -1):
-        hj = sum(
-            (F.lit(float(E[j][k])) * head_vals[k] for k in range(width)), F.lit(0.0)
+
+    src = df.select("record_id", "seq", y.alias("__y"))
+    counts = src.groupBy("record_id").agg(F.count(F.lit(1)).alias("__n"))
+    heads = (
+        src.filter(F.col("seq") < width)
+        .groupBy("record_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "__y"))), lambda s: s["__y"]
+            ).alias("__hy")
         )
-        tj = sum(
-            (F.lit(sign * float(E[j][k])) * tail_vals[k] for k in range(width)),
+    )
+    tails_src = src.join(F.broadcast(counts), "record_id").filter(
+        F.col("seq") >= F.col("__n") - width
+    )
+    tails = tails_src.groupBy("record_id").agg(
+        F.reverse(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "__y"))), lambda s: s["__y"]
+            )
+        ).alias("__ty")  # reversed: __ty[k] = y[n-1-k]
+    )
+
+    def dot(arr, row, scale=1.0):
+        return sum(
+            (F.lit(scale * float(row[k])) * F.element_at(arr, k + 1) for k in range(width)),
             F.lit(0.0),
         )
-        head_expr = F.when(pos == j, hj).otherwise(head_expr)
-        tail_expr = F.when(rev == j, tj).otherwise(tail_expr)
 
-    # records shorter than the window have no valid taps in this path:
-    # null them (the applyInPandas path handles them with a global fit)
-    expr = F.when(n >= F.lit(width), F.coalesce(head_expr, tail_expr, interior))
-    return df.withColumn(out, expr)
+    keys, vals = [], []
+    for j in range(h):
+        keys.append(F.lit(j).cast("long"))
+        vals.append(dot(F.col("__hy"), E[j]))
+    for j in range(h):
+        keys.append((F.col("__n") - 1 - F.lit(j)).cast("long"))
+        vals.append(dot(F.col("__ty"), E[j], sign))
+    edge_maps = (
+        heads.join(tails, "record_id")
+        .join(counts, "record_id")
+        .filter(F.col("__n") >= width)  # short records: no edge map
+        .select(
+            "record_id",
+            F.col("__n").alias("__n"),
+            F.map_from_arrays(F.array(*keys), F.array(*vals)).alias("__emap"),
+        )
+    )
+
+    joined = df.join(F.broadcast(edge_maps), "record_id", "left")
+    # try_element_at: missing key -> null (ANSI element_at would throw)
+    edge_val = F.try_element_at(F.col("__emap"), F.col("seq"))
+    expr = F.when(
+        F.col("__n").isNotNull(), F.coalesce(edge_val, interior)
+    )  # __n null <=> record shorter than width -> null column
+    return joined.withColumn(out, expr).drop("__emap", "__n")
 
 
 # ----------------------------------------------------------- applyInPandas

@@ -92,13 +92,18 @@ def test_multimodal_uses_arrow_not_row_python(spark, sf):
 
 
 def test_indicator_single_exchange(spark, sf):
-    """The full indicator (SG + segmentation) must stay partitioned by
-    record_id end-to-end: exactly one shuffle, no re-partition on
-    (record_id, segment)."""
-    for q in ("w_indicator_full", "w_segment_ramp"):
-        c = plan_counts(battery.QUERIES[q](spark, sf))
-        assert c["exchanges"] == 1, (q, c)
-        assert c["python_evals"] == 0, (q, c)
+    """Segmentation must stay partitioned by record_id end-to-end
+    (no re-partition on (record_id, segment)); the full indicator
+    additionally carries the SG edge-map side frame, whose
+    aggregations shuffle only O(records) rows and join back
+    broadcast — never a sort-merge of the fact table."""
+    c = plan_counts(battery.QUERIES["w_segment_ramp"](spark, sf))
+    assert c["exchanges"] == 1, c
+    assert c["python_evals"] == 0, c
+    c = plan_counts(battery.QUERIES["w_indicator_full"](spark, sf))
+    assert c["sortmerge_joins"] == 0 and c["shuffle_hash_joins"] == 0, c
+    assert c["broadcast_joins"] >= 1, c
+    assert c["python_evals"] == 0, c
 
 
 def test_cruise_flag_uses_ordered_frame(spark, sf):
