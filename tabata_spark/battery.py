@@ -1491,3 +1491,36 @@ def a_normalize(spark, sf_dir):
             pc / F.when(z == 0.0, F.lit(1.0)).otherwise(z), 9
         ).alias("p_norm"),
     )
+
+
+@register(
+    "sim_neardup_pairs",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+             round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY cosine DESC, id_a, id_b) AS rk
+      FROM pairs
+    )
+    SELECT id_a, id_b, label, cosine FROM ranked WHERE rk <= 3
+    ORDER BY label, cosine DESC, id_a, id_b
+    """,
+)
+def sim_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup (north-star): top-3 most similar
+    pairs per label block. Label plays the blocking key here; the
+    production path swaps in LSH buckets (sim_lsh_ann) so the
+    self-join is bounded per block."""
+    from tabata_spark.operators.similarity import pairwise_topk_per_label
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairwise_topk_per_label(emb, k=3).orderBy(
+        "label", F.desc("cosine"), "id_a", "id_b"
+    )

@@ -274,3 +274,35 @@ class SignalSet:
             f"SignalSet({len(self.records)} records, "
             f"{len(self.channels)} channels{', path=' + self.path if self.path else ''})"
         )
+
+
+def save_bucketed(
+    sset: SignalSet,
+    table: str,
+    num_buckets: int = 32,
+    sort_by: str = "seq",
+) -> SignalSet:
+    """Persist as a bucketed, sorted table: ``bucketBy(record_id)`` +
+    ``sortBy(seq)`` via saveAsTable.
+
+    This is the zero-shuffle storage layout: a bucketed scan reports
+    ``hashpartitioning(record_id, num_buckets)`` as its output
+    partitioning, so every record-window pipeline over the stored set
+    runs with NO exchange at all (the one shuffle the parquet layout
+    needs disappears). At 100 TB: pick num_buckets ~ cluster cores,
+    and all recurring signal analytics become scan -> window -> agg
+    with zero data movement.
+    """
+    spark = sset.df.sparkSession
+    (
+        sset.df.write.mode("overwrite")
+        .bucketBy(num_buckets, "record_id")
+        .sortBy("record_id", sort_by)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return SignalSet(spark.table(table), phase=sset.phase)
+
+
+def load_bucketed(spark: SparkSession, table: str, phase: str | None = None) -> SignalSet:
+    return SignalSet(spark.table(table), phase=phase)

@@ -124,3 +124,26 @@ def test_cruise_flag_uses_ordered_frame(spark, sf):
     c = plan_counts(cruise_summary(sig))
     assert c["exchanges"] <= 2, c
     assert c["python_evals"] == 0
+
+
+def test_bucketed_table_zero_exchange(spark, sset, tmp_path_factory):
+    """Bucketed storage makes record-window pipelines shuffle-free:
+    the bucketed scan already satisfies hashpartitioning(record_id)."""
+    from tabata_spark.core.signalset import save_bucketed
+    from tabata_spark.operators.positions import with_positions
+    from tabata_spark.operators.savgol import savgol_native
+
+    stored = save_bucketed(sset, "t_bucketed_signals", num_buckets=4)
+    df = with_positions(stored.df)
+    c = plan_counts(df)
+    assert c["exchanges"] == 0, c  # no shuffle at all
+    # and the values still match the unbucketed path
+    a = sorted(tuple(r) for r in df.select("record_id", "seq", "`LEN[pts]`").collect())
+    b = sorted(
+        tuple(r)
+        for r in with_positions(sset.df).select("record_id", "seq", "`LEN[pts]`").collect()
+    )
+    assert a == b
+    c2 = plan_counts(savgol_native(stored.df, "ALT[m]", "sg", 11, 2, 0, edges=False))
+    assert c2["exchanges"] == 0, c2
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_signals")

@@ -72,3 +72,30 @@ def test_watermark_present_in_plan(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_agg(stream, watermark="1 hour")
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_stateful_out_of_tube_matches_batch(spark, sf_dir, events):
+    """applyInPandasWithState running counter == batch aggregation."""
+    from tabata_spark.streaming.stateful import streaming_out_of_tube
+
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_out_of_tube(stream, lo=5.0, hi=250.0)
+    assert out.isStreaming
+    got = run_stream_to_memory(out, "t_stateful", spark, mode="update")
+    # update mode re-emits per batch; keep the final (max n) row per user
+    final = {
+        r["user_id"]: (r["n"], r["n_out"])
+        for r in got.orderBy("user_id", "n").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["n_out"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when((F.col("value") > 250.0) | (F.col("value") < 5.0), 1)).alias(
+                "n_out"
+            ),
+        )
+        .collect()
+    }
+    assert final == want
