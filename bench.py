@@ -58,9 +58,14 @@ def main():
     from tabata_spark.session import get_spark
 
     spark = get_spark("tabata_spark-bench")
-    # warm the JVM + parquet footers so per-query times measure the
-    # engine, not session startup
+    # warm the JVM, codegen, and parquet reader paths so per-query
+    # times measure the engine, not session startup: one throwaway
+    # run of the first headline query at the smallest scale factor
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        battery.QUERIES[HEADLINE[0]](spark, "/root/testdata/sf0.001").collect()
+    except Exception:
+        pass  # warmup is best-effort; the measured run reports errors
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -172,3 +172,18 @@ def test_from_record_files_csv(tmp_path, spark, flights):
     mx = ss.df.groupBy("record_id").agg(F.max("seq").alias("m")).collect()
     for r in mx:
         assert r["m"] == len(flights[r["record_id"]]) - 1
+
+
+def test_from_hdf5_gated_without_pytables(spark, tmp_path):
+    """HDF5 ingest must fail with a clear ImportError when pytables is
+    absent (this environment), not a cryptic pandas stack."""
+    from tabata_spark.sources.ingest import from_hdf5
+
+    try:
+        import tables  # noqa: F401
+
+        pytest.skip("pytables installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        from_hdf5(spark, str(tmp_path / "store.h5"))
