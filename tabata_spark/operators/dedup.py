@@ -192,28 +192,47 @@ def simhash(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document, natively: explode
-    tokens, per bit sum ±1 of the token hash's bit, sign → bit.
+    tokens, count set bits per position, majority vote → bit.
+
+    Bit counts are lane-packed: 16 aggregate columns, each holding 4
+    independent 16-bit counters (bit i = g + 16j lives in accumulator
+    g, lane j) — a 4x smaller aggregation state than one sum per bit,
+    carry-safe for documents up to 65,535 tokens. The majority vote
+    ``2*count > n`` equals the classic sum-of-±1 > 0.
 
     Returns (id, simhash: bigint). Near-dup = small Hamming distance.
     """
+    assert bits == 64, "lane packing is laid out for 64-bit fingerprints"
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ", -1)).alias("tok")
     )
     h = F.xxhash64("tok")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
+    one = F.lit(1).cast("long")
+    aggs = [F.count(F.lit(1)).alias("__ntok")]
+    for g in range(16):
+        packed = sum(
+            (
+                F.shiftleft(
+                    F.shiftright(h, g + 16 * j).bitwiseAND(one), 16 * j
+                )
+                for j in range(4)
+            ),
+            F.lit(0).cast("long"),
+        )
+        aggs.append(F.sum(packed).alias(f"acc{g}"))
     sums = toks.groupBy(id_col).agg(*aggs)
     fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+    mask = F.lit((1 << 16) - 1).cast("long")
+    for g in range(16):
+        for j in range(4):
+            i = g + 16 * j
+            count_i = F.shiftright(F.col(f"acc{g}"), 16 * j).bitwiseAND(mask)
+            fp = fp.bitwiseOR(
+                F.when(
+                    count_i * 2 > F.col("__ntok"),
+                    F.shiftleft(one, i),
+                ).otherwise(F.lit(0).cast("long"))
             )
-        )
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
