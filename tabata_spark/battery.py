@@ -820,7 +820,7 @@ def w_tumbling(spark, sf_dir):
     SELECT record_id, session_id, count(*) AS n,
            round(epoch(min(ts)), 3) AS t_start_s,
            round(epoch(max(ts)), 3) AS t_end_s,
-           round(sum(value), 4) AS sum_value
+           round(sum(value ORDER BY seq), 4) AS sum_value
     FROM sess GROUP BY record_id, session_id
     """,
 )

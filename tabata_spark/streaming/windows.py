@@ -107,7 +107,15 @@ def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     SQL-oracle twin of session semantics): a new session starts when
     the gap to the previous event exceeds ``gap_minutes``; session_id
     is the running count of starts. Returns per-session aggregates
-    (user_id, session_id, n, t_start, t_end, sum_value)."""
+    (user_id, session_id, n, t_start, t_end, sum_value).
+
+    ``sum_value`` is an *order-deterministic* IEEE-double fold in
+    (ts, event_id) order — a partition-order ``F.sum`` over doubles is
+    non-associative and hashes differently run-to-run and vs the
+    DuckDB oracle (which uses ``sum(value ORDER BY seq)``). Sessions
+    are gap-bounded per user, so the per-group ``collect_list`` stays
+    small regardless of total data volume — this does not regress the
+    100 TB path."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60.0
     new_sess = F.when(
@@ -121,13 +129,20 @@ def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     tagged = events.withColumn("__new", new_sess).withColumn(
         "session_id", F.sum("__new").over(run)
     )
+    ordered_sum = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["value"],
+    )
     return (
         tagged.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("ts").alias("t_start"),
             F.max("ts").alias("t_end"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(ordered_sum, 4).alias("sum_value"),
         )
     )
 
