@@ -963,31 +963,128 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(corpus, threshold=0.5).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_lsh", None)
+def _ngram_allpairs_sql(threshold: float) -> str:
+    """DuckDB all-pairs exact n-gram Jaccard ground truth over the
+    two-snapshot corpus — the oracle for LSH-candidate + exact-verify
+    pipelines (recall must be total at ``threshold`` for hash-match,
+    which the two-snapshot construction + empirical margin guarantee:
+    the corpus has no pairs between J=0.2 and J≈0.85)."""
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_lsh", _ngram_allpairs_sql(0.8))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs on the two-snapshot corpus
-    (signatures + banding are engine-hash-specific -> rows-only
-    check; the verified subset is covered by dedup_ngram_jaccard)."""
-    from tabata_spark.operators.dedup import minhash_candidates, minhash_signatures
+    """MinHash+LSH near-dup pipeline, end-to-end VERIFIED: signatures
+    → banded candidates → exact n-gram Jaccard on candidate pairs only
+    (the candidate-bounded verifier path) → pairs with J ≥ 0.8.
+
+    Oracle = DuckDB all-pairs ground truth at the same threshold: a
+    hash-match proves the LSH tier loses no true pair on this corpus.
+    bands=16 × rows=2 puts the S-curve's miss probability at ~1e-7
+    for J=0.8 (and ~3e-12 at J=0.9, the lowest organic near-dup bin
+    in the testdata), and xxhash64 is deterministic, so the check is
+    stable run-to-run."""
+    from tabata_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
     sig = minhash_signatures(corpus, num_hashes=32)
-    return minhash_candidates(sig, bands=8, rows=4).orderBy("id_a", "id_b")
+    cand = minhash_candidates(sig, bands=16, rows=2)
+    return ngram_jaccard_pairs(corpus, threshold=0.8, candidates=cand).orderBy(
+        "id_a", "id_b"
+    )
 
 
-@register("dedup_simhash", None)
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Machine-generate the DuckDB bit-exact SimHash replica: same
+    md5-prefix 60-bit token hash, same per-bit majority vote, same
+    fingerprint layout — then all-pairs Hamming ≤ d. Matching the
+    Spark pigeonhole-block join proves both the fingerprint math and
+    the block join's total recall (Hamming ≤ 3 < 4 blocks ⇒ some
+    block agrees — a theorem, not a tuning)."""
+    counts = ",\n             ".join(
+        f"count(*) FILTER (WHERE (h >> {i}) & 1 = 1) AS c{i}" for i in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2*c{i} > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), cnt AS (
+      SELECT doc_id, count(*) AS n,
+             {counts}
+      FROM th GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, ({fp_terms})::BIGINT AS simhash FROM cnt
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash", _simhash_oracle_sql(3))
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (engine-hash-specific -> rows-only)."""
-    from tabata_spark.operators.dedup import simhash, simhash_near_pairs
+    """SimHash near-dup pairs with the engine-portable md5-prefix
+    token hash — the DuckDB oracle recomputes the identical 60-bit
+    fingerprints and does all-pairs Hamming ≤ 3, so the hash check
+    covers fingerprint math AND the pigeonhole block join end-to-end.
+    Production default stays on xxhash64 (operators/dedup.simhash)."""
+    from tabata_spark.operators.dedup import (
+        md5_token_hash,
+        simhash,
+        simhash_near_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return simhash_near_pairs(simhash(corpus), max_hamming=3).orderBy("id_a", "id_b")
+    fp = simhash(corpus, token_hash=md5_token_hash)
+    return simhash_near_pairs(fp, max_hamming=3).orderBy("id_a", "id_b")
 
 
 _LANGS = ["de", "en", "es", "fr", "zh"]

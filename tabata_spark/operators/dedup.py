@@ -26,6 +26,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame, mode: str | None) -> DataFrame:
+    """Strategy for subtrees the downstream plan consumes twice:
+
+    - ``'persist'`` (default): lazy ``.persist()`` (MEMORY_AND_DISK)
+      — AQE still sees the subtree, storage is spillable, and the
+      cache is evictable; the caller may ``unpersist()`` when done;
+    - ``'checkpoint'``: ``localCheckpoint(eager=False)`` — truncates
+      lineage but pins executor-local disk and hides the subtree from
+      AQE; only for pathologically deep lineages;
+    - ``None``/``'none'``: let Catalyst recompute (fine when the
+      subtree is a cheap scan; production pipelines that reuse
+      signatures across runs should write them as Parquet instead).
+    """
+    if mode in (None, "none"):
+        return df
+    if mode == "persist":
+        return df.persist()
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    raise ValueError(f"unknown materialize mode: {mode!r}")
+
+
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by md5(text): (text_hash, keep_id, n_dups)."""
     return (
@@ -93,6 +115,7 @@ def minhash_candidates(
     bands: int = 8,
     rows: int = 4,
     max_bucket_size: int = 100,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, self-join on
     (band_idx, band_hash) → candidate pairs (id_a < id_b).
@@ -126,9 +149,7 @@ def minhash_candidates(
             .drop("__bn")
         )
     # the self-join consumes this subtree twice — materialize once
-    # (production pipelines persist the signature table as Parquet;
-    # localCheckpoint is the in-session equivalent)
-    banded = banded.localCheckpoint(eager=False)
+    banded = _materialize(banded, materialize)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -153,28 +174,51 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs:
-    (id_a, id_b, jaccard), pairs sharing ≥1 shingle, filtered at
-    ``threshold``. With ``candidates`` given (e.g. from minhash LSH),
-    only those pairs are verified — the 100 TB path; without, the
-    shingle-equi-join generates candidates (small-scale/oracle path).
+    (id_a, id_b, jaccard), filtered at ``threshold``.
+
+    With ``candidates`` given (e.g. from minhash LSH), ONLY those
+    pairs are verified — the 100 TB path: the intersection is computed
+    by routing each candidate pair's left-doc shingles to the pair key
+    and equi-joining against the right doc's shingles on (id_b, sh).
+    Cost is linear in Σ|shingles(id_a)| over candidate pairs — no
+    self-join of the corpus shingle table ever happens, so the plan is
+    candidate-bounded regardless of corpus size. Without candidates,
+    the shingle-equi-join generates pairs sharing ≥1 shingle
+    (small-scale/oracle path; quadratic within shared-shingle groups).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
     )
+    # the plan consumes the exploded shingles three times (sizes,
+    # A-side, B-side) — materialize the explode once
+    sh = _materialize(sh, materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
         if not {"id_a", "id_b"} <= set(candidates.columns):
             raise ValueError("candidates must have columns id_a, id_b")
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "inner")
+        cand = candidates.select("id_a", "id_b")
+        a_sh = cand.join(
+            sh.select(F.col("id").alias("id_a"), "sh"), "id_a"
+        )
+        inter = (
+            a_sh.join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
@@ -188,11 +232,30 @@ def ngram_jaccard_pairs(
     return out
 
 
+def md5_token_hash(col: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — the
+    *engine-portable* hash: DuckDB computes the identical value via
+    ``('0x' || substr(md5(tok), 1, 15))::BIGINT``, which lets an
+    oracle replicate SimHash fingerprints bit-for-bit. Slower than
+    xxhash64 (md5 + string slice + base conversion), so the default
+    production path stays on xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document, natively: explode
     tokens, count set bits per position, majority vote → bit.
+
+    ``token_hash``: Column→Column producing a long hash per token;
+    defaults to ``F.xxhash64`` (fast JVM path). Pass
+    ``md5_token_hash`` for the engine-portable 60-bit variant (top 4
+    fingerprint bits then stay 0 — Hamming semantics unchanged).
 
     Bit counts are lane-packed: 16 aggregate columns, each holding 4
     independent 16-bit counters (bit i = g + 16j lives in accumulator
@@ -206,7 +269,7 @@ def simhash(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ", -1)).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = (token_hash or F.xxhash64)(F.col("tok"))
     one = F.lit(1).cast("long")
     aggs = [F.count(F.lit(1)).alias("__ntok")]
     for g in range(16):
@@ -242,50 +305,56 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     max_bucket_size: int = 200,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks``
     16-bit prefix blocks (a pair within Hamming d < blocks must agree
-    on ≥1 block) → equi-join per block → exact popcount filter.
+    on ≥1 block) → posexplode to (block_idx, block_val) rows → ONE
+    self-join on the composite key (the same shape as
+    minhash_candidates — one shuffle, not ``blocks`` unioned joins)
+    → exact popcount filter.
 
     Hot blocks beyond ``max_bucket_size`` are dropped (same quadratic
     guard as minhash_candidates)."""
     width = 64 // blocks
-    block_cols = [
-        F.shiftright(F.col("simhash"), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
-        .alias(f"blk{i}")
-        for i in range(blocks)
-    ]
-    # the per-block self-joins would recompute the fingerprint
-    # aggregation 2*blocks times — materialize it once
-    b = fp.select(id_col, "simhash", *block_cols).localCheckpoint(eager=False)
-    pieces = []
-    for i in range(blocks):
-        l, r = b.alias("a"), b.alias("b")
-        if max_bucket_size:
-            sizes = b.groupBy(f"blk{i}").agg(F.count(F.lit(1)).alias("__bn"))
-            keep = sizes.filter(F.col("__bn") <= max_bucket_size).select(f"blk{i}")
-            l = l.join(F.broadcast(keep), f"blk{i}").alias("a")
-            r = r.join(F.broadcast(keep), f"blk{i}").alias("b")
-        pieces.append(
-            l.join(
-                r,
-                (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            ).select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("ha"),
-                F.col("b.simhash").alias("hb"),
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
             )
+            for i in range(blocks)
+        ]
+    )
+    b = fp.select(id_col, "simhash", F.posexplode(block_vals).alias("blk", "bv"))
+    if max_bucket_size:
+        w = Window.partitionBy("blk", "bv")
+        b = (
+            b.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
         )
-    pairs = pieces[0]
-    for p in pieces[1:]:
-        pairs = pairs.unionByName(p)
+    # the self-join consumes the fingerprint aggregation twice —
+    # materialize it once
+    b = _materialize(b, materialize)
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        pairs.distinct()
-        .withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
