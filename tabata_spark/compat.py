@@ -165,3 +165,226 @@ def highlight(origin: Opset, extract: Opset, flag: str = "INTERVAL") -> Opset:
     out_path = origin.storename.rstrip("/") + "_E"
     SignalSet(flagged, phase=flag).save(out_path)
     return Opset(out_path, phase=flag)
+
+
+class Selector(Opset):
+    """Reference ``Selector(storename)`` facade (instants.py:161-183).
+
+    The reference keys ``selected``/``computed`` by record POSITION
+    (its opset-cursor convention); the engine keys by record name.
+    This facade translates both ways, so
+    ``sel.selected[3] = 1200`` labels the 4th record alphabetically
+    and ``sel.computed`` comes back position-keyed. The interactive
+    plotly labeling UI (instants.py:692-1058) is out of engine scope —
+    labels are assigned programmatically here."""
+
+    def __init__(
+        self,
+        storename: str,
+        phase: str | None = None,
+        pos: int = 0,
+        name: str = "",
+        spark: SparkSession | None = None,
+    ):
+        super().__init__(storename, phase=phase, pos=pos, name=name, spark=spark)
+        if self.sset is None:
+            raise FileNotFoundError(
+                f"Selector requires an existing store: {storename}"
+            )
+        from tabata_spark.ml.selector import Selector as _EngineSelector
+
+        self._engine = _EngineSelector(self.sset)
+        self.viewed: set[int] = set()
+
+    # ------------------------------------------------- pos <-> name
+
+    def _name(self, pos: int) -> str:
+        return self.records[pos % len(self.records)]
+
+    def _pos_map(self, by_name: dict[str, int]) -> dict[int, int]:
+        index = {n: i for i, n in enumerate(self.records)}
+        return {index[k]: v for k, v in by_name.items() if k in index}
+
+    # ------------------------------------------------- label surface
+
+    @property
+    def selected(self) -> dict[int, int]:
+        return _PosView(self)
+
+    @selected.setter
+    def selected(self, mapping: dict[int, int]) -> None:
+        self._engine.selected = {
+            self._name(p): int(v) for p, v in mapping.items()
+        }
+
+    @property
+    def computed(self) -> dict[int, int]:
+        return self._pos_map(self._engine.computed)
+
+    @property
+    def variables(self) -> set:
+        return self._engine.variables
+
+    @variables.setter
+    def variables(self, v) -> None:
+        self._engine.variables = set(v)
+
+    @property
+    def idcodes(self) -> list:
+        return self._engine.idcodes
+
+    # parameter dicts pass straight through (reference users mutate
+    # them in place or reassign wholesale — both must reach the engine)
+    @property
+    def learn_params(self):
+        return self._engine.learn_params
+
+    @learn_params.setter
+    def learn_params(self, d):
+        self._engine.learn_params = dict(d)
+
+    @property
+    def feature_params(self):
+        return self._engine.feature_params
+
+    @feature_params.setter
+    def feature_params(self, d):
+        self._engine.feature_params = dict(d)
+
+    @property
+    def predict_params(self):
+        return self._engine.predict_params
+
+    @predict_params.setter
+    def predict_params(self, d):
+        self._engine.predict_params = dict(d)
+
+    # ------------------------------------------------- model surface
+
+    def fit(self) -> "Selector":
+        self._engine.fit()
+        return self
+
+    def predict(self) -> dict[int, int]:
+        self._engine.predict()
+        return self.computed
+
+    def describe(self) -> str:
+        return self._engine.describe()
+
+    def score(self) -> float:
+        return self._engine.score()
+
+    def __repr__(self) -> str:
+        return (
+            f"SELECTOR {self.name or self.storename}: "
+            f"{len(self._engine.selected)} instant(s) selected over "
+            f"{len(self)} record(s), {len(self.variables)} variable(s)"
+        )
+
+
+class _PosView(dict):
+    """Position-keyed live view over the engine's name-keyed labels:
+    reads are a snapshot, writes flow through to the engine."""
+
+    def __init__(self, owner: "Selector"):
+        self._owner = owner
+        super().__init__(owner._pos_map(owner._engine.selected))
+
+    def __setitem__(self, pos: int, seq: int) -> None:
+        self._owner._engine.selected[self._owner._name(pos)] = int(seq)
+        self._owner.viewed.add(pos % len(self._owner.records))
+        super().__setitem__(pos % len(self._owner.records), int(seq))
+
+    def __delitem__(self, pos: int) -> None:
+        self._owner._engine.selected.pop(self._owner._name(pos), None)
+        super().__delitem__(pos % len(self._owner.records))
+
+
+class Tube(Opset):
+    """Reference ``Tube(storename)`` facade (tubes.py:151-167):
+    storename constructor, ``variables``/``factors`` sets, cursor
+    ``estimate(colname)`` returning (z, zmin, zmax) arrays for the
+    current record, pandas ``scores()``."""
+
+    def __init__(
+        self,
+        storename: str,
+        phase: str | None = None,
+        pos: int = 0,
+        name: str = "",
+        spark: SparkSession | None = None,
+    ):
+        super().__init__(storename, phase=phase, pos=pos, name=name, spark=spark)
+        if self.sset is None:
+            raise FileNotFoundError(f"Tube requires an existing store: {storename}")
+        from tabata_spark.ml.tube import Tube as _EngineTube
+
+        self._engine = _EngineTube(self.sset)
+
+    @property
+    def variables(self) -> set:
+        return self._engine.variables
+
+    @variables.setter
+    def variables(self, v) -> None:
+        self._engine.variables = set(v)
+
+    @property
+    def factors(self) -> set:
+        return self._engine.factors
+
+    @factors.setter
+    def factors(self, v) -> None:
+        self._engine.factors = set(v)
+
+    @property
+    def learn_params(self):
+        return self._engine.learn_params
+
+    @learn_params.setter
+    def learn_params(self, d):
+        self._engine.learn_params = dict(d)
+
+    @property
+    def tube_params(self):
+        return self._engine.tube_params
+
+    @tube_params.setter
+    def tube_params(self, d):
+        self._engine.tube_params = dict(d)
+
+    def fit(self) -> "Tube":
+        self._engine.fit()
+        return self
+
+    def describe(self) -> dict:
+        return self._engine.describe()
+
+    def estimate(self, colname: str | None = None):
+        """(z, zmin, zmax) numpy arrays for the CURRENT record in seq
+        order — the reference's cursor-shaped estimate surface
+        (tubes.py:306-356), computed distributed then pulled for the
+        one record on display."""
+        target = get_colname(self.sset.channels, colname) if colname else self.colname
+        rec = self.records[self.sigpos]
+        est = self._engine.estimate_frame(
+            target, self.sset.df.filter(self.sset.df.record_id == rec)
+        )
+        pdf = est.orderBy("seq").select("z", "zmin", "zmax").toPandas()
+        return (
+            pdf["z"].to_numpy(),
+            pdf["zmin"].to_numpy(),
+            pdf["zmax"].to_numpy(),
+        )
+
+    def scores(self):
+        """Per-record out-of-tube counts as a pandas frame
+        (tubes.py:392-406)."""
+        return self._engine.scores().toPandas().set_index("record_id")
+
+    def __repr__(self) -> str:
+        return (
+            f"TUBE {self.name or self.storename}: {len(self)} record(s), "
+            f"{len(self.variables)} target(s), {len(self.factors)} factor(s)"
+        )

@@ -238,9 +238,13 @@ class SignalSet:
             existing = set(self.df.columns)
             for c in existing - set(new.columns):
                 new = new.withColumn(c, F.lit(None).cast(self.df.schema[c].dataType))
-            new.select(*self.df.columns).write.partitionBy("record_id").mode(
-                "overwrite"
-            ).parquet(self.path)  # dynamic partitionOverwriteMode: only this record
+            # per-write option (not session conf): with Spark's default
+            # STATIC overwrite mode a plain overwrite would delete every
+            # OTHER record's partition — pinning dynamic here makes put()
+            # safe under any user-supplied SparkSession
+            new.select(*self.df.columns).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("record_id").mode("overwrite").parquet(self.path)
             out = SignalSet.load(spark, self.path, phase=self.phase)
         else:
             kept = self.df.filter(F.col("record_id") != name)

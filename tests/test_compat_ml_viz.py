@@ -65,6 +65,71 @@ def test_compat_highlight(tmp_path, spark, flights):
     assert len(pdf) == len(ds[0])
 
 
+def test_compat_selector_storename(tmp_path, spark, sset, flights):
+    """Selector(storename): position-keyed labels translate to the
+    engine's name-keyed dict, fit/predict work end-to-end."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.compat import Selector
+    from tabata_spark.operators.flight import with_cruise_flag
+
+    store = str(tmp_path / "sel_store")
+    sset.save(store)
+    sel = Selector(store, spark=spark)
+    assert sel.records == sset.records
+    sel.variables = {"ALT[m]"}
+    truth = {
+        r["record_id"]: r["i"]
+        for r in with_cruise_flag(sset.df)
+        .filter(F.col("CR"))
+        .groupBy("record_id")
+        .agg(F.min("seq").alias("i"))
+        .collect()
+    }
+    for i in range(3):
+        sel.selected[i] = int(truth[sel.records[i]])
+    # position keys translated to names for the engine
+    assert sel._engine.selected == {
+        sel.records[i]: int(truth[sel.records[i]]) for i in range(3)
+    }
+    assert sel.selected == {i: int(truth[sel.records[i]]) for i in range(3)}
+    assert sel.viewed == {0, 1, 2}
+    sel.feature_params = dict(
+        range_width=range(10, 51, 20), range_sigma=[5, 15], max_order=2
+    )
+    sel.learn_params = dict(
+        retry_number=3, retry_percentile=80, samples_percent=0.05,
+        min_samples_split=0.05,
+    )
+    sel.predict_params = dict(filter_width=30)
+    computed = sel.fit().predict()
+    assert set(computed) == set(range(len(sset.records)))  # position-keyed
+    assert "tree" in sel.describe().lower() or len(sel.idcodes) > 0
+
+
+def test_compat_tube_storename(tmp_path, spark, sset):
+    """Tube(storename): cursor estimate() returns per-record bound
+    arrays; scores() is a pandas frame indexed by record."""
+    from tabata_spark.compat import Tube
+
+    store = str(tmp_path / "tube_store")
+    sset.save(store)
+    tube = Tube(store, spark=spark)
+    tube.variables = {"ALT[m]"}
+    tube.factors = {"ALT[m]", "Tisa[K]", "TAS[m/s]"}
+    tube.learn_params = dict(
+        retry_number=3, keep_best_number=2, samples_percent=0.05, max_features=3
+    )
+    tube.fit()
+    z, zmin, zmax = tube.rewind(1).estimate("ALT")
+    n = len(sset.to_pandas_record(sset.records[1]))
+    assert len(z) == n
+    assert (zmin <= zmax).all()
+    scr = tube.scores()
+    assert list(scr.index) == sset.records
+    assert "score_ALT[m]" in scr.columns
+
+
 # ---------------------------------------------------------------- PCA
 
 

@@ -83,3 +83,25 @@ def test_put_roundtrip_parquet(tmp_path, sset, flights):
     out = stored.put(newdf, record=sset.records[1])
     assert out.record(sset.records[1]).count() == 30
     assert len(out) == len(sset)
+
+
+def test_put_preserves_other_partitions_under_static_conf(tmp_path, sset, flights):
+    """put() must not depend on the session's partitionOverwriteMode:
+    under Spark's default STATIC mode a naive overwrite would wipe
+    every other record's partition."""
+    spark = sset.df.sparkSession
+    path = str(tmp_path / "sset_static")
+    stored = sset.save(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        out = stored.put(flights[sset.records[1]].head(30), record=sset.records[1])
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert out.records == sset.records  # no partition lost
+    assert out.record(sset.records[1]).count() == 30
+    assert out.record(sset.records[0]).count() == sset.record(sset.records[0]).count()
