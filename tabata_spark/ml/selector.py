@@ -409,25 +409,35 @@ class Selector:
         z = F.sum(pc).over(w_rec)
         return p.withColumn("p", pc / F.when(z == 0.0, F.lit(1.0)).otherwise(z))
 
-    def predict(self, df: DataFrame | None = None) -> dict[str, int]:
-        """Predicted instant per record: belief argmax (instants.py:
-        546-547,552-580). One aggregation with ``max_by`` on
-        (p, -seq) — ties resolve to the first row like np.argmax."""
-        bf = self.belief_frame(df)
-        rows = (
-            bf.groupBy("record_id")
-            .agg(F.expr("max_by(seq, struct(p, -seq))").alias("instant"))
-            .collect()
+    def predict_df(self, df: DataFrame | None = None) -> DataFrame:
+        """Predicted instant per record as a DataFrame — the
+        COLLECT-FREE path (instants.py:546-547,552-580): one
+        aggregation with ``max_by`` on (p, -seq), ties resolving to
+        the first row like np.argmax. At scale this is what the
+        derived-set slicers consume; nothing crosses the driver."""
+        return self.belief_frame(df).groupBy("record_id").agg(
+            F.expr("max_by(seq, struct(p, -seq))").alias("seq")
         )
-        out = {r["record_id"]: int(r["instant"]) for r in rows}
+
+    def predict(self, df: DataFrame | None = None) -> dict[str, int]:
+        """Dict form of :meth:`predict_df` (the reference's in-memory
+        ``computed`` surface) — collects ONE row per record; use
+        predict_df() when the result feeds another frame."""
+        rows = self.predict_df(df).collect()
+        out = {r["record_id"]: int(r["seq"]) for r in rows}
         if df is None:
             self.computed = out
         return out
 
     def computed_df(self) -> DataFrame:
-        if not self.computed:
-            self.predict()
-        return self._instants_df(self.computed).withColumnRenamed("instant", "seq")
+        """Instants frame for the slicers: collect-free unless a
+        driver-side ``computed`` dict already exists (then it is the
+        source of truth — e.g. loaded from persistence)."""
+        if self.computed:
+            return self._instants_df(self.computed).withColumnRenamed(
+                "instant", "seq"
+            )
+        return self.predict_df()
 
     # ------------------------------------------------------------- slicing
 

@@ -222,7 +222,7 @@ def savgol_native(
     edge_maps = (
         heads.join(tails, "record_id")
         .join(counts, "record_id")
-        .filter(F.col("__n") >= width)  # short records: no edge map
+        .filter(F.col("__n") >= width)
         .select(
             "record_id",
             F.col("__n").alias("__n"),
@@ -230,13 +230,110 @@ def savgol_native(
         )
     )
 
-    joined = df.join(F.broadcast(edge_maps), "record_id", "left")
+    # Records SHORTER than ``width`` degrade to a single global
+    # polynomial fit of degree min(polyorder, n-1) — numpy-oracle
+    # semantics (savgol_filter_np). The fit is computed NATIVELY from
+    # Gram-polynomial moments (closed-form normal equations on the
+    # integer grid), so the whole plan stays JVM-side: four weighted
+    # moments per short record, then a per-seq fitted-value map,
+    # merged into the same broadcast edge map. Supported for
+    # polyorder ≤ 3 (every reference/repo use); higher orders keep
+    # the old behavior (short records → null).
+    short_maps = None
+    if polyorder <= 3:
+        short_maps = _short_global_fit_maps(src, counts, width, polyorder, deriv, delta)
+
+    side = edge_maps if short_maps is None else edge_maps.unionByName(short_maps)
+    joined = df.join(F.broadcast(side), "record_id", "left")
     # try_element_at: missing key -> null (ANSI element_at would throw)
     edge_val = F.try_element_at(F.col("__emap"), F.col("seq"))
-    expr = F.when(
-        F.col("__n").isNotNull(), F.coalesce(edge_val, interior)
-    )  # __n null <=> record shorter than width -> null column
+    expr = F.when(F.col("__n").isNotNull(), F.coalesce(edge_val, interior))
     return joined.withColumn(out, expr).drop("__emap", "__n")
+
+
+def _short_global_fit_maps(
+    src: DataFrame, counts: DataFrame, width: int, polyorder: int, deriv: int, delta: float
+) -> DataFrame:
+    """Per-record {seq -> value} maps for records with n < width: the
+    single least-squares polynomial fit of degree min(polyorder, n-1),
+    derived in closed form.
+
+    On the integer grid 0..n-1 the discrete orthogonal (Gram) basis is
+    φ0 = 1, φ1 = c (centered x), φ2 = c² − m2, φ3 = c³ − αc with
+    m2 = (n²−1)/12, α = Σc⁴/Σc², and the power sums Σc², Σc⁴, Σc⁶
+    are Faulhaber closed forms in n — so each fit coefficient is a
+    ratio of two aggregate expressions and the whole computation is
+    plain Column algebra over an O(records·width) side frame."""
+    y = F.col("__y")
+    s = F.col("seq").cast("double")
+    moments = [F.sum(y * F.pow(s, j)).alias(f"__t{j}") for j in range(polyorder + 1)]
+    agg = (
+        src.join(
+            F.broadcast(counts.filter(F.col("__n") < width).select("record_id")),
+            "record_id",
+        )
+        .groupBy("record_id")
+        .agg(F.count(F.lit(1)).alias("__n"), *moments)
+    )
+
+    n = F.col("__n").cast("double")
+    xbar = (n - F.lit(1.0)) / F.lit(2.0)
+    m2 = (n * n - 1) / F.lit(12.0)
+    sc2 = n * (n * n - 1) / F.lit(12.0)
+    sc4 = n * (n * n - 1) * (F.lit(3.0) * n * n - 7) / F.lit(240.0)
+    sc6 = (
+        n
+        * (n * n - 1)
+        * (F.lit(3.0) * F.pow(n, 4) - F.lit(18.0) * n * n + 31)
+        / F.lit(1344.0)
+    )
+    alpha = F.when(F.col("__n") > 1, sc4 / sc2).otherwise(F.lit(0.0))
+
+    t = [F.col(f"__t{j}") if j <= polyorder else F.lit(0.0) for j in range(4)]
+    c1y = t[1] - xbar * t[0]
+    phi2y = t[2] - 2 * xbar * t[1] + xbar * xbar * t[0] - m2 * t[0]
+    phi3y = (
+        t[3]
+        - 3 * xbar * t[2]
+        + 3 * xbar * xbar * t[1]
+        - F.pow(xbar, 3) * t[0]
+        - alpha * c1y
+    )
+
+    zero = F.lit(0.0)
+    a0 = t[0] / n
+    a1 = F.when(F.col("__n") > 1, c1y / sc2).otherwise(zero) if polyorder >= 1 else zero
+    a2 = (
+        F.when(F.col("__n") > 2, phi2y / (sc4 - n * m2 * m2)).otherwise(zero)
+        if polyorder >= 2
+        else zero
+    )
+    a3 = (
+        F.when(F.col("__n") > 3, phi3y / (sc6 - sc4 * sc4 / sc2)).otherwise(zero)
+        if polyorder >= 3
+        else zero
+    )
+
+    def fitted(p):
+        c = p.cast("double") - xbar
+        if deriv == 0:
+            v = a0 + a1 * c + a2 * (c * c - m2) + a3 * (F.pow(c, 3) - alpha * c)
+        elif deriv == 1:
+            v = a1 + 2 * a2 * c + a3 * (F.lit(3.0) * c * c - alpha)
+        elif deriv == 2:
+            v = 2 * a2 + F.lit(6.0) * a3 * c
+        elif deriv == 3:
+            v = F.lit(6.0) * a3
+        else:  # deriv > polyorder of the global fit -> 0
+            v = zero
+        return v / F.lit(float(delta) ** deriv)
+
+    seq_arr = F.sequence(F.lit(0).cast("long"), (F.col("__n") - 1).cast("long"))
+    return agg.select(
+        "record_id",
+        "__n",
+        F.map_from_arrays(seq_arr, F.transform(seq_arr, fitted)).alias("__emap"),
+    )
 
 
 # ----------------------------------------------------------- applyInPandas

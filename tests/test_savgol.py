@@ -73,11 +73,12 @@ def test_native_matches_np(sset, flights, width, order, deriv):
             .to_numpy()
         )
         y = flights[name]["ALT[m]"].to_numpy()
-        if len(y) >= width:
-            want = savgol_filter_np(y, width, order, deriv)
-            np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
-        else:
-            assert np.isnan(got.astype(float)).all() or (got == None).all()  # noqa: E711
+        # short records (n < width) degrade to the same global
+        # polynomial fit as the numpy oracle — no nulls anywhere
+        want = savgol_filter_np(y, width, order, deriv)
+        np.testing.assert_allclose(
+            got.astype(float), want, rtol=1e-9, atol=1e-9
+        )
 
 
 def test_apply_matches_np(sset, flights):
