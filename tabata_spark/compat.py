@@ -150,6 +150,32 @@ class Opset:
         self.sigpos = 0
         return self
 
+    # ---------------------------------------------------------- figures
+
+    def plot(self, phase: str | None = None, pos: int | None = None,
+             name: str | None = None):
+        """The reference's plot() (opset.py:412-441): current record's
+        channel with phase overlay, as a FigureSpec (``.show()`` with
+        plotly/matplotlib installed)."""
+        from tabata_spark.plots import record_figure
+
+        if pos is not None:
+            self.sigpos = pos % max(len(self.records), 1)
+        if name is not None:
+            self.colname = get_colname(self.sset.channels, name)
+        return record_figure(
+            self.sset, self.colname, self.sigpos, phase=phase or self.phase
+        )
+
+    def browse(self, *_, **__):
+        """The reference's interactive ipywidgets browser
+        (opset.py:264-410) needs a live notebook; iterate records with
+        ``plot(pos=i)`` instead."""
+        raise NotImplementedError(
+            "browse() is the reference's ipywidgets UI; use plot(pos=i) "
+            "and FigureSpec.show() per record"
+        )
+
     def __repr__(self) -> str:
         return (
             f"OPSET {self.name or self.storename}: {len(self)} record(s), "
@@ -275,6 +301,15 @@ class Selector(Opset):
     def score(self) -> float:
         return self._engine.score()
 
+    def plot(self, pos: int | None = None, name: str | None = None):
+        """Signal + belief panel + computed-instant line (reference
+        instants.py:946-980), as a FigureSpec."""
+        from tabata_spark.plots import instants_figure
+
+        if pos is not None:
+            self.sigpos = pos % max(len(self.records), 1)
+        return instants_figure(self._engine, self.sigpos, name)
+
     def __repr__(self) -> str:
         return (
             f"SELECTOR {self.name or self.storename}: "
@@ -382,6 +417,22 @@ class Tube(Opset):
         """Per-record out-of-tube counts as a pandas frame
         (tubes.py:392-406)."""
         return self._engine.scores().toPandas().set_index("record_id")
+
+    def plot(self, pos: int | None = None, name: str | None = None):
+        """Signal + tube envelope for the current record (reference
+        tubes.py:651-683), as a FigureSpec."""
+        from tabata_spark.plots import tube_figure
+
+        if pos is not None:
+            self.sigpos = pos % max(len(self.records), 1)
+        target = get_colname(self.sset.channels, name) if name else self.colname
+        return tube_figure(self._engine, target, self.sigpos)
+
+    def plot_scores(self):
+        """Stacked out-of-tube proportion bars (tubes.py:409-421)."""
+        from tabata_spark.plots import scores_figure
+
+        return scores_figure(self._engine)
 
     def __repr__(self) -> str:
         return (

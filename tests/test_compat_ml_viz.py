@@ -65,6 +65,24 @@ def test_compat_highlight(tmp_path, spark, flights):
     assert len(pdf) == len(ds[0])
 
 
+def test_compat_opset_plot_and_browse(tmp_path, spark, flights):
+    from tabata_spark.compat import Opset
+    from tabata_spark.plots import FigureSpec
+
+    store = str(tmp_path / "plot_store")
+    ds = Opset(store, spark=spark)
+    names = sorted(flights)[:2]
+    for n in names:
+        ds.put(flights[n], record=n)
+    spec = ds.plot(pos=0, name="ALT")
+    assert isinstance(spec, FigureSpec)
+    assert spec.traces[0].name == "value"
+    assert spec.yaxis_title == "m"
+    assert ds.sigpos == 0 and ds.colname == "ALT[m]"
+    with pytest.raises(NotImplementedError):
+        ds.browse()
+
+
 def test_compat_selector_storename(tmp_path, spark, sset, flights):
     """Selector(storename): position-keyed labels translate to the
     engine's name-keyed dict, fit/predict work end-to-end."""
