@@ -3,10 +3,19 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side machinery — schema, partition-friendly batch
 shapes, Arrow-batched ``mapInPandas`` UDF signatures — is real and
-tested; the actual codec step is STUBBED (this container ships no
-image/audio libraries): ``decode_stub`` produces deterministic fake
-features derived from the bytes, and ``decode_real`` raises
-``NotImplementedError`` with the integration point documented.
+tested, and so is the decode step for the formats a stdlib+numpy
+container can genuinely handle:
+
+- PNG (8-bit gray/RGB/RGBA, non-interlaced): zlib inflate + full
+  scanline filter reconstruction (Sub/Up/Average/Paeth);
+- BMP (24-bit uncompressed): header parse + bottom-up row unpadding;
+- WAV (PCM 8/16-bit): stdlib ``wave`` + numpy, with FFT spectral
+  features.
+
+Other formats (JPEG, …) route through PIL when installed
+(import-gated); otherwise ``decode_real`` raises with the format
+named. ``decode_stub`` remains the engine-portable deterministic
+fallback used by the oracle-checked battery query.
 
 Batch shape matters at 100 TB: ``mapInPandas`` streams Arrow batches
 (bounded by spark.sql.execution.arrow.maxRecordsPerBatch), so a
@@ -16,11 +25,23 @@ whole partition.
 
 from __future__ import annotations
 
+import io
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # pragma: no cover - optional fast path for JPEG etc.
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 #: Typed metadata for a media blob.
 MEDIA_META = T.StructType(
@@ -58,15 +79,214 @@ def as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
 
 
-def decode_real(blob: bytes, meta) -> list[float]:
-    """Integration point for a real codec (PIL/libav/torchaudio).
+# ------------------------------------------------------------ codecs
 
-    Not available in this environment — the Spark-side plumbing is
-    exercised through :func:`decode_stub` instead."""
+
+def _png_decode(blob: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA) to an
+    (h, w, channels) uint8 array — pure stdlib (zlib) + numpy, full
+    filter reconstruction per the PNG spec §9 (None/Sub/Up/Average/
+    Paeth)."""
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError("only 8-bit non-interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color}")
+            meta = (w, h, channels)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for row in range(h):
+        off = row * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).copy()
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[row] = line
+        prev = out[row]
+    return out.reshape(h, w, ch)
+
+
+def _bmp_decode(blob: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to (h, w, 3) uint8 (RGB)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    w, h = struct.unpack("<ii", blob[18:26])
+    (bpp,) = struct.unpack("<H", blob[28:30])
+    (comp,) = struct.unpack("<I", blob[30:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * row_size
+        row = np.frombuffer(blob[off : off + w * 3], dtype=np.uint8).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR -> RGB
+    arr = np.stack(rows)
+    return arr[::-1] if flip else arr  # bottom-up storage
+
+
+def _wav_decode(blob: bytes) -> tuple[int, np.ndarray]:
+    """Decode PCM WAV to (sample_rate, samples[n, channels] float in
+    [-1, 1]) — stdlib ``wave``."""
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as f:
+        sr = f.getframerate()
+        nch = f.getnchannels()
+        sw = f.getsampwidth()
+        data = f.readframes(f.getnframes())
+    if sw == 2:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    return sr, x.reshape(-1, nch)
+
+
+def sniff_mime(blob: bytes) -> str:
+    """Magic-byte format sniffing for the supported containers."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if blob[:2] == b"BM":
+        return "image/bmp"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "audio/wav"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    return "application/octet-stream"
+
+
+def _resample_box(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Box-average resample of (h, w, ch) to (grid, grid, ch) — the
+    'resize' step, done with pure numpy index binning so any h×w maps
+    deterministically onto the fixed grid."""
+    h, w, _ = img.shape
+    ys = np.minimum((np.arange(h) * grid) // max(h, 1), grid - 1)
+    xs = np.minimum((np.arange(w) * grid) // max(w, 1), grid - 1)
+    out = np.zeros((grid, grid, img.shape[2]), dtype=np.float64)
+    cnt = np.zeros((grid, grid, 1), dtype=np.float64)
+    np.add.at(out, (ys[:, None], xs[None, :]), img.astype(np.float64))
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    return out / np.maximum(cnt, 1.0)
+
+
+def image_features(img: np.ndarray, dim: int = 8) -> list[float]:
+    """Deterministic image features: per-channel mean + gray std +
+    2×2 box-resampled gray grid, truncated/padded to ``dim``."""
+    f = img.astype(np.float64) / 255.0
+    gray = f.mean(axis=2)
+    grid = _resample_box(img, 2).mean(axis=2).ravel() / 255.0
+    feats = [
+        float(f[..., c].mean()) if c < f.shape[2] else 0.0 for c in range(3)
+    ] + [float(gray.std())] + [float(v) for v in grid]
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [round(v, 6) for v in feats]
+
+
+def audio_features(sr: int, x: np.ndarray, dim: int = 8) -> list[float]:
+    """Deterministic audio features: duration, RMS, zero-crossing
+    rate, dominant frequency (rFFT) and band energies."""
+    mono = x.mean(axis=1)
+    n = len(mono)
+    dur = n / float(sr) if sr else 0.0
+    rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    dom = 0.0
+    bands = [0.0, 0.0, 0.0]
+    if n > 3:
+        spec = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+        dom = float(freqs[int(np.argmax(spec[1:])) + 1]) / (sr / 2.0)
+        thirds = np.array_split(spec[1:], 3)
+        tot = sum(float((t**2).sum()) for t in thirds) or 1.0
+        bands = [float((t**2).sum()) / tot for t in thirds]
+    feats = [dur, rms, zcr, dom, *bands, float(x.shape[1])]
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [round(v, 6) for v in feats]
+
+
+def decode_real(blob: bytes, dim: int = 8) -> list[float]:
+    """REAL decode → fixed-width feature vector for the stdlib-decodable
+    formats (PNG / BMP / WAV); other image formats fall back to PIL
+    when installed, else raise naming the format."""
+    blob = bytes(blob)
+    mime = sniff_mime(blob)
+    if mime == "image/png":
+        return image_features(_png_decode(blob), dim)
+    if mime == "image/bmp":
+        return image_features(_bmp_decode(blob), dim)
+    if mime == "audio/wav":
+        return audio_features(*_wav_decode(blob), dim)
+    if HAS_PIL:  # pragma: no cover - PIL not in this container
+        img = np.asarray(_PILImage.open(io.BytesIO(blob)).convert("RGB"))
+        return image_features(img, dim)
     raise NotImplementedError(
-        "media codecs are not installed in this environment; plug a real "
-        "decoder in here and extract_features(use_stub=False) will use it"
+        f"no decoder for {mime}: install PIL for general images, or pass "
+        "PNG/BMP/WAV which decode natively"
     )
+
+
+def probe_meta(blob: bytes):
+    """Header-only metadata probe (mime, width, height, n_frames) —
+    no full decode; cheap enough to run over the whole corpus."""
+    blob = bytes(blob)
+    mime = sniff_mime(blob)
+    width = height = n_frames = None
+    try:
+        if mime == "image/png":
+            width, height = struct.unpack(">II", blob[16:24])
+        elif mime == "image/bmp":
+            width, height = struct.unpack("<ii", blob[18:26])
+            height = abs(height)
+        elif mime == "audio/wav":
+            import wave
+
+            with wave.open(io.BytesIO(blob), "rb") as f:
+                n_frames = f.getnframes()
+    except Exception:
+        pass
+    return mime, width, height, n_frames
 
 
 def decode_stub(blob: bytes, dim: int = 8) -> list[float]:
@@ -112,6 +332,22 @@ def extract_features(
             )
 
     return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def with_probed_meta(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Replace the metadata struct with header-probed values (mime,
+    dimensions, frame count) — an Arrow-vectorized pandas UDF; only
+    headers are parsed, never full decodes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def probe(blobs):
+        rows = [probe_meta(b) for b in blobs]
+        return pd.DataFrame(rows, columns=["mime", "width", "height", "n_frames"])
+
+    probe.__annotations__ = {"blobs": pd.Series, "return": pd.DataFrame}
+    probe_udf = pandas_udf(probe, MEDIA_META)
+    return media.withColumn("meta", probe_udf(F.col(blob_col)))
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

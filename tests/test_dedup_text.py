@@ -168,8 +168,9 @@ def test_multimodal_stub_pipeline(spark):
     assert feats[0]["content_hash"] == hashlib.md5(b"hello world").hexdigest()
 
 
-def test_decode_real_raises(spark):
-    from tabata_spark.operators.multimodal import decode_real
+def test_decode_real_unsupported_raises(spark):
+    from tabata_spark.operators.multimodal import HAS_PIL, decode_real
 
-    with pytest.raises(NotImplementedError):
-        decode_real(b"x", None)
+    if not HAS_PIL:  # raw bytes: no native codec, no PIL fallback
+        with pytest.raises(NotImplementedError):
+            decode_real(b"not a media container")
