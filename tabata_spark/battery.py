@@ -1011,21 +1011,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     for J=0.8 (and ~3e-12 at J=0.9, the lowest organic near-dup bin
     in the testdata), and xxhash64 is deterministic, so the check is
     stable run-to-run."""
-    from tabata_spark.operators.dedup import (
-        minhash_candidates,
-        minhash_signatures,
-        ngram_jaccard_pairs,
-    )
+    from tabata_spark.operators.dedup import near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    sig = minhash_signatures(corpus, num_hashes=32)
-    cand = minhash_candidates(sig, bands=16, rows=2)
-    return ngram_jaccard_pairs(corpus, threshold=0.8, candidates=cand).orderBy(
-        "id_a", "id_b"
-    )
+    return near_dup_pairs(
+        corpus, num_hashes=32, bands=16, rows=2, threshold=0.8
+    ).orderBy("id_a", "id_b")
 
 
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:

@@ -92,6 +92,15 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode(token_shingles(F.col(text), shingle_n)).alias("sh")
     )
+    return minhash_signatures_from_shingles(sh, id_col=id_col, num_hashes=num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Signature aggregation over an existing exploded shingle frame
+    (columns: ``id_col``, ``sh``) — lets a fused pipeline share ONE
+    shingle explode between signatures and the exact verifier."""
     # Carter-Wegman: k hashes derived from two base hashes,
     # (h1 + i*h2) mod P — 2 string hashes per shingle instead of k;
     # arithmetic kept in a 31-bit prime field so ANSI mode (Spark 4
@@ -175,6 +184,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     materialize: str | None = "persist",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs:
     (id_a, id_b, jaccard), filtered at ``threshold``.
@@ -189,13 +199,16 @@ def ngram_jaccard_pairs(
     the shingle-equi-join generates pairs sharing ≥1 shingle
     (small-scale/oracle path; quadratic within shared-shingle groups).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
-    )
-    # the plan consumes the exploded shingles three times (sizes,
-    # A-side, B-side) — materialize the explode once
-    sh = _materialize(sh, materialize)
+    if shingles is not None:
+        sh = shingles  # pre-materialized by the caller (fused pipeline)
+    else:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+        )
+        # the plan consumes the exploded shingles three times (sizes,
+        # A-side, B-side) — materialize the explode once
+        sh = _materialize(sh, materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         if not {"id_a", "id_b"} <= set(candidates.columns):
@@ -240,6 +253,53 @@ def md5_token_hash(col: Column) -> Column:
     xxhash64 (md5 + string slice + base conversion), so the default
     production path stays on xxhash64."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+    max_bucket_size: int = 100,
+    materialize: str | None = "persist",
+) -> DataFrame:
+    """The fused MinHash near-dup pipeline: ONE shingle explode feeds
+    both the signature aggregation and the exact-Jaccard verifier
+    (the corpus text is scanned once, the shingle frame materialized
+    once), then signatures → banded LSH candidates → verified pairs
+    (id_a, id_b, jaccard ≥ threshold).
+
+    This is the 100 TB entry point: cost = one corpus scan + one
+    shingle shuffle + the candidate-bounded verify join."""
+    sh = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+        ),
+        materialize,
+    )
+    sig = minhash_signatures_from_shingles(sh, id_col="id", num_hashes=num_hashes)
+    cand = minhash_candidates(
+        sig,
+        id_col="id",
+        bands=bands,
+        rows=rows,
+        max_bucket_size=max_bucket_size,
+        materialize=materialize,
+    ).select(F.col("id_a"), F.col("id_b"))
+    return ngram_jaccard_pairs(
+        df,
+        text=text,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        candidates=cand,
+        shingles=sh,
+    )
 
 
 def simhash(
