@@ -44,6 +44,7 @@ HEADLINE = [
     "multimodal_features",
     "sim_topk_cosine",
     "sim_lsh_ann",
+    "sim_ivf_ann",
 ]
 
 

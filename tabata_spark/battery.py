@@ -1221,6 +1221,43 @@ def sim_lsh_ann(spark, sf_dir):
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, planes, k=10, multiprobe=2)
 
 
+@register(
+    "sim_ivf_ann",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 4)
+             AS cosine
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_ann(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer → probe nearest cells →
+    exact cosine within). Run here with nprobe = all cells, which is
+    PROVABLY identical to exact brute force whatever the centroids —
+    so the DuckDB brute-force oracle checks the full IVF plumbing
+    (assignment, probing, ranking). The scale setting (small nprobe +
+    a cell-partitioned stored index) is covered by targeted tests."""
+    from tabata_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    # nprobe=all makes the result centroid-independent, so the fit can
+    # be cheap: 20% sample, 2 Lloyd iterations
+    cents = kmeans_centroids(
+        emb, n_centroids=8, seed=42, max_iter=2, sample_fraction=0.2
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, cents, k=10, nprobe=len(cents)
+    )
+
+
 def _sim_lsh_oracle() -> str:
     """Self-contained oracle: computes the query vector's bucket in
     SQL (no driver-side lookup needed) from the same plane literals."""

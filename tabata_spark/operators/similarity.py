@@ -115,6 +115,95 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids via MLlib KMeans (seeded). Train on
+    a sample at scale — the model is O(n_centroids · dim) and lives on
+    the driver like any literal."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction:
+        data = data.sample(sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _l2sq_lit(vec_col: Column, c: list[float]) -> Column:
+    clit = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, clit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF cell assignment: argmin squared-L2 over the centroid list,
+    as one JVM expression (array of (dist, idx) structs → array_min's
+    lexicographic struct order gives the nearest centroid, ties to the
+    lowest index). Adds ``ivf_cell``.
+
+    At 100 TB the assigned table is written
+    ``partitionBy('ivf_cell')`` so a probe reads only nprobe
+    partitions — partition pruning does the index lookup."""
+    dists = F.array(
+        *[
+            F.struct(
+                _l2sq_lit(F.col(vec_col), c).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("ivf_cell", F.array_min(dists)["i"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assigned: bool = False,
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids by distance to the query on the
+    driver (tiny), probe the ``nprobe`` nearest cells, exact cosine
+    within. ``nprobe = len(centroids)`` degrades to exact brute force
+    — the oracle-checkable setting; small nprobe is the scale path.
+    ``assigned=True`` skips re-assignment when ``df`` already carries
+    ``ivf_cell`` (the stored-index case)."""
+    qv = np.asarray(query, dtype=float)
+    order = np.argsort(
+        [float(((qv - np.asarray(c)) ** 2).sum()) for c in centroids], kind="stable"
+    )
+    cells = [int(i) for i in order[: max(1, min(nprobe, len(centroids)))]]
+    indexed = df if assigned else ivf_assign(df, centroids, vec_col)
+    return (
+        indexed.filter(F.col("ivf_cell").isin(cells))
+        .select(
+            id_col,
+            F.round(cosine_to_query(F.col(vec_col), query), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

@@ -148,6 +148,42 @@ def test_similarity_bruteforce_vs_lsh(spark):
     assert ann[0]["vec_id"] == 7  # nearest neighbor lands in the probed buckets
 
 
+def test_ivf_ann_probes_right_cell(spark):
+    """IVF with a small nprobe finds the neighbor that lives in the
+    query's cell; nprobe=all equals brute force exactly."""
+    from tabata_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(2)
+    # three well-separated clusters
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0, -10.0] * 4])
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 8)) for c in centers]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, n_centroids=3, seed=7, max_iter=10)
+    query = [float(x) for x in vecs[5] + 0.01]
+
+    # nprobe=1: scans ~1/3 of the data, still finds the true neighbor
+    assigned = ivf_assign(df, cents)
+    cell_counts = assigned.groupBy("ivf_cell").count().collect()
+    assert len(cell_counts) == 3 and all(r["count"] == 50 for r in cell_counts)
+    ann = ivf_topk(assigned, query, cents, k=3, nprobe=1, assigned=True).collect()
+    assert ann[0]["vec_id"] == 5
+
+    # nprobe=all == exact brute force, row for row
+    full = ivf_topk(df, query, cents, k=10, nprobe=3).collect()
+    exact = brute_force_topk(df, query, k=10).select("vec_id", "cosine").collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+
 def test_multimodal_stub_pipeline(spark):
     from tabata_spark.operators.multimodal import as_media, decode_stub, extract_features
 
