@@ -99,3 +99,79 @@ def test_stateful_out_of_tube_matches_batch(spark, sf_dir, events):
         .collect()
     }
     assert final == want
+
+
+# -------------------------------------------------------- stream dedup
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    """A small doc corpus with every text duplicated twice at
+    different event times, written as parquet for file-streaming."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        for copy in range(2):
+            rows.append(
+                (
+                    i * 2 + copy,
+                    f"document body number {i}",
+                    base + dt.timedelta(minutes=5 * i + copy),
+                )
+            )
+    path = str(tmp_path_factory.mktemp("docstream"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _read_doc_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_stream_exact_dedup_matches_batch(spark, doc_stream_dir):
+    from tabata_spark.operators.dedup import exact_dedup
+    from tabata_spark.streaming.dedup import stream_exact_dedup
+
+    stream = _read_doc_stream(spark, doc_stream_dir)
+    out = stream_exact_dedup(stream, watermark="1 hour")
+    assert out.isStreaming
+    got = run_stream_to_memory(out, "t_dedup", spark, mode="append")
+    assert got.count() == 10  # one survivor per distinct text
+    assert got.select("content_hash").distinct().count() == 10
+    batch = spark.read.parquet(doc_stream_dir)
+    want = {r["text_hash"] for r in exact_dedup(batch).collect()}
+    assert {r["content_hash"] for r in got.collect()} == want
+
+
+def test_stream_seen_filter(spark, doc_stream_dir):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.streaming.dedup import stream_seen_filter
+
+    batch = spark.read.parquet(doc_stream_dir)
+    seen = batch.filter(F.col("doc_id") < 10)  # first 5 texts known
+    stream = _read_doc_stream(spark, doc_stream_dir)
+    got = run_stream_to_memory(
+        stream_seen_filter(stream, seen), "t_seen", spark, mode="append"
+    )
+    assert got.count() == 10  # 2 copies x 5 unseen texts
+    assert got.filter(F.col("doc_id") < 10).count() == 0
+
+
+def test_stream_dedup_by_key(spark, doc_stream_dir):
+    from tabata_spark.streaming.dedup import stream_dedup_by_key
+
+    stream = _read_doc_stream(spark, doc_stream_dir)
+    got = run_stream_to_memory(
+        stream_dedup_by_key(stream, ["text"], watermark="1 hour"),
+        "t_bykey",
+        spark,
+        mode="append",
+    )
+    # (text, ts) pairs are all distinct -> nothing dropped
+    assert got.count() == 20
