@@ -1022,6 +1022,68 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_sig_oracle_sql(k: int = 8) -> str:
+    """DuckDB bit-exact replica of the Carter-Wegman MinHash
+    signatures over the md5-prefix base-hash pair: same shingling,
+    same (b1 + i·b2) mod P minima — a hash-match proves the signature
+    math itself, not just end-to-end recall."""
+    P = (1 << 31) - 1
+    mins = ",\n           ".join(
+        f"min((b1 + {i} * b2) % {P}) AS h{i}" for i in range(k)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), hashes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % {P} AS b1,
+             ('0x' || substr(md5(sh), 16, 15))::BIGINT % {P} AS b2
+      FROM sh
+    )
+    SELECT doc_id,
+           {mins}
+    FROM hashes GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("dedup_minhash_sig", _minhash_sig_oracle_sql(8))
+def dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures with the engine-portable md5-prefix hash
+    pair — DuckDB recomputes the identical Carter-Wegman minima, so
+    the signature aggregation (shingling included) is bit-checked.
+    k=8 keeps the oracle SQL readable; the hash derivation is
+    identical for any k."""
+    from tabata_spark.operators.dedup import (
+        md5_hash_pair,
+        minhash_signatures_from_shingles,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sh = corpus.select(
+        "doc_id", F.explode(token_shingles(F.col("text"), 3)).alias("sh")
+    )
+    sig = minhash_signatures_from_shingles(
+        sh, num_hashes=8, hash_pair=md5_hash_pair
+    )
+    return sig.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(8)]
+    ).orderBy("doc_id")
+
+
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """Machine-generate the DuckDB bit-exact SimHash replica: same
     md5-prefix 60-bit token hash, same per-bit majority vote, same
@@ -1500,6 +1562,125 @@ def a_detect_error(spark, sf_dir):
 # =====================================================================
 # Battery IV: window ranking, string scalar functions, salted agg
 # =====================================================================
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_pivot_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_pivot_orders(spark, sf_dir):
+    """Pivot (SURVEY §2.4 'free in Spark'): order counts by status ×
+    priority. Explicit value list → no extra distinct-values job, and
+    the pivot compiles to one hash aggregate with conditional
+    counters (same plan the oracle writes by hand)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    sel = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(f"p{i + 1}")
+        for i, v in enumerate(_PRIORITIES)
+    ]
+    return piv.select(*sel).orderBy("o_orderstatus")
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the cube/rollup generalization, SURVEY §2.4):
+    two disjoint groupings in one Expand + one aggregate — one pass
+    over the fact table instead of a union of two groupBys."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap in
+    approx_percentile (t-digest sketch, mergeable map-side) — exact
+    percentile holds the group's values; the oracle pins the exact
+    tier."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(l_extendedprice, {p})"), 4
+                ).alias(f"q{int(p * 100)}")
+                for p in (0.25, 0.50, 0.75)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_corr_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(stddev_samp(l_discount), 6)                 AS sd_discount
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_corr_stats(spark, sf_dir):
+    """Bivariate statistics aggregates (corr/covar/stddev — SURVEY
+    §2.4 'free in Spark'; single-pass algebraic, map-side partials)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "cov_qty_price"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @register(

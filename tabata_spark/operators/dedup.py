@@ -95,19 +95,43 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(sh, id_col=id_col, num_hashes=num_hashes)
 
 
+def md5_hash_pair(col: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit base hashes from the md5 hex halves —
+    the engine-portable pair (DuckDB: ``('0x'||substr(md5(x),1,15))``
+    / ``substr(md5(x),16,15)``), enabling a bit-exact signature
+    oracle. Slower than xxhash64; the production default stays on
+    xxhash64."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long"),
+    )
+
+
 def minhash_signatures_from_shingles(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    hash_pair=None,
 ) -> DataFrame:
     """Signature aggregation over an existing exploded shingle frame
     (columns: ``id_col``, ``sh``) — lets a fused pipeline share ONE
-    shingle explode between signatures and the exact verifier."""
+    shingle explode between signatures and the exact verifier.
+
+    ``hash_pair``: Column → (Column, Column) producing the two base
+    hashes; defaults to seeded xxhash64 (fast JVM path); pass
+    :func:`md5_hash_pair` for the engine-portable variant."""
     # Carter-Wegman: k hashes derived from two base hashes,
     # (h1 + i*h2) mod P — 2 string hashes per shingle instead of k;
     # arithmetic kept in a 31-bit prime field so ANSI mode (Spark 4
     # default) sees no long overflow
     P = (1 << 31) - 1
-    h1 = F.pmod(F.xxhash64(F.col("sh"), F.lit(0)), F.lit(P))
-    h2 = F.pmod(F.xxhash64(F.col("sh"), F.lit(1)), F.lit(P))
+    if hash_pair is None:
+        b1 = F.xxhash64(F.col("sh"), F.lit(0))
+        b2 = F.xxhash64(F.col("sh"), F.lit(1))
+    else:
+        b1, b2 = hash_pair(F.col("sh"))
+    h1 = F.pmod(b1, F.lit(P))
+    h2 = F.pmod(b2, F.lit(P))
     aggs = [
         F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(P))).alias(f"h{i}")
         for i in range(num_hashes)
