@@ -79,16 +79,26 @@ class SignalSet:
     # ------------------------------------------------------------------ io
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str, phase: str | None = None) -> "SignalSet":
-        """Open a Parquet-backed signal set (reference Opset.__init__)."""
-        return cls(spark.read.parquet(path), phase=phase, path=path)
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        phase: str | None = None,
+        fmt: str = "parquet",
+    ) -> "SignalSet":
+        """Open a stored signal set (reference Opset.__init__).
+        ``fmt``: any Spark batch source — parquet (default) or orc
+        both give columnar pruning + predicate pushdown."""
+        return cls(spark.read.format(fmt).load(path), phase=phase, path=path)
 
-    def save(self, path: str, mode: str = "overwrite") -> "SignalSet":
+    def save(self, path: str, mode: str = "overwrite", fmt: str = "parquet") -> "SignalSet":
         """Materialize partitioned by record_id (partition pruning for
-        point-reads; record-local windows need no re-shuffle on read)."""
-        self.df.write.partitionBy("record_id").mode(mode).parquet(path)
+        point-reads; record-local windows need no re-shuffle on read).
+        ``fmt='orc'`` for ORC-standardized lakes — same layout, same
+        pushdown."""
+        self.df.write.partitionBy("record_id").mode(mode).format(fmt).save(path)
         spark = self.df.sparkSession
-        return SignalSet.load(spark, path, phase=self.phase)
+        return SignalSet.load(spark, path, phase=self.phase, fmt=fmt)
 
     @classmethod
     def from_records(

@@ -85,6 +85,32 @@ def test_put_roundtrip_parquet(tmp_path, sset, flights):
     assert len(out) == len(sset)
 
 
+def test_orc_roundtrip_with_pushdown(tmp_path, sset):
+    """ORC as a second storage format: same partition layout, same
+    values, and a record point-read prunes partitions in the plan."""
+    path = str(tmp_path / "sset_orc")
+    stored = sset.save(path, fmt="orc")
+    assert stored.records == sset.records
+    name = sset.records[0]
+    assert stored.record(name).count() == sset.record(name).count()
+    plan = stored.record(name)._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan
+    got = stored.record(name).agg(F.sum("`ALT[m]`")).first()[0]
+    want = sset.record(name).agg(F.sum("`ALT[m]`")).first()[0]
+    assert abs(got - want) < 1e-6
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The approx tier (HLL sketch, mergeable map-side — the 100 TB
+    path for distinct counts) must land within 5% of exact."""
+    from tabata_spark.sources.relational import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_put_preserves_other_partitions_under_static_conf(tmp_path, sset, flights):
     """put() must not depend on the session's partitionOverwriteMode:
     under Spark's default STATIC mode a naive overwrite would wipe
