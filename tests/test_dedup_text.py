@@ -210,3 +210,30 @@ def test_decode_real_unsupported_raises(spark):
     if not HAS_PIL:  # raw bytes: no native codec, no PIL fallback
         with pytest.raises(NotImplementedError):
             decode_real(b"not a media container")
+
+
+def test_near_dup_pipeline_recall_on_planted_dups(spark):
+    """Identical shingle sets produce identical signatures, so every
+    planted exact duplicate pair MUST survive the full pipeline
+    (signatures -> banding -> verify) whatever the hash seeds — a
+    structural recall guarantee, checked over random corpora."""
+    from tabata_spark.operators.dedup import near_dup_pairs
+
+    words = [f"w{i}" for i in range(50)]
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        docs = [
+            (i, " ".join(rng.choice(words, size=30)))
+            for i in range(40)
+        ]
+        planted = [(i, 1000 + i) for i in range(0, 40, 4)]
+        dups = [(1000 + i, text) for i, text in docs if i % 4 == 0]
+        df = spark.createDataFrame(docs + dups, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in near_dup_pairs(df, threshold=1.0).collect()
+        }
+        assert set(planted) <= got, (seed, set(planted) - got)
+        # every surviving pair is genuinely >= threshold (verified)
+        for r in near_dup_pairs(df, threshold=1.0).collect():
+            assert r["jaccard"] == 1.0

@@ -147,3 +147,32 @@ def test_bucketed_table_zero_exchange(spark, sset, tmp_path_factory):
     c2 = plan_counts(savgol_native(stored.df, "ALT[m]", "sg", 11, 2, 0, edges=False))
     assert c2["exchanges"] == 0, c2
     spark.sql("DROP TABLE IF EXISTS t_bucketed_signals")
+
+
+def test_ivf_stored_index_prunes_partitions(spark, tmp_path_factory):
+    """The IVF scale story: an index written partitionBy('ivf_cell')
+    turns an nprobe probe into a partition-pruned scan — the cell
+    filter must appear as a PartitionFilter, not a post-scan filter."""
+    import numpy as np
+
+    from tabata_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    rng = np.random.default_rng(4)
+    centers = np.array([[8.0] * 4, [-8.0] * 4, [8.0, -8.0] * 2])
+    vecs = np.concatenate([c + rng.standard_normal((40, 4)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=3, max_iter=5)
+    path = str(tmp_path_factory.mktemp("ivf_index"))
+    ivf_assign(df, cents).write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    probe = stored.filter(F.col("ivf_cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan
+    partition_filters = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "ivf_cell" in partition_filters
+    # pruned scan reads only the probed cells
+    assert probe.count() == stored.filter(F.col("ivf_cell") != 2).count()
