@@ -285,6 +285,13 @@ class Selector(Opset):
     def predict_params(self, d):
         self._engine.predict_params = dict(d)
 
+    def clear_selection(self) -> None:
+        """Reset labels/observations (instants.py:195-208)."""
+        self.viewed.clear()
+        self._engine.selected.clear()
+        self._engine.variables.clear()
+        self._engine.computed.clear()
+
     # ------------------------------------------------- model surface
 
     def fit(self) -> "Selector":
@@ -294,6 +301,39 @@ class Selector(Opset):
     def predict(self) -> dict[int, int]:
         self._engine.predict()
         return self.computed
+
+    def belief(self, pos: int | None = None):
+        """Belief curve for the current (or given) record, in seq
+        order (instants.py:483-549) — numpy array."""
+        from pyspark.sql import functions as F
+
+        if pos is not None:
+            self.sigpos = pos % max(len(self.records), 1)
+        rec = self.records[self.sigpos]
+        pdf = (
+            self._engine.belief_frame()
+            .filter(F.col("record_id") == rec)
+            .orderBy("seq")
+            .select("p")
+            .toPandas()
+        )
+        return pdf["p"].to_numpy()
+
+    def load(self, storename: str) -> "Selector":
+        """Re-target the trained detector at a NEW store
+        (instants.py:683-689): the model, retained indicators, and
+        prediction parameters transfer; labels do not."""
+        out = Selector(
+            storename, phase=self.phase, spark=self.sset.df.sparkSession
+        )
+        e, src = out._engine, self._engine
+        e.idcodes = list(src.idcodes)
+        e._kept_names = list(src._kept_names)
+        e._model = src._model
+        e.variables = set(src.variables)
+        e.feature_params = dict(src.feature_params)
+        e.predict_params = dict(src.predict_params)
+        return out
 
     def describe(self) -> str:
         return self._engine.describe()
@@ -417,6 +457,17 @@ class Tube(Opset):
         """Per-record out-of-tube counts as a pandas frame
         (tubes.py:392-406)."""
         return self._engine.scores().toPandas().set_index("record_id")
+
+    def local_scores(self):
+        """Out-of-tube counts for the CURRENT record only
+        (tubes.py:376-390) — one-record pandas frame; only that
+        record's partition is scanned."""
+        rec = self.records[self.sigpos]
+        return (
+            self._engine.scores(self.sset.record(rec))
+            .toPandas()
+            .set_index("record_id")
+        )
 
     def plot(self, pos: int | None = None, name: str | None = None):
         """Signal + tube envelope for the current record (reference

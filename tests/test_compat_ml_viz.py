@@ -123,6 +123,21 @@ def test_compat_selector_storename(tmp_path, spark, sset, flights):
     computed = sel.fit().predict()
     assert set(computed) == set(range(len(sset.records)))  # position-keyed
     assert "tree" in sel.describe().lower() or len(sel.idcodes) > 0
+    # belief curve for the current record
+    p = sel.belief(pos=0)
+    assert len(p) == len(sset.to_pandas_record(sset.records[0]))
+    assert abs(p.sum() - 1.0) < 1e-6 or p.sum() == 0.0  # normalized
+    # re-target the trained detector at a second store (model moves,
+    # labels don't)
+    store2 = str(tmp_path / "sel_store2")
+    sset.save(store2)
+    sel2 = sel.load(store2)
+    assert sel2._engine._model is sel._engine._model
+    assert sel2.selected == {}
+    assert set(sel2.predict()) == set(range(len(sset.records)))
+    # clear_selection wipes labels and observations
+    sel.clear_selection()
+    assert sel.selected == {} and sel.viewed == set() and sel.variables == set()
 
 
 def test_compat_tube_storename(tmp_path, spark, sset):
@@ -146,6 +161,12 @@ def test_compat_tube_storename(tmp_path, spark, sset):
     scr = tube.scores()
     assert list(scr.index) == sset.records
     assert "score_ALT[m]" in scr.columns
+    loc = tube.rewind(2).local_scores()
+    assert list(loc.index) == [sset.records[2]]
+    assert loc["N"].iloc[0] == scr["N"].loc[sset.records[2]]
+    assert (
+        loc["score_ALT[m]"].iloc[0] == scr["score_ALT[m]"].loc[sset.records[2]]
+    )
 
 
 # ---------------------------------------------------------------- PCA
