@@ -1760,6 +1760,88 @@ def q_corr_stats(spark, sf_dir):
 
 
 @register(
+    "j_asof_purchase",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id,
+           round(epoch(l.ts), 3) AS ts_s,
+           round(epoch(r.ts), 3) AS purchase_ts_s,
+           r.pvalue
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def j_asof_purchase(spark, sf_dir):
+    """AS-OF JOIN (the brief's canonical missing-in-Spark operator):
+    for every click, the user's most recent purchase at-or-before it.
+    Implemented as union + one keyed window (NO join, no range
+    explosion — operators/asof.py); the oracle is DuckDB's native
+    ASOF JOIN, a fully independent implementation."""
+    from tabata_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["pvalue"],
+        matched_ts_name="purchase_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("ts").cast("double"), 3).alias("ts_s"),
+        F.round(F.col("purchase_ts").cast("double"), 3).alias("purchase_ts_s"),
+        "pvalue",
+    ).orderBy("event_id")
+
+
+@register(
+    "q_event_transitions",
+    """
+    WITH seqd AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seqd WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """Event-sequence bigrams (the funnel/Markov-transition building
+    block): lag over the per-user time order, then one aggregation.
+    Same single-shuffle shape as every record-window pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
     "q_window_rank",
     """
     SELECT c_custkey, o_orderkey, o_totalprice

@@ -1,0 +1,156 @@
+"""As-of join and time-grid resampling (north-star extension — the
+brief's canonical "operator Spark lacks", built as a composition of
+existing DataFrame ops).
+
+Both operators use the same scalable formulation: UNION the two sides
+tagged by origin, one window partitioned by the join key and ordered
+by (ts, side), and ``last(..., ignorenulls=True)`` to carry the most
+recent right-side values forward. Cost is ONE shuffle on the key —
+there is no join at all, so no row explosion, no range-join quadratic
+risk, and skew behaves exactly like any window partition. This is the
+standard large-scale as-of pattern (a sort-merge as-of needs engine
+support; the union-window form gets the same result from primitives
+Catalyst already optimizes).
+
+DuckDB has a native ``ASOF JOIN``, which the battery uses as the
+oracle — the two implementations are completely independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    matched_ts_name: str = "matched_ts",
+    strict: bool = False,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the right row with the
+    greatest ``ts`` ≤ left.ts (or < if ``strict``) within the same
+    ``key_cols`` group; unmatched rows keep nulls.
+
+    ``value_cols`` are the right columns to carry (defaults to all
+    non-key, non-ts columns). ``tolerance_s`` nulls matches older than
+    the given number of seconds. Right (key, ts) pairs must be unique
+    for a deterministic result (pre-aggregate the right side).
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in (*key_cols, ts_col)
+        ]
+    carried = [matched_ts_name, *[f"__r_{c}" for c in value_cols]]
+    rsel = right.select(
+        *key_cols,
+        F.col(ts_col).alias("__ts"),
+        F.col(ts_col).alias(matched_ts_name),
+        *[F.col(f"`{c}`").alias(f"__r_{c}") for c in value_cols],
+        F.lit(0).alias("__is_left"),
+    )
+    lsel = left.withColumn("__ts", F.col(ts_col)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    u = lsel.unionByName(rsel, allowMissingColumns=True)
+    # tie order at equal ts: non-strict wants the right row VISIBLE to
+    # the left row (right sorts first); strict hides it (left first)
+    order = [F.col("__ts")] + (
+        [F.desc("__is_left")] if strict else [F.col("__is_left")]
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in carried]
+    ).filter(F.col("__is_left") == 1)
+    if tolerance_s is not None:
+        stale = (
+            F.col("__ts").cast("double")
+            - F.col(f"__m_{matched_ts_name}").cast("double")
+        ) > float(tolerance_s)
+        for c in carried:
+            out = out.withColumn(
+                f"__m_{c}", F.when(~stale, F.col(f"__m_{c}"))
+            )
+    keep = [c for c in left.columns]
+    renames = [F.col(f"__m_{matched_ts_name}").alias(matched_ts_name)] + [
+        F.col(f"__m___r_{c}").alias(c) for c in value_cols
+    ]
+    return out.select(*keep, *renames)
+
+
+def resample_linear(
+    df: DataFrame,
+    key_col: str = "record_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    step_s: float = 1.0,
+) -> DataFrame:
+    """Per-key resampling onto a regular time grid with linear
+    interpolation between surrounding samples (constant extrapolation
+    at the edges).
+
+    Grid rows are generated per key from min/max ts (a sequence
+    explode — no driver loop), unioned with the samples, and one
+    ordered window carries the previous/next known (ts, value) pairs;
+    the interpolation is a plain column expression. One shuffle."""
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in (key_col, ts_col)]
+    bounds = df.groupBy(key_col).agg(
+        F.min(F.col(ts_col).cast("double")).alias("__t0"),
+        F.max(F.col(ts_col).cast("double")).alias("__t1"),
+    )
+    n_steps = F.floor((F.col("__t1") - F.col("__t0")) / F.lit(step_s)).cast("int")
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_steps),
+                lambda i: F.col("__t0") + i.cast("double") * F.lit(step_s),
+            )
+        ).alias("__ts"),
+    ).withColumn("__is_grid", F.lit(1))
+    samples = df.select(
+        key_col,
+        F.col(ts_col).cast("double").alias("__ts"),
+        *[F.col(f"`{c}`").cast("double").alias(f"__v_{c}") for c in value_cols],
+    ).withColumn("__is_grid", F.lit(0))
+    u = grid.unionByName(samples, allowMissingColumns=True)
+
+    # samples sort before grid points at equal ts, so a grid point
+    # sitting exactly on a sample takes that sample's value
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("__ts", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("__ts", F.desc("__is_grid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cols = [F.col(key_col), F.col("__ts").alias("grid_ts_s"), F.col("__is_grid")]
+    prev_ts = F.last(F.when(F.col("__is_grid") == 0, F.col("__ts")), True).over(wb)
+    next_ts = F.first(F.when(F.col("__is_grid") == 0, F.col("__ts")), True).over(wf)
+    for c in value_cols:
+        pv = F.last(F.when(F.col("__is_grid") == 0, F.col(f"__v_{c}")), True).over(wb)
+        nv = F.first(F.when(F.col("__is_grid") == 0, F.col(f"__v_{c}")), True).over(wf)
+        frac = F.when(
+            next_ts > prev_ts, (F.col("__ts") - prev_ts) / (next_ts - prev_ts)
+        ).otherwise(F.lit(0.0))
+        interp = F.when(pv.isNull(), nv).when(nv.isNull(), pv).otherwise(
+            pv + frac * (nv - pv)
+        )
+        cols.append(interp.alias(c))
+    # windows must run over the UNFILTERED union (they read the sample
+    # rows); only then keep the grid rows
+    return (
+        u.select(*cols).filter(F.col("__is_grid") == 1).drop("__is_grid")
+    )

@@ -1,0 +1,134 @@
+"""As-of join + linear resampling tests (operators/asof.py). The
+battery additionally checks asof_join against DuckDB's native ASOF
+JOIN (j_asof_purchase)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.asof import asof_join, resample_linear
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("a", _ts(0), 100.0),
+            ("a", _ts(10), 101.0),
+            ("a", _ts(20), 102.0),
+            ("b", _ts(5), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("a", _ts(4), 1),
+            ("a", _ts(10), 2),  # tie with a quote
+            ("a", _ts(25), 3),
+            ("b", _ts(1), 4),  # before any quote
+            ("c", _ts(9), 5),  # key with no quotes at all
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_with_ties(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["qty"]: (r["px"], r["matched_ts"])
+        for r in asof_join(
+            trades, quotes, key_cols=["sym"], value_cols=["px"]
+        ).collect()
+    }
+    assert out[1] == (100.0, _ts(0))
+    assert out[2] == (101.0, _ts(10))  # ts-equal quote IS visible
+    assert out[3] == (102.0, _ts(20))
+    assert out[4] == (None, None)  # nothing at-or-before
+    assert out[5] == (None, None)  # unseen key
+
+
+def test_asof_strict_hides_equal_ts(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["qty"]: r["px"]
+        for r in asof_join(
+            trades, quotes, key_cols=["sym"], value_cols=["px"], strict=True
+        ).collect()
+    }
+    assert out[2] == 100.0  # the ts-equal quote is hidden under strict <
+
+
+def test_asof_tolerance(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["qty"]: r["px"]
+        for r in asof_join(
+            trades,
+            quotes,
+            key_cols=["sym"],
+            value_cols=["px"],
+            tolerance_s=4.0,
+        ).collect()
+    }
+    assert out[1] == 100.0  # 4s old: inside tolerance
+    assert out[3] is None  # 5s old: stale, nulled
+
+
+def test_asof_single_shuffle_no_join(quotes_trades, spark):
+    from tabata_spark.plans.inspect import plan_counts
+
+    quotes, trades = quotes_trades
+    c = plan_counts(
+        asof_join(trades, quotes, key_cols=["sym"], value_cols=["px"])
+    )
+    assert c["sortmerge_joins"] == 0 and c["broadcast_joins"] == 0, c
+    assert c["exchanges"] == 1, c  # one shuffle on the key, no join
+    assert c["python_evals"] == 0, c
+
+
+def test_resample_linear_matches_numpy(spark):
+    t = [0.0, 10.0, 15.0, 40.0]
+    v = [0.0, 10.0, 5.0, 30.0]
+    df = spark.createDataFrame(
+        [("r", _ts(int(s)), x) for s, x in zip(t, v)],
+        "record_id string, ts timestamp, y double",
+    )
+    out = (
+        resample_linear(df, step_s=5.0)
+        .orderBy("grid_ts_s")
+        .collect()
+    )
+    base = out[0]["grid_ts_s"]
+    got_t = [r["grid_ts_s"] - base for r in out]
+    got_v = [r["y"] for r in out]
+    want_t = np.arange(0.0, 41.0, 5.0)
+    abs_t = [float(s + base) for s in want_t]
+    want_v = np.interp(
+        [b - base for b in abs_t],
+        t,
+        v,
+    )
+    assert got_t == [float(x) for x in want_t]
+    np.testing.assert_allclose(got_v, want_v, atol=1e-9)
+
+
+def test_resample_grid_point_on_sample_takes_sample(spark):
+    df = spark.createDataFrame(
+        [("r", _ts(0), 1.0), ("r", _ts(5), 99.0), ("r", _ts(10), 3.0)],
+        "record_id string, ts timestamp, y double",
+    )
+    out = {
+        r["grid_ts_s"]: r["y"]
+        for r in resample_linear(df, step_s=5.0).collect()
+    }
+    t0 = min(out)
+    assert out[t0 + 5.0] == 99.0  # exact sample, not an interpolation

@@ -176,3 +176,16 @@ def test_ivf_stored_index_prunes_partitions(spark, tmp_path_factory):
     assert "ivf_cell" in partition_filters
     # pruned scan reads only the probed cells
     assert probe.count() == stored.filter(F.col("ivf_cell") != 2).count()
+
+
+def test_q6_pushes_every_predicate_to_scan(spark, sf):
+    """TPC-H Q6 is the pushdown litmus: date range, discount band and
+    quantity predicates must all reach the parquet scan, and the
+    aggregate exchanges a single partial row per partition."""
+    df = battery.QUERIES["q6_forecast_revenue"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, c
