@@ -1812,6 +1812,38 @@ def j_asof_purchase(spark, sf_dir):
 
 
 @register(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+             AS n_bpe,
+           array_to_string(list_slice(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+               1, 5), '|') AS head_toks
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenization (the LLM token-count estimator):
+    whitespace count + GPT-2-style pretoken count + the first 5
+    pretokens verbatim. Java regex (Spark) and RE2 (DuckDB) run the
+    identical lookahead-free pattern — hash-match proves the
+    tokenizations agree token-for-token."""
+    from tabata_spark.operators.text import bpe_pretokens, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = bpe_pretokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        F.size(toks).alias("n_bpe"),
+        F.array_join(F.slice(toks, 1, 5), "|").alias("head_toks"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_event_transitions",
     """
     WITH seqd AS (

@@ -32,6 +32,24 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-2-style pre-tokenizer, restricted to constructs both Java regex
+#: (Spark) and RE2 (DuckDB) support identically — contractions, space-
+#: prefixed letter/digit/punct runs, whitespace runs. (The original
+#: pattern's `\s+(?!\S)` lookahead is RE2-inexpressible and only
+#: affects trailing-space attachment.)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_pretokens(text: str | Column) -> Column:
+    """BPE-ish pre-token array (the unit an LLM tokenizer would merge
+    from) — pure regexp_extract_all, JVM-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    return F.size(bpe_pretokens(text))
+
+
 def lang_scores(text: str | Column) -> dict[str, Column]:
     """Per-language stopword-overlap count over the token set."""
     toks = F.array_distinct(tokens(text))
