@@ -963,6 +963,71 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(corpus, threshold=0.5).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM edges e JOIN reach ON e.src = reach.r
+    ), comps AS (
+      SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+    ), allc AS (
+      SELECT c.doc_id AS id, coalesce(comps.comp, c.doc_id) AS comp
+      FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id
+    )
+    SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize
+    FROM allc ORDER BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Pairs → transitive clusters → canonical survivor: connected
+    components (iterative min-label propagation) over the exact-Jaccard
+    near-dup edges of the two-snapshot corpus, every doc assigned a
+    cluster id (= min reachable doc_id) and cluster size. The oracle is
+    a DuckDB recursive-CTE transitive closure — the clustering itself
+    is hash-checked, not just the pairs."""
+    from tabata_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    return dedup_cluster_assignments(corpus, pairs).orderBy("id")
+
+
 def _ngram_allpairs_sql(threshold: float) -> str:
     """DuckDB all-pairs exact n-gram Jaccard ground truth over the
     two-snapshot corpus — the oracle for LSH-candidate + exact-verify

@@ -444,6 +444,101 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+    materialize: str | None = "persist",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation — the last step of a real dedup
+    pipeline (pairs → transitive cluster → one canonical survivor,
+    which is ``comp`` itself since labels are min-ids).
+
+    ``pairs``: (id_a, id_b) undirected edges (e.g. from
+    :func:`near_dup_pairs` / :func:`simhash_near_pairs`).
+    ``nodes``: optional (id_col) frame of ALL corpus ids; docs with no
+    edge become singleton clusters (comp = own id). Default: edge
+    endpoints only.
+
+    Scale: each round is one equi-join + one map-side-combinable min
+    aggregation on uniform id keys; labels decrease monotonically, so
+    rounds needed = graph diameter. LSH dup clusters are near-cliques
+    (diameter ≤ 2-3 in practice), so the loop converges in a handful
+    of rounds — the convergence check (one count per round) stops it
+    exactly; ``max_iter`` is the adversarial-chain backstop. For
+    graphs with genuinely long chains, swap in the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds with
+    the same join-shaped rounds.
+
+    Returns (id, comp) — comp = min id reachable, fully deterministic
+    (DuckDB recursive-CTE oracle-able).
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = _materialize(sym.distinct(), materialize)
+    if nodes is None:
+        base = edges.select(F.col("src").alias("id")).distinct()
+    else:
+        base = nodes.select(F.col(id_col).alias("id")).distinct()
+    labels = _materialize(base.withColumn("comp", F.col("id")), materialize)
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("comp").alias("c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("c").alias("nc"))
+        )
+        new_labels = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        new_labels = _materialize(new_labels, materialize)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        if materialize == "persist":
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    if materialize == "persist":
+        edges.unpersist()
+    return labels
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    materialize: str | None = "persist",
+) -> DataFrame:
+    """Per-document cluster table (id, comp, csize): every corpus doc
+    assigned its transitive near-dup cluster (singletons included),
+    plus the cluster size. Survivor policy = keep ``id == comp``
+    (min-id canonical); dedup ratio = count(distinct comp) / count."""
+    labels = connected_components(
+        pairs, nodes=df.select(id_col), id_col=id_col, materialize=materialize
+    )
+    return labels.withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("comp"))
+    )
+
+
 def minhash_lsh_mllib(
     df: DataFrame,
     text: str = "text",

@@ -237,3 +237,32 @@ def test_near_dup_pipeline_recall_on_planted_dups(spark):
         # every surviving pair is genuinely >= threshold (verified)
         for r in near_dup_pairs(df, threshold=1.0).collect():
             assert r["jaccard"] == 1.0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from tabata_spark.operators.dedup import (
+        connected_components,
+        dedup_cluster_assignments,
+    )
+
+    # 0-1-2-3-4 chain (diameter 4 → needs several propagation rounds),
+    # 10-11 pair, 20 isolated (via nodes=)
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, materialize=None).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 20]], "doc_id long"
+    )
+    rows = dedup_cluster_assignments(docs, pairs, materialize=None).collect()
+    got = {r["id"]: (r["comp"], r["csize"]) for r in rows}
+    assert got[20] == (20, 1)  # singleton cluster
+    assert got[4] == (0, 5) and got[11] == (10, 2)
+    # survivor policy: one id == comp per cluster
+    survivors = [r["id"] for r in rows if r["id"] == r["comp"]]
+    assert sorted(survivors) == [0, 10, 20]
