@@ -1909,6 +1909,64 @@ def text_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "split_assign",
+    """
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('v1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment keyed off a
+    salted md5 of doc_id — reproducible across engines/partitionings,
+    split proportions stable under incremental data arrival; the
+    predicate evaluates in the scan stage (narrow, no shuffle) at any
+    scale. The oracle runs the identical
+    hash expression, so the assignment is checked bit-for-bit."""
+    from tabata_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "bucket", "split").orderBy("doc_id")
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strata:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10000 AS b
+      FROM documents
+    )
+    WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified corpus rebalancing: downsample 'en' to
+    25% and 'zh' to 50%, keep every other language — the per-stratum
+    threshold is a CASE, the membership hash uses only (salt, id), so
+    samples are nested as fractions change."""
+    from tabata_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs, "lang", {"en": 0.25, "zh": 0.5}, default_fraction=1.0
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_event_transitions",
     """
     WITH seqd AS (

@@ -1,0 +1,82 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("fr")
+    )
+
+
+def test_split_disjoint_exhaustive_and_proportional(ids):
+    out = hash_split(ids)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # exhaustive, disjoint by construction
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_stable_under_repartition(ids):
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(7, "lang")).collect()
+    }
+    assert a == b
+
+
+def test_hash_sample_fraction_and_salt_independence(ids):
+    s1 = hash_sample(ids, fraction=0.2, salt="s1")
+    n1 = s1.count()
+    assert abs(n1 / 5000 - 0.2) < 0.03
+    # different salt → a (near-)independent sample, not the same rows
+    s2 = set(r["doc_id"] for r in hash_sample(ids, fraction=0.2, salt="s2").collect())
+    overlap = len(set(r["doc_id"] for r in s1.collect()) & s2)
+    assert abs(overlap / 5000 - 0.04) < 0.02  # ≈ 0.2 * 0.2
+
+
+def test_samples_are_nested_as_fraction_grows(ids):
+    small = set(r["doc_id"] for r in hash_sample(ids, fraction=0.1).collect())
+    big = set(r["doc_id"] for r in hash_sample(ids, fraction=0.3).collect())
+    assert small <= big
+
+
+def test_stratified_fractions(ids):
+    out = stratified_hash_sample(
+        ids, "lang", {"en": 0.5}, default_fraction=1.0
+    )
+    n = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in ids.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n["fr"] == tot["fr"]  # default 1.0 keeps everything
+    assert abs(n["en"] / tot["en"] - 0.5) < 0.05
+
+
+def test_bucket_matches_duckdb(spark):
+    import duckdb
+
+    vals = [(i,) for i in range(50)]
+    df = spark.createDataFrame(vals, "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket("doc_id", salt="v1").alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: b
+        for i, b in con.sql(
+            "SELECT i, ('0x' || substr(md5('v1:' || i::VARCHAR), 1, 15))::BIGINT"
+            " % 10000 FROM range(50) t(i)"
+        ).fetchall()
+    }
+    assert got == want
