@@ -1936,6 +1936,93 @@ def split_assign(spark, sf_dir):
     return hash_split(docs).select("doc_id", "bucket", "split").orderBy("doc_id")
 
 
+def _vocab_topk_impl(spark, sf_dir):
+    from tabata_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("freq"), "tok")
+        .limit(100)
+    )
+
+
+register(
+    "vocab_topk",
+    """
+    SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
+    """,
+)(_vocab_topk_impl)
+_vocab_topk_impl.__doc__ = """Corpus vocabulary: top-100 tokens by
+collection frequency with document frequency (the IDF numerator) —
+one explode + one map-side-combinable aggregation; top-k is a total
+order (freq desc, tok asc) so the cutoff is deterministic. At 100 TB
+the token key space is uniform (no skewed shuffle) and the result is
+bounded by k."""
+
+
+@register(
+    "text_repetition",
+    """
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), shares AS (
+      SELECT doc_id, round(max(c) / sum(c), 6) AS top_tok_share
+      FROM tc GROUP BY doc_id
+    ), arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), reps AS (
+      SELECT doc_id,
+             round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,
+             CASE WHEN len(t) >= 2 THEN round(
+               1 - len(list_distinct(list_transform(
+                     generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1]))) / (len(t) - 1), 6)
+             ELSE 0.0 END AS dup_bigram_frac
+      FROM arrs
+    )
+    SELECT r.doc_id, r.distinct_ratio, r.dup_bigram_frac, s.top_tok_share
+    FROM reps r JOIN shares s ON s.doc_id = r.doc_id
+    ORDER BY r.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition-based quality signals per document: distinct-token
+    ratio and duplicate-bigram fraction (pure array expressions, no
+    shuffle), plus top-token share (explode + per-doc max/sum — two
+    map-side-combinable aggs on doc-local keys). The Gopher-style
+    boilerplate/spam filter."""
+    from tabata_spark.operators.text import repetition_columns, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    shares = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_tok_share"))
+    )
+    rep = repetition_columns(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            rep["distinct_ratio"].alias("distinct_ratio"),
+            rep["dup_bigram_frac"].alias("dup_bigram_frac"),
+        )
+        .join(shares, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "sample_stratified",
     """

@@ -113,6 +113,29 @@ def quality_score(text: str | Column) -> Column:
     return F.round((len_ok + stop_ok + noise) / 3, 6)
 
 
+def repetition_columns(text: str | Column) -> dict[str, Column]:
+    """Gopher-style repetition signals as pure array expressions:
+    distinct-token ratio and duplicate-bigram fraction (1 − distinct
+    bigrams / bigrams). High repetition = low-quality boilerplate /
+    generated spam; the standard pre-training filter signals."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens(t)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )
+    return {
+        "distinct_ratio": F.round(F.size(F.array_distinct(toks)) / n, 6),
+        "dup_bigram_frac": F.when(
+            n >= 2,
+            F.round(1 - F.size(F.array_distinct(bigrams)) / (n - 1), 6),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def char_shingles(text: str | Column, k: int = 8) -> Column:
     """All character k-grams of the text as an array (rolling window)."""
     t = F.col(text) if isinstance(text, str) else text

@@ -266,3 +266,33 @@ def test_connected_components_chain_and_singletons(spark):
     # survivor policy: one id == comp per cluster
     survivors = [r["id"] for r in rows if r["id"] == r["comp"]]
     assert sorted(survivors) == [0, 10, 20]
+
+
+def test_repetition_columns(spark):
+    from tabata_spark.operators.text import repetition_columns
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # all distinct
+            (1, "a a a a"),          # fully repeated
+            (2, "x"),                # single token → bigram frac 0
+            (3, "a b a b a b"),      # repeated bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rep = repetition_columns("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            rep["distinct_ratio"].alias("dr"),
+            rep["dup_bigram_frac"].alias("dbf"),
+        ).collect()
+    }
+    assert rows[0]["dr"] == 1.0 and rows[0]["dbf"] == 0.0
+    # 1 distinct of 3 bigrams → 1 - 1/3
+    assert rows[1]["dr"] == 0.25
+    assert rows[1]["dbf"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[2]["dr"] == 1.0 and rows[2]["dbf"] == 0.0
+    assert rows[3]["dr"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[3]["dbf"] == 0.6  # 2 distinct bigrams of 5
