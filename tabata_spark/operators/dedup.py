@@ -142,6 +142,53 @@ def minhash_signatures_from_shingles(
     )
 
 
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (id_a < id_b) from a SORTED id array, as an
+    array of structs — the in-array replacement for a bucket
+    self-join: for each element, pair it with every later element."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def bucket_candidate_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Candidate pairs from bucket membership rows (key_cols…, id):
+    ONE aggregation (collect_list per bucket, size-capped) + in-array
+    pair generation + distinct. No self-join, no window sort — two
+    shuffles total (bucket agg + distinct) regardless of band count.
+
+    ``max_bucket_size`` drops buckets past the cap — the standard
+    guard against quadratic blowup on hot buckets (boilerplate /
+    low-entropy content): a 10k-doc bucket alone would emit 5·10⁷
+    pairs. The aggregation buffer holds at most the bucket's id list
+    (8 bytes/id); for adversarial corpora where a single degenerate
+    bucket could reach many millions of ids, pre-cap with a cheap
+    map-side-combinable count + broadcast anti-join before calling
+    this."""
+    bucket = keyed.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
+    if max_bucket_size:
+        bucket = bucket.filter(F.size("__ids") <= max_bucket_size)
+    return (
+        bucket.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_candidates(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -150,16 +197,14 @@ def minhash_candidates(
     max_bucket_size: int = 100,
     materialize: str | None = "persist",
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature, self-join on
-    (band_idx, band_hash) → candidate pairs (id_a < id_b).
+    """LSH banding: hash each band of the signature, then candidate
+    pairs (id_a < id_b) per (band_idx, band_hash) bucket via
+    :func:`bucket_candidate_pairs` — one aggregation + in-array pair
+    expansion, not a self-join.
 
     Probability a pair with Jaccard s collides: 1-(1-s^rows)^bands.
-
-    Buckets larger than ``max_bucket_size`` are dropped before the
-    self-join — the standard guard against quadratic blowup on hot
-    buckets (boilerplate/low-entropy content): a 10k-doc bucket alone
-    would emit 5·10⁷ pairs. Capped buckets are the scale story at
-    100 TB; lower the cap for dirtier corpora."""
+    ``materialize`` is unused here (the banded frame is consumed once)
+    and kept for signature compatibility."""
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -172,32 +217,11 @@ def minhash_candidates(
         ]
     )
     banded = sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "bh")
+        F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
     )
-    if max_bucket_size:
-        w = Window.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-    # the self-join consumes this subtree twice — materialize once
-    banded = _materialize(banded, materialize)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    return bucket_candidate_pairs(
+        banded, ["band", "bh"], "__id", max_bucket_size=max_bucket_size
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -394,12 +418,13 @@ def simhash_near_pairs(
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks``
     16-bit prefix blocks (a pair within Hamming d < blocks must agree
     on ≥1 block) → posexplode to (block_idx, block_val) rows → ONE
-    self-join on the composite key (the same shape as
-    minhash_candidates — one shuffle, not ``blocks`` unioned joins)
-    → exact popcount filter.
+    bucket aggregation + in-array pair expansion (the same shape as
+    bucket_candidate_pairs; structs carry the fingerprints so no
+    join-back is needed) → exact popcount filter.
 
     Hot blocks beyond ``max_bucket_size`` are dropped (same quadratic
-    guard as minhash_candidates)."""
+    guard as minhash_candidates). ``materialize`` is unused (nothing
+    is consumed twice anymore) and kept for signature compat."""
     width = 64 // blocks
     block_vals = F.array(
         *[
@@ -409,31 +434,40 @@ def simhash_near_pairs(
             for i in range(blocks)
         ]
     )
-    b = fp.select(id_col, "simhash", F.posexplode(block_vals).alias("blk", "bv"))
+    b = fp.select(
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h")).alias(
+            "item"
+        ),
+        F.posexplode(block_vals).alias("blk", "bv"),
+    )
+    # one aggregation per block bucket (sorted by id since id is the
+    # struct's first field), size-capped, then in-array pair expansion
+    # — no self-join, no window sort (same shape as
+    # bucket_candidate_pairs, structs carry the fingerprints along)
+    bucket = b.groupBy("blk", "bv").agg(
+        F.array_sort(F.collect_list("item")).alias("__items")
+    )
     if max_bucket_size:
-        w = Window.partitionBy("blk", "bv")
-        b = (
-            b.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        bucket = bucket.filter(F.size("__items") <= max_bucket_size)
+    items = F.col("__items")
+    n = F.size(items)
+    pair_arr = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, n),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["h"].alias("ha"),
+                    y["h"].alias("hb"),
+                ),
+            ),
         )
-    # the self-join consumes the fingerprint aggregation twice —
-    # materialize it once
-    b = _materialize(b, materialize)
+    )
     pairs = (
-        b.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
+        bucket.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
         .distinct()
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))

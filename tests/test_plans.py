@@ -189,3 +189,16 @@ def test_q6_pushes_every_predicate_to_scan(spark, sf):
         assert col in pushed, (col, pushed)
     c = plan_counts(df)
     assert c["python_evals"] == 0, c
+
+
+def test_lsh_candidates_no_self_join(spark):
+    """Candidate generation is one bucket aggregation + in-array pair
+    expansion — NO join of any kind and no window sort in the plan."""
+    from tabata_spark.operators.dedup import minhash_candidates
+
+    sig = spark.createDataFrame(
+        [(i, list(range(8))) for i in range(4)], "doc_id long, sig array<bigint>"
+    )
+    c = plan_counts(minhash_candidates(sig, bands=4, rows=2))
+    assert c["broadcast_joins"] + c["sortmerge_joins"] + c["shuffle_hash_joins"] == 0
+    assert c["windows"] == 0
