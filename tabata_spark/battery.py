@@ -1936,6 +1936,88 @@ def split_assign(spark, sf_dir):
     return hash_split(docs).select("doc_id", "bucket", "split").orderBy("doc_id")
 
 
+@register(
+    "decontaminate",
+    """
+    WITH ev_docs AS (
+      SELECT text FROM documents WHERE doc_id % 50 = 0
+    ), tr AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    ), evsh AS (
+      SELECT DISTINCT unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM (SELECT string_split(text, ' ') AS t FROM ev_docs)
+    ), trsh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tr)
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM trsh JOIN evsh USING (sh)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(h.n_hit, 0) > 0 AS contaminated
+    FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with a held-out eval set (doc_id % 50 here). The eval
+    shingle set is small → broadcast; the corpus side is one explode +
+    one map-side-combinable count — the standard n-gram-overlap
+    decontam pass at any scale."""
+    from tabata_spark.operators.packing import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_flags(tr, ev).orderBy("doc_id")
+
+
+@register(
+    "pack_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1073741824 AS h
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens, h % 4 AS shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY h % 4 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM base
+    )
+    SELECT doc_id, n_tokens, shard, start_offset,
+           start_offset // 512 AS chunk, start_offset % 512 AS chunk_offset
+    FROM packed ORDER BY doc_id
+    """,
+)
+def pack_chunks(spark, sf_dir):
+    """Sequence packing for pre-training: deterministic salted-hash
+    shard + order, exclusive prefix sum of token counts, chunk = start
+    offset // budget (GPT-style concat-and-chunk; boundary-crossing
+    docs belong to their start chunk). One window per uniform shard
+    key — no global sort at 100 TB; shards map to reader streams. The
+    oracle replays the identical hash, order, and prefix sum."""
+    from tabata_spark.operators.packing import pack_sequences
+    from tabata_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return pack_sequences(
+        docs, budget=512, n_shards=4, salt="pack"
+    ).orderBy("doc_id")
+
+
 def _vocab_topk_impl(spark, sf_dir):
     from tabata_spark.operators.text import tokens
 
