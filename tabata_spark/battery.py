@@ -804,6 +804,41 @@ def w_tumbling(spark, sf_dir):
 
 
 @register(
+    "w_sliding",
+    """
+    SELECT CAST(epoch(ws) AS DOUBLE) AS win_start_s,
+           CAST(epoch(ws + INTERVAL '1 hour') AS DOUBLE) AS win_end_s,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM (
+      SELECT e.value,
+             time_bucket(INTERVAL '30 minutes', CAST(e.ts AS TIMESTAMP))
+               - k.k * INTERVAL '30 minutes' AS ws
+      FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    GROUP BY ws ORDER BY win_start_s
+    """,
+)
+def w_sliding(spark, sf_dir):
+    """Sliding (overlapping) event-time windows, 1 h width / 30 min
+    slide — streaming twin of streaming.windows.sliding_agg (identical
+    expression under a watermark). The oracle enumerates each event's
+    two containing windows via a cross join on the slide index."""
+    from tabata_spark.streaming.windows import sliding_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sliding_agg(ev, width="1 hour", slide="30 minutes")
+        .select(
+            F.col("win_start").cast("double").alias("win_start_s"),
+            F.col("win_end").cast("double").alias("win_end_s"),
+            "n",
+            "avg_value",
+        )
+        .orderBy("win_start_s")
+    )
+
+
+@register(
     "w_sessionize",
     SIGNALS_CTE
     + """
