@@ -1,0 +1,106 @@
+"""Dedup-pipeline scale probe: run the fused MinHash near-dup
+pipeline + cluster resolution on a distributed synthetic corpus of
+N docs (default 1M) with planted duplicate groups, and report wall
+times + docs/sec. Evidence for the 100 TB dedup design claims:
+
+    python tools/dedup_probe.py [n_docs] [dup_rate]
+
+The corpus is generated distributed (no driver data): each doc is
+~40 tokens drawn deterministically from its id; a ``dup_rate``
+fraction of docs are exact copies of a base doc (clustered ids), so
+the pipeline has real work to find and the recall is checkable.
+Everything is measured AFTER the corpus is materialized to Parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dup_rate = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        near_dup_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+    from tabata_spark.session import get_spark
+
+    spark = get_spark("dedup-probe")
+    out: dict[str, float | int] = {}
+
+    # distributed corpus: base id collapses a dup_rate fraction of ids
+    # onto their cluster head (groups of 4), text is a deterministic
+    # token sequence of the base id
+    ids = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    base = F.when(
+        F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(1_000_000))
+        < int(dup_rate * 1_000_000),
+        (F.col("doc_id") / 4).cast("long") * 4,
+    ).otherwise(F.col("doc_id"))
+    tok = lambda i: F.concat(
+        F.lit("w"), F.pmod(F.xxhash64(F.col("__base"), F.lit(i)), F.lit(50_000))
+    )
+    corpus = ids.withColumn("__base", base).select(
+        "doc_id",
+        F.concat_ws(" ", *[tok(i) for i in range(40)]).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dedup_probe_")
+    path = os.path.join(tmp, "corpus")
+    t0 = time.perf_counter()
+    corpus.write.mode("overwrite").parquet(path)
+    out["generate_write_s"] = round(time.perf_counter() - t0, 2)
+    docs = spark.read.parquet(path)
+
+    def probe(name, thunk):
+        t = time.perf_counter()
+        n = thunk()
+        out[name] = round(time.perf_counter() - t, 2)
+        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        return n
+
+    probe("exact_dedup", lambda: exact_dedup(docs).count())
+    pairs = near_dup_pairs(
+        docs, num_hashes=32, bands=16, rows=2, threshold=0.8, max_bucket_size=50
+    )
+    pairs = pairs.persist()
+    n_pairs = probe("minhash_verified_pairs", lambda: pairs.count())
+    probe(
+        "cluster_resolution",
+        lambda: connected_components(
+            pairs.select("id_a", "id_b"), materialize="persist"
+        ).count(),
+    )
+    fp = simhash(docs)
+    probe(
+        "simhash_pairs",
+        lambda: simhash_near_pairs(fp, max_hamming=3, max_bucket_size=50).count(),
+    )
+
+    out.update(
+        {
+            "n_docs": n_docs,
+            "dup_rate": dup_rate,
+            "n_verified_pairs": n_pairs,
+            "docs_per_sec_minhash": round(
+                n_docs / max(out["minhash_verified_pairs"], 1e-9)
+            ),
+        }
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
