@@ -233,20 +233,51 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     materialize: str | None = "persist",
     shingles: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs:
     (id_a, id_b, jaccard), filtered at ``threshold``.
 
     With ``candidates`` given (e.g. from minhash LSH), ONLY those
-    pairs are verified — the 100 TB path: the intersection is computed
-    by routing each candidate pair's left-doc shingles to the pair key
-    and equi-joining against the right doc's shingles on (id_b, sh).
-    Cost is linear in Σ|shingles(id_a)| over candidate pairs — no
-    self-join of the corpus shingle table ever happens, so the plan is
-    candidate-bounded regardless of corpus size. Without candidates,
-    the shingle-equi-join generates pairs sharing ≥1 shingle
+    pairs are verified — the 100 TB path: two equi-joins fetch each
+    pair's per-doc shingle ARRAYS (``shingle_arrays``: (id, sh_arr),
+    built here if absent) and the intersection is one JVM
+    ``array_intersect`` per pair — no exploded-shingle join at all.
+    The candidate frame is the small side (AQE broadcasts it), so the
+    corpus-sized array table is never reshuffled; cost is linear in
+    Σ(|sh(a)|+|sh(b)|) over candidate pairs, candidate-bounded
+    regardless of corpus size. Without candidates, the
+    shingle-equi-join generates pairs sharing ≥1 shingle
     (small-scale/oracle path; quadratic within shared-shingle groups).
     """
+    if candidates is not None:
+        if not {"id_a", "id_b"} <= set(candidates.columns):
+            raise ValueError("candidates must have columns id_a, id_b")
+        if shingle_arrays is not None:
+            arr = shingle_arrays  # pre-materialized by the caller
+        else:
+            arr = _materialize(
+                df.select(
+                    F.col(id_col).alias("id"),
+                    token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+                ),
+                materialize,
+            )
+        cand = candidates.select("id_a", "id_b")
+        joined = cand.join(
+            arr.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("__a")),
+            "id_a",
+        ).join(
+            arr.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("__b")),
+            "id_b",
+        )
+        n_inter = F.size(F.array_intersect("__a", "__b"))
+        jac = n_inter / (F.size("__a") + F.size("__b") - n_inter)
+        return (
+            joined.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     if shingles is not None:
         sh = shingles  # pre-materialized by the caller (fused pipeline)
     else:
@@ -258,28 +289,15 @@ def ngram_jaccard_pairs(
         # A-side, B-side) — materialize the explode once
         sh = _materialize(sh, materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if candidates is not None:
-        if not {"id_a", "id_b"} <= set(candidates.columns):
-            raise ValueError("candidates must have columns id_a, id_b")
-        cand = candidates.select("id_a", "id_b")
-        a_sh = cand.join(
-            sh.select(F.col("id").alias("id_a"), "sh"), "id_a"
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
         )
-        inter = (
-            a_sh.join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-    else:
-        inter = (
-            sh.alias("a")
-            .join(
-                sh.alias("b"),
-                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
-            )
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
@@ -315,21 +333,23 @@ def near_dup_pairs(
     max_bucket_size: int = 100,
     materialize: str | None = "persist",
 ) -> DataFrame:
-    """The fused MinHash near-dup pipeline: ONE shingle explode feeds
-    both the signature aggregation and the exact-Jaccard verifier
-    (the corpus text is scanned once, the shingle frame materialized
-    once), then signatures → banded LSH candidates → verified pairs
-    (id_a, id_b, jaccard ≥ threshold).
+    """The fused MinHash near-dup pipeline: the corpus is shingled
+    ONCE into per-doc arrays; the explode of those arrays feeds the
+    signature aggregation, and the arrays themselves feed the
+    exact-Jaccard verifier (array_intersect per candidate pair — no
+    exploded-shingle join). Signatures → banded LSH candidates →
+    verified pairs (id_a, id_b, jaccard ≥ threshold).
 
     This is the 100 TB entry point: cost = one corpus scan + one
-    shingle shuffle + the candidate-bounded verify join."""
-    sh = _materialize(
+    shingle shuffle (signatures) + the candidate-bounded verify."""
+    arr = _materialize(
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+            token_shingles(F.col(text), shingle_n).alias("sh_arr"),
         ),
         materialize,
     )
+    sh = arr.select("id", F.explode("sh_arr").alias("sh"))
     sig = minhash_signatures_from_shingles(sh, id_col="id", num_hashes=num_hashes)
     cand = minhash_candidates(
         sig,
@@ -346,7 +366,7 @@ def near_dup_pairs(
         shingle_n=shingle_n,
         threshold=threshold,
         candidates=cand,
-        shingles=sh,
+        shingle_arrays=arr,
     )
 
 
