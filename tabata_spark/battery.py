@@ -2141,6 +2141,39 @@ def text_repetition(spark, sf_dir):
 
 
 @register(
+    "mixture_uniform",
+    """
+    WITH obs AS (SELECT lang, count(*) AS w FROM documents GROUP BY lang),
+    k AS (SELECT count(*) AS ns FROM obs),
+    c AS (SELECT min(w / (1.0 / ns)) AS cap FROM obs, k),
+    frac AS (
+      SELECT lang, least(1.0, (1.0 / ns) * cap / w) AS keep FROM obs, k, c
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN frac USING (lang)
+    WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 10000 < keep * 10000
+    ORDER BY d.doc_id
+    """,
+)
+def mixture_uniform(spark, sf_dir):
+    """Domain mixing with DATA-DERIVED fractions: downsample each
+    language toward a uniform mixture, keeping the most-underrepresented
+    language whole (keep_s = min(1, t_s·C/w_s), C = min w_s/t_s). One
+    tiny strata aggregation broadcast back + the scan-stage salted-hash
+    predicate — the fact table never shuffles. The oracle rederives the
+    fractions and replays the identical hash."""
+    from tabata_spark.operators.sampling import mixture_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_rebalance(docs, "lang", salt="mix")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "sample_stratified",
     """
     SELECT doc_id, lang FROM (

@@ -527,6 +527,15 @@ def connected_components(
     Components in MapReduce"), which converges in O(log n) rounds with
     the same join-shaped rounds.
 
+    Each round references the previous labels twice (propagation +
+    convergence check), so the logical plan would DOUBLE per round —
+    the iterative-algorithm lineage explosion. Unless
+    ``materialize=None``, every round's labels are therefore
+    checkpointed eagerly (lineage truncated; this is the legitimate
+    localCheckpoint case — plan growth, not recompute, is the enemy).
+    Production clusters with a checkpoint dir configured can swap in
+    reliable ``.checkpoint()``.
+
     Returns (id, comp) — comp = min id reachable, fully deterministic
     (DuckDB recursive-CTE oracle-able).
     """
@@ -540,7 +549,11 @@ def connected_components(
         base = edges.select(F.col("src").alias("id")).distinct()
     else:
         base = nodes.select(F.col(id_col).alias("id")).distinct()
-    labels = _materialize(base.withColumn("comp", F.col("id")), materialize)
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df if materialize in (None, "none") else df.localCheckpoint(eager=True)
+
+    labels = cut(base.withColumn("comp", F.col("id")))
     for _ in range(max_iter):
         prop = (
             edges.join(
@@ -552,21 +565,20 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("c").alias("nc"))
         )
-        new_labels = labels.join(prop, "id", "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
-                "comp"
-            ),
+        new_labels = cut(
+            labels.join(prop, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
+                ).alias("comp"),
+            )
         )
-        new_labels = _materialize(new_labels, materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        if materialize == "persist":
-            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

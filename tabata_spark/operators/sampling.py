@@ -21,7 +21,7 @@ construction as operators.dedup.md5_token_hash), reduced mod
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,6 +78,57 @@ def hash_sample(
     return df.filter(
         hash_bucket(id_col, buckets=buckets, salt=salt)
         < int(round(fraction * buckets))
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str | Column = None,
+    target: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample strata so the kept corpus approaches a TARGET
+    mixture (default uniform) by weight (default rows; pass e.g. a
+    token-count column to mix by tokens) — the domain-mixing step of
+    a pre-training pipeline, with the per-stratum fractions DERIVED
+    FROM THE DATA rather than supplied.
+
+    For stratum s with observed weight w_s and target share t_s, the
+    keep-fraction is ``min(1, t_s * C / w_s)`` where C = min over
+    strata of w_s / t_s — i.e. the largest corpus achievable by pure
+    downsampling (the most-underrepresented stratum is kept whole).
+    Membership uses the same salted-hash bucket as
+    :func:`stratified_hash_sample`, so the result is deterministic
+    and engine-checkable.
+
+    Plan shape: one tiny aggregation over strata (broadcast back) +
+    the scan-stage hash predicate; no shuffle of the fact table.
+    """
+    w = F.lit(1) if weight_col is None else (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    )
+    obs = df.groupBy(strata_col).agg(F.sum(w).alias("__w"))
+    if target:
+        tgt = F.lit(None).cast("double")
+        for k, share in sorted(target.items()):
+            tgt = F.when(F.col(strata_col) == k, F.lit(share)).otherwise(tgt)
+        obs = obs.withColumn("__t", tgt).filter(F.col("__t").isNotNull())
+    else:
+        n_strata = F.count(F.lit(1)).over(Window.partitionBy())
+        obs = obs.withColumn("__t", 1.0 / n_strata)
+    cap = F.min(F.col("__w") / F.col("__t")).over(Window.partitionBy())
+    frac = obs.select(
+        strata_col,
+        F.least(F.lit(1.0), F.col("__t") * cap / F.col("__w")).alias("__keep"),
+    )
+    b = hash_bucket(id_col, buckets=buckets, salt=salt)
+    return (
+        df.join(F.broadcast(frac), strata_col)
+        .filter(b < F.col("__keep") * buckets)
+        .drop("__keep")
     )
 
 

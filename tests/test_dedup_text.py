@@ -296,3 +296,51 @@ def test_repetition_columns(spark):
     assert rows[2]["dr"] == 1.0 and rows[2]["dbf"] == 0.0
     assert rows[3]["dr"] == pytest.approx(1 / 3, abs=1e-6)
     assert rows[3]["dbf"] == 0.6  # 2 distinct bigrams of 5
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: component assignment equals a driver union-find on
+    random graphs (seeded), including min-id canonical labels."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for x in {v for e in edges for v in e}:
+            # canonical min id: root found by union-by-min
+            r = find(x)
+            expected[x] = min(
+                y for y in range(n) if find(y) == r
+            )
+        from tabata_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        # persist matters here: without it every propagation round
+        # recomputes the whole lineage and chain-heavy random graphs
+        # go superlinear
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs, materialize="persist").collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -80,3 +80,26 @@ def test_bucket_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_mixture_rebalance_toward_uniform(ids):
+    from tabata_spark.operators.sampling import mixture_rebalance
+
+    # 'en' ≈ 1/3 of rows, 'fr' ≈ 2/3 → uniform target halves 'fr'
+    out = mixture_rebalance(ids, "lang")
+    n = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in ids.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n["en"] == tot["en"]  # most-underrepresented stratum kept whole
+    # fr downsampled to ≈ en's weight
+    assert abs(n["fr"] / tot["en"] - 1.0) < 0.1
+
+
+def test_mixture_rebalance_explicit_target(ids):
+    from tabata_spark.operators.sampling import mixture_rebalance
+
+    out = mixture_rebalance(ids, "lang", target={"en": 0.75, "fr": 0.25})
+    n = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # en (1/3 of rows) is under target 0.75 → kept whole; fr ≈ en/3
+    tot = {r["lang"]: r["n"] for r in ids.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n["en"] == tot["en"]
+    assert abs(n["fr"] / (tot["en"] / 3) - 1.0) < 0.15
