@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_lsh_ann",
     "sim_ivf_ann",
+    "sim_neardup_lsh",
 ]
 
 

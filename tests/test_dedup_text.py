@@ -344,3 +344,37 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(pairs, materialize="persist").collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_lsh_neardup_planted_duplicate_recall(spark):
+    """Identical embeddings share every band signature, so a planted
+    exact-duplicate pair is ALWAYS a candidate and always verifies at
+    any threshold — the structural recall guarantee of the banded
+    hyperplane scheme."""
+    import numpy as np
+
+    from tabata_spark.operators.similarity import (
+        lsh_neardup_pairs,
+        random_planes,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    base = rng.standard_normal((50, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    # plant exact duplicates: 100+i duplicates i
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(0, 20, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = random_planes(dim, n_planes=24, seed=11)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            df, planes, bands=4, threshold=0.99
+        ).collect()
+    }
+    assert {(i, 100 + i) for i in range(0, 20, 5)} <= got
+    # and nothing below the verify threshold leaks through
+    assert all(
+        r["cosine"] >= 0.99
+        for r in lsh_neardup_pairs(df, planes, bands=4, threshold=0.99).collect()
+    )
