@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_pii",
     "multimodal_features",
     "sim_topk_cosine",
     "sim_lsh_ann",

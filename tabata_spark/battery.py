@@ -2461,3 +2461,63 @@ def sim_neardup_lsh(spark, sf_dir):
 
 
 ORACLES["sim_neardup_lsh"] = _sim_neardup_lsh_oracle(6, 8, 0.45, 500)
+
+
+def _text_pii_oracle() -> str:
+    """Oracle for text_pii: rebuild the same deterministic PII-bearing
+    text from doc_id, replay the engine-portable RE2 patterns for
+    counting and ordered redaction, and md5 the redacted string."""
+    from tabata_spark.operators.text import PII_PATTERNS
+
+    synth = (
+        "text || ' contact user' || doc_id::VARCHAR"
+        " || '@mail.example.com srv 10.' || (doc_id % 250)::VARCHAR"
+        " || '.0.' || (doc_id % 9)::VARCHAR"
+        " || ' tel +1 555-' || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0')"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(s, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    red = "s"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+    WITH synth AS (SELECT doc_id, {synth} AS s FROM documents)
+    SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+    FROM synth ORDER BY doc_id
+    """
+
+
+@register("text_pii", None)
+def text_pii(spark, sf_dir):
+    """PII detection + redaction (training-data pipeline op): count
+    emails / IPv4s / phones and redact them in pattern order — pure
+    scan-stage regexp Column expressions, linear at any corpus size.
+    The corpus text is digit-free, so each doc gets a deterministic
+    doc_id-derived PII suffix appended IN the query (the oracle
+    rebuilds the same string); md5 of the redacted text proves the
+    replacements — positions, order, and all — match exactly."""
+    from tabata_spark.operators.text import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com srv 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(" tel +1 555-"),
+        F.lpad(((F.col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+    )
+    base = docs.select("doc_id", synth.alias("s"))
+    return base.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in pii_counts(F.col("s")).items()],
+        F.md5(pii_redact(F.col("s")).cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLES["text_pii"] = _text_pii_oracle()

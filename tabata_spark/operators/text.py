@@ -172,3 +172,43 @@ def with_text_analysis(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text))
         .withColumn("norm_hash", normalized_hash(text))
     )
+
+
+# ---------------------------------------------------------------------
+# PII detection / redaction (training-data pipeline op). Patterns are
+# deliberately RE2-compatible (no lookaround, ASCII classes) so any
+# SQL engine with RE2/Java regexes computes identical matches — the
+# oracle replays them verbatim. Counting and redaction are plain
+# regexp_count / regexp_replace Column expressions: scan-stage, no
+# shuffle, linear at any corpus size.
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters for redaction: emails first (their domain part
+    # would otherwise leave '@'-less remnants that still look like
+    # hostnames), then IPs, then phones.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\+?\d{1,3}[-\s]\d{3,4}[-\s]\d{4}",
+}
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-kind match counts, e.g. ``{'email': n_email, ...}``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def pii_redact(text: str | Column) -> Column:
+    """Replace every PII match with ``[KIND]``, in PII_PATTERNS order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+def with_pii_analysis(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds n_<kind> count columns and a ``redacted`` column."""
+    out = df
+    for kind, col in pii_counts(text).items():
+        out = out.withColumn(f"n_{kind}", col)
+    return out.withColumn("redacted", pii_redact(text))

@@ -378,3 +378,26 @@ def test_lsh_neardup_planted_duplicate_recall(spark):
         r["cosine"] >= 0.99
         for r in lsh_neardup_pairs(df, planes, bands=4, threshold=0.99).collect()
     )
+
+
+def test_pii_counts_and_redaction(spark):
+    from tabata_spark.operators.text import with_pii_analysis
+
+    rows = [
+        (0, "mail me at alice.smith+x@sub.example.org or bob@ex.io today"),
+        (1, "server 10.0.255.3 talked to 192.168.1.77"),
+        (2, "call +44 7700-9001 or 1 555-0100 now"),
+        (3, "clean text with no identifiers at all"),
+        (4, "mixed: c@d.co from 8.8.8.8 tel +1 555-0199"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_pii_analysis(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (2, 0, 0)
+    assert got[0]["redacted"] == "mail me at [EMAIL] or [EMAIL] today"
+    assert (got[1]["n_email"], got[1]["n_ipv4"]) == (0, 2)
+    assert got[1]["redacted"] == "server [IPV4] talked to [IPV4]"
+    assert got[2]["n_phone"] == 2
+    assert got[2]["redacted"] == "call [PHONE] or [PHONE] now"
+    assert got[3]["redacted"] == rows[3][1]
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[4]["redacted"] == "mixed: [EMAIL] from [IPV4] tel [PHONE]"
