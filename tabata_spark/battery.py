@@ -2838,3 +2838,61 @@ def q8_market_share(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "dedup_lines",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ls AS (
+      SELECT doc_id, list_transform(
+          generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1),
+          i -> array_to_string(list_slice(t, i*8+1, i*8+8), ' ')) AS ll
+      FROM toks
+    ),
+    lines AS (
+      SELECT doc_id, unnest(ll) AS line,
+             unnest(generate_series(1, len(ll))) AS ord
+      FROM ls
+    ),
+    boiler AS (
+      SELECT line
+      FROM (SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY line)
+      WHERE n > 1
+    ),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+    agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY ord) AS s,
+                   count(*) AS nk
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS nt FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.nt - coalesce(a.nk, 0) AS n_removed,
+           md5(coalesce(a.s, '')) AS clean_md5
+    FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def dedup_lines(spark, sf_dir):
+    """C4-style line-level boilerplate removal: lines occurring in
+    more than one document are dropped from every document, surviving
+    lines reassembled in order. The corpus is single-line, so "lines"
+    are synthesized as 8-token chunks in-query (the oracle rebuilds
+    the same chunks); md5 of the reassembled text proves the removal
+    set AND the order-preserving reassembly match exactly."""
+    from tabata_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select("doc_id", chunks.alias("lines"))
+    return (
+        line_dedup(lined, max_docs=1)
+        .select(
+            "doc_id",
+            "n_removed",
+            F.md5(F.array_join("lines", " ").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

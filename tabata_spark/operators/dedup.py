@@ -633,3 +633,65 @@ def minhash_lsh_mllib(
             F.round("jaccard_distance", 6).alias("jaccard_distance"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    materialize: str | None = "persist",
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/RefinedWeb pipeline
+    step): any line occurring in MORE than ``max_docs`` distinct
+    documents is dropped from every document; each document's
+    surviving lines are reassembled in their original order.
+
+    Plan: posexplode lines → per-line distinct-doc count (two
+    uniform-key aggregations — line-hash dedup then count, both
+    map-side combinable) → broadcast-friendly anti-join of the
+    exploded frame against the boilerplate line set → order-preserving
+    re-aggregation via array_sort(collect_list(struct(pos, line))).
+    The shuffle carries the 60-bit engine-portable md5 line hash
+    (:func:`md5_token_hash`), never the line text, so the wide columns
+    stay scan-side. Nothing is quadratic; every stage keys on uniform
+    hashes. At 100 TB the boilerplate set (lines with df > max_docs)
+    is the only state that moves to every executor — cap it upstream
+    with a df ceiling if an adversarial corpus makes it large.
+
+    Returns (id, lines, n_removed) with ``lines`` = surviving lines
+    in order.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(lines_col).alias("pos", "line")
+    ).withColumn("lh", md5_token_hash(F.col("line")))
+    ex = _materialize(ex, materialize)
+    boiler = (
+        ex.select("lh", "__id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > max_docs)
+        .select("lh")
+    )
+    kept = ex.join(boiler, "lh", "left_anti")
+    n_lines = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_total"))
+    out = (
+        kept.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ).alias("lines"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+        .join(n_lines, "__id", "right")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("lines", F.array().cast("array<string>")).alias("lines"),
+            (F.col("__n_total") - F.coalesce("__n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+    return out

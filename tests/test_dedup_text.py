@@ -401,3 +401,28 @@ def test_pii_counts_and_redaction(spark):
     assert got[3]["redacted"] == rows[3][1]
     assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
     assert got[4]["redacted"] == "mixed: [EMAIL] from [IPV4] tel [PHONE]"
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    from tabata_spark.operators.dedup import line_dedup
+
+    rows = [
+        (0, ["COOKIE BANNER", "alpha", "beta", "FOOTER"]),
+        (1, ["COOKIE BANNER", "gamma", "FOOTER"]),
+        (2, ["delta", "epsilon"]),
+        (3, ["COOKIE BANNER", "FOOTER"]),  # fully boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {r["doc_id"]: r for r in line_dedup(df, max_docs=1).collect()}
+    assert got[0]["lines"] == ["alpha", "beta"] and got[0]["n_removed"] == 2
+    assert got[1]["lines"] == ["gamma"] and got[1]["n_removed"] == 2
+    assert got[2]["lines"] == ["delta", "epsilon"] and got[2]["n_removed"] == 0
+    # fully-boilerplate doc survives with an empty line list
+    assert got[3]["lines"] == [] and got[3]["n_removed"] == 2
+    # both boilerplate lines live in exactly 3 docs: max_docs=2 still
+    # drops them, max_docs=3 tolerates everything
+    got2 = {r["doc_id"]: r for r in line_dedup(df, max_docs=2).collect()}
+    assert got2[0]["n_removed"] == 2
+    got3 = {r["doc_id"]: r for r in line_dedup(df, max_docs=3).collect()}
+    assert got3[0]["n_removed"] == 0
+    assert got3[0]["lines"] == ["COOKIE BANNER", "alpha", "beta", "FOOTER"]
