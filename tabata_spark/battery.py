@@ -2896,3 +2896,210 @@ def dedup_lines(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_topfrac",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','a','in','is','that'))) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) AS n_chars_q
+      FROM documents
+    ),
+    comps AS (
+      SELECT doc_id, source,
+             round(n_nonspace * 1.0 / n_tokens, 6) AS mtl,
+             round(stop_hits * 1.0 / n_tokens, 6) AS sr,
+             round(n_punct * 1.0 / n_chars_q, 6) AS pr,
+             round(n_digit * 1.0 / n_chars_q, 6) AS dr
+      FROM q
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round((
+               (CASE WHEN mtl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+               + least(sr * 4, 1.0)
+               + greatest(0.0, 1.0 - (pr + dr) * 2)
+             ) / 3, 6) AS quality
+      FROM comps
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, quality FROM ranked
+    WHERE rk <= ceil(n * 0.3)
+    ORDER BY doc_id
+    """,
+)
+def quality_topfrac(spark, sf_dir):
+    """Per-domain quality filtering: keep the top 30% of each source
+    by composite quality score — rank-based, so the kept fraction is
+    exact per stratum however the scores are distributed (a global
+    threshold would over-prune weak domains). One window sort on the
+    strata key; ties break on doc_id for cross-engine determinism."""
+    from tabata_spark.operators.sampling import top_fraction_per_stratum
+    from tabata_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    return top_fraction_per_stratum(
+        scored, 0.3, "quality", "source", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+@register(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-part average decorrelates into one aggregate keyed by partkey
+    — computed ONLY over the brand's parts (the filter semi-reduces
+    the aggregation input before it runs), then broadcast back. The
+    fact table is scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    avg_q = (
+        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("q_cut"))
+        .withColumnRenamed("l_partkey", "cut_pk")
+    )
+    return (
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("cut_pk"))
+        .filter(F.col("l_quantity") < F.col("q_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting — adapted
+    to l_shipdate > o_orderdate + 60d since the testdata carries no
+    receipt/commit dates): the EXISTS/NOT-EXISTS pair over other
+    suppliers of the same order decorrelates into ONE per-order
+    aggregate — count of distinct suppliers and count of distinct
+    LATE suppliers — joined back; the semi/anti pair costs a single
+    extra scan instead of two correlated probes."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    lo = li.join(
+        o.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    nat = n.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    return (
+        lo.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select(F.col("l_orderkey").alias("po_ok")),
+            F.col("l_orderkey") == F.col("po_ok"),
+            "inner",
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q22_global_sales",
+    """
+    SELECT substr(c_name, 10, 1) AS cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape (promising inactive customers): scalar
+    subquery (global average, one row, broadcast as a literal-like
+    cross join) + NOT EXISTS as a LEFT ANTI join against order
+    custkeys. Neither side is scanned twice; the anti-join build side
+    is the distinct custkey projection only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

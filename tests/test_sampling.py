@@ -103,3 +103,27 @@ def test_mixture_rebalance_explicit_target(ids):
     tot = {r["lang"]: r["n"] for r in ids.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert n["en"] == tot["en"]
     assert abs(n["fr"] / (tot["en"] / 3) - 1.0) < 0.15
+
+
+def test_top_fraction_per_stratum_exact_and_stable(ids):
+    from tabata_spark.operators.sampling import top_fraction_per_stratum
+
+    scored = ids.withColumn("score", (F.col("doc_id") * 7919 % 1000) / 1000.0)
+    out = top_fraction_per_stratum(scored, 0.25, "score", "lang")
+    tot = {r["lang"]: r["n"] for r in scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    for lang, n in tot.items():
+        assert got[lang] == math.ceil(n * 0.25), lang
+    # kept docs are the top scorers: min kept >= max dropped per stratum
+    kept_ids = {r["doc_id"] for r in out.collect()}
+    for lang in tot:
+        rows = sorted(
+            scored.filter(F.col("lang") == lang).collect(),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )
+        expect = {r["doc_id"] for r in rows[: math.ceil(len(rows) * 0.25)]}
+        assert {r["doc_id"] for r in out.filter(F.col("lang") == lang).collect()} == expect
+    # stable under repartition
+    out2 = top_fraction_per_stratum(scored.repartition(13), 0.25, "score", "lang")
+    assert {r["doc_id"] for r in out2.collect()} == kept_ids
