@@ -89,6 +89,60 @@ def main():
         lambda: simhash_near_pairs(fp, max_hamming=3, max_bucket_size=50).count(),
     )
 
+    # line-level boilerplate removal: lines = 8-token chunks (5/doc);
+    # dup groups share all their chunks, so there is real boilerplate
+    from tabata_spark.operators.dedup import line_dedup
+
+    toks = F.split("text", " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(4)),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select("doc_id", chunks.alias("lines"))
+    probe(
+        "line_dedup",
+        lambda: line_dedup(lined, max_docs=3)
+        .agg(F.sum("n_removed"))
+        .collect()[0][0],
+    )
+
+    # embedding near-dup: deterministic 32-dim embeddings from the
+    # text hash (dup groups → identical vectors), banded hyperplane
+    # LSH + cosine verify
+    from tabata_spark.operators.similarity import lsh_neardup_pairs, random_planes
+
+    emb = docs.select(
+        "doc_id",
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64("text", F.lit(i)), F.lit(2001)) - 1000
+                ).cast("float")
+                / 1000.0
+                for i in range(32)
+            ]
+        ).alias("embedding"),
+    )
+    # band width must scale with the corpus TWICE over: buckets per
+    # band ≈ n/2^bits must keep buckets under the cap, AND random
+    # birthday collisions ≈ n²/2^(bits+1) per band must stay small
+    # relative to true pairs (8-bit bands → every bucket over the
+    # cap; 16-bit → 40M random candidates drown the verifier). 24-bit
+    # bands put 1M uniform vectors at ~30k random collisions/band
+    # while exact dups still collide with probability 1 in every band.
+    planes = random_planes(32, n_planes=96, seed=7)
+    probe(
+        "embedding_lsh_neardup",
+        lambda: lsh_neardup_pairs(
+            emb,
+            planes,
+            bands=4,
+            threshold=0.99,
+            id_col="doc_id",
+            max_bucket_size=50,
+        ).count(),
+    )
+
     out.update(
         {
             "n_docs": n_docs,
