@@ -3103,3 +3103,88 @@ def q22_global_sales(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "text_unigram_ppl",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    scalars AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+    SELECT doc_id,
+           round(avg(ln((c + 1.0) / (n + v))), 6) AS mean_logprob
+    FROM tok JOIN vocab USING (tok), scalars
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_ppl(spark, sf_dir):
+    """CCNet-style perplexity-proxy scoring: mean log-likelihood of
+    each document under the corpus' OWN add-one-smoothed unigram
+    distribution (the LM is derived from the data, not shipped in).
+    One vocabulary aggregation + one token join + one per-doc mean —
+    all uniform-key stages. The oracle rebuilds the same model and
+    replays the smoothing arithmetic."""
+    from tabata_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        unigram_logprob(docs)
+        .select("doc_id", F.round("mean_logprob", 6).alias("mean_logprob"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+      AND (id_a >= 1000000 OR id_b >= 1000000)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: a batch of NEW documents (every 5th
+    doc re-arriving as an exact copy under a fresh id) deduped against
+    the existing corpus AND within itself — never corpus×corpus. The
+    corpus' banded rows are semi-joined to the batch's bucket keys
+    before any bucket state builds, so the recurring-pipeline cost
+    scales with the batch. Oracle = all-pairs ground truth restricted
+    to pairs touching the batch; hash-match proves the incremental
+    path loses no true pair AND emits no corpus-internal pair."""
+    from tabata_spark.operators.dedup import incremental_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return incremental_near_dup(
+        docs.select("doc_id", "text"), new, threshold=0.8
+    ).orderBy("id_a", "id_b")

@@ -189,6 +189,22 @@ def bucket_candidate_pairs(
     )
 
 
+def _band_hash_array(bands: int, rows: int) -> Column:
+    """Array of per-band hashes over a ``sig`` signature column:
+    band b = xxhash64 of its ``rows`` signature slots, salted by b."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ":", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_candidates(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -205,19 +221,9 @@ def minhash_candidates(
     Probability a pair with Jaccard s collides: 1-(1-s^rows)^bands.
     ``materialize`` is unused here (the banded frame is consumed once)
     and kept for signature compatibility."""
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ":", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sig.select(
-        F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
+        F.col(id_col).alias("__id"),
+        F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
     )
     return bucket_candidate_pairs(
         banded, ["band", "bh"], "__id", max_bucket_size=max_bucket_size
@@ -695,3 +701,84 @@ def line_dedup(
         )
     )
     return out
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+    max_bucket_size: int = 100,
+    materialize: str | None = "persist",
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch: new×corpus and new×new, never
+    corpus×corpus — the recurring-ingest shape. A growing corpus must
+    not re-pair itself on every arrival; pairs among already-ingested
+    documents were resolved when they arrived, so each batch pays only
+    for buckets it touches.
+
+    Pass ``corpus_sigs`` (the stored signature table — (id, sig), the
+    natural thing to persist between ingests) to skip recomputing
+    corpus signatures; only the new batch is shingled then. The
+    corpus' banded rows are semi-joined to the batch's bucket keys
+    BEFORE any aggregation, so bucket state is bounded by the batch's
+    bucket membership, not the corpus'; pair expansion keeps a pair
+    only if at least one side is new. Verification is the
+    candidate-bounded exact-Jaccard path over both frames' shingle
+    arrays. Cost scales with the batch and its collisions; the corpus
+    contributes only rows that share a bucket with the batch.
+    """
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, text, id_col, num_hashes, shingle_n)
+    new_sigs = minhash_signatures(new, text, id_col, num_hashes, shingle_n)
+    band_arr = _band_hash_array(bands, rows)
+    b_old = corpus_sigs.select(
+        F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
+    ).withColumn("is_new", F.lit(False))
+    b_new = new_sigs.select(
+        F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
+    ).withColumn("is_new", F.lit(True))
+    new_keys = b_new.select("band", "bh").distinct()
+    banded = b_old.join(new_keys, ["band", "bh"], "left_semi").unionByName(b_new)
+    bucket = banded.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list(F.struct("__id", "is_new"))).alias("items")
+    )
+    if max_bucket_size:
+        bucket = bucket.filter(F.size("items") <= max_bucket_size)
+    items = F.col("items")
+    n = F.size(items)
+    expanded = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, n),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    (x["is_new"] | y["is_new"]).alias("any_new"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        bucket.select(F.explode(expanded).alias("p"))
+        .filter(F.col("p.any_new"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    both = corpus.select(id_col, text).unionByName(new.select(id_col, text))
+    return ngram_jaccard_pairs(
+        both,
+        text=text,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        candidates=cand,
+        materialize=materialize,
+    )

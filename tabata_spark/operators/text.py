@@ -212,3 +212,47 @@ def with_pii_analysis(df: DataFrame, text: str = "text") -> DataFrame:
     for kind, col in pii_counts(text).items():
         out = out.withColumn(f"n_{kind}", col)
     return out.withColumn("redacted", pii_redact(text))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus' own
+    (add-alpha smoothed) unigram distribution — the perplexity-proxy
+    filter of a CCNet-style pipeline, with the language model derived
+    from the data instead of shipped in. Low scores flag documents
+    whose token distribution diverges from the corpus (gibberish,
+    wrong language, boilerplate soup).
+
+    p(tok) = (count(tok) + alpha) / (N + alpha·V); score = mean over
+    the doc's tokens of ln p(tok); ppl = exp(-score).
+
+    Plan: one explode + vocabulary count (uniform token keys,
+    map-side combinable), the two scalars (N, V) reduced and folded
+    back via broadcast cross-join, then token⋈vocab (vocabulary-sized
+    build side — broadcast when the vocabulary is capped, shuffle
+    hash join on uniform keys otherwise) and one per-doc mean. Every
+    stage is linear; nothing depends on corpus² anywhere."""
+    tok = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text)).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scalars = vocab.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    p = (F.col("c") + F.lit(alpha)) / (
+        F.col("N") + F.lit(alpha) * F.col("V")
+    )
+    scored = (
+        tok.join(vocab, "tok")
+        .join(F.broadcast(scalars))
+        .select("__id", F.log(p).alias("lp"))
+        .groupBy("__id")
+        .agg(F.avg("lp").alias("mean_logprob"))
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "mean_logprob",
+        F.exp(-F.col("mean_logprob")).alias("ppl"),
+    )

@@ -426,3 +426,59 @@ def test_line_dedup_removes_boilerplate_preserves_order(spark):
     got3 = {r["doc_id"]: r for r in line_dedup(df, max_docs=3).collect()}
     assert got3[0]["n_removed"] == 0
     assert got3[0]["lines"] == ["COOKIE BANNER", "alpha", "beta", "FOOTER"]
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    from tabata_spark.operators.text import unigram_logprob
+
+    rows = [
+        (0, "a a a a"),        # all common tokens
+        (1, "a a a z"),        # one rare token
+        (2, "z z z z"),        # wait -- z now common too
+    ]
+    # corpus: a×7, z×5 → N=12, V=2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    pa = math.log((7 + 1) / (12 + 2))
+    pz = math.log((5 + 1) / (12 + 2))
+    assert got[0]["mean_logprob"] == pytest.approx(pa)
+    assert got[1]["mean_logprob"] == pytest.approx((3 * pa + pz) / 4)
+    assert got[2]["mean_logprob"] == pytest.approx(pz)
+    # more-typical docs score higher; ppl = exp(-score)
+    assert got[0]["mean_logprob"] > got[1]["mean_logprob"] > got[2]["mean_logprob"]
+    assert got[1]["ppl"] == pytest.approx(math.exp(-got[1]["mean_logprob"]))
+
+
+def test_incremental_near_dup_scopes_pairs(spark):
+    """new×corpus and new×new pairs are found; corpus×corpus pairs —
+    even exact duplicates — are never re-emitted."""
+    from tabata_spark.operators.dedup import incremental_near_dup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # old dup: resolved long ago
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # dup of 0 and 1
+            (11, "one two three four five six seven"),    # dup of 2
+            (12, "one two three four five six seven"),    # new×new dup with 11
+            (13, "totally novel content nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_dup(corpus, new, threshold=0.8).collect()
+    }
+    assert (0, 10) in got and (1, 10) in got
+    assert (2, 11) in got and (2, 12) in got
+    assert (11, 12) in got  # within-batch pair
+    assert (0, 1) not in got  # corpus-internal dup never re-emitted
+    assert all(a != 13 and b != 13 for a, b in got)
