@@ -163,6 +163,7 @@ def bucket_candidate_pairs(
     key_cols: list[str],
     id_col: str,
     max_bucket_size: int = 100,
+    precap: bool = False,
 ) -> DataFrame:
     """Candidate pairs from bucket membership rows (key_cols…, id):
     ONE aggregation (collect_list per bucket, size-capped) + in-array
@@ -172,11 +173,23 @@ def bucket_candidate_pairs(
     ``max_bucket_size`` drops buckets past the cap — the standard
     guard against quadratic blowup on hot buckets (boilerplate /
     low-entropy content): a 10k-doc bucket alone would emit 5·10⁷
-    pairs. The aggregation buffer holds at most the bucket's id list
-    (8 bytes/id); for adversarial corpora where a single degenerate
-    bucket could reach many millions of ids, pre-cap with a cheap
-    map-side-combinable count + broadcast anti-join before calling
-    this."""
+    pairs. By default over-cap buckets are still COLLECTED (then
+    filtered), so the aggregation buffer holds the full bucket's id
+    list. ``precap=True`` removes over-cap buckets BEFORE the
+    collect: a map-side-combinable count finds the hot keys (a tiny
+    set by construction — each is > cap) and a broadcast anti-join
+    drops their rows, so no aggregation buffer ever holds a
+    degenerate bucket. Same result, one extra cheap pass — use it on
+    adversarial/low-entropy corpora where a single bucket could reach
+    millions of ids."""
+    if precap and max_bucket_size:
+        hot = (
+            keyed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select(*key_cols)
+        )
+        keyed = keyed.join(F.broadcast(hot), key_cols, "left_anti")
     bucket = keyed.groupBy(*key_cols).agg(
         F.array_sort(F.collect_list(id_col)).alias("__ids")
     )
@@ -212,6 +225,7 @@ def minhash_candidates(
     rows: int = 4,
     max_bucket_size: int = 100,
     materialize: str | None = "persist",
+    precap: bool = False,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, then candidate
     pairs (id_a < id_b) per (band_idx, band_hash) bucket via
@@ -226,7 +240,11 @@ def minhash_candidates(
         F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
     )
     return bucket_candidate_pairs(
-        banded, ["band", "bh"], "__id", max_bucket_size=max_bucket_size
+        banded,
+        ["band", "bh"],
+        "__id",
+        max_bucket_size=max_bucket_size,
+        precap=precap,
     )
 
 
@@ -744,8 +762,12 @@ def incremental_near_dup(
     b_new = new_sigs.select(
         F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
     ).withColumn("is_new", F.lit(True))
+    # broadcast the batch's bucket keys: the corpus banded frame is
+    # filtered map-side — no corpus-sized shuffle ever happens
     new_keys = b_new.select("band", "bh").distinct()
-    banded = b_old.join(new_keys, ["band", "bh"], "left_semi").unionByName(b_new)
+    banded = b_old.join(F.broadcast(new_keys), ["band", "bh"], "left_semi").unionByName(
+        b_new
+    )
     bucket = banded.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(F.struct("__id", "is_new"))).alias("items")
     )
@@ -766,13 +788,31 @@ def incremental_near_dup(
             ),
         )
     )
-    cand = (
+    cand = _materialize(
         bucket.select(F.explode(expanded).alias("p"))
         .filter(F.col("p.any_new"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct(),
+        materialize,
+    )
+    # shingle ONLY candidate-touched docs: semi-join the union corpus
+    # to the candidate id set before the (expensive) shingle arrays
+    # are computed — verification cost stays candidate-bounded even
+    # though the corpus is arbitrarily large
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
     both = corpus.select(id_col, text).unionByName(new.select(id_col, text))
+    touched = both.join(ids, F.col(id_col) == F.col("id"), "left_semi")
+    arr = _materialize(
+        touched.select(
+            F.col(id_col).alias("id"),
+            token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+        ),
+        materialize,
+    )
     return ngram_jaccard_pairs(
         both,
         text=text,
@@ -781,4 +821,5 @@ def incremental_near_dup(
         threshold=threshold,
         candidates=cand,
         materialize=materialize,
+        shingle_arrays=arr,
     )

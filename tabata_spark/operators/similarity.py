@@ -276,6 +276,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     max_bucket_size: int = 500,
     sig_impl: str = "arrow",
+    precap: bool = False,
 ) -> DataFrame:
     """Corpus-wide embedding near-duplicate pairs — the scale path the
     per-label block join (:func:`pairwise_topk_per_label`) documents as
@@ -303,7 +304,11 @@ def lsh_neardup_pairs(
         df, planes, bands, vec_col=vec_col, id_col=id_col, impl=sig_impl
     )
     cand = bucket_candidate_pairs(
-        banded, ["band", "sig"], "__id", max_bucket_size=max_bucket_size
+        banded,
+        ["band", "sig"],
+        "__id",
+        max_bucket_size=max_bucket_size,
+        precap=precap,
     )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -482,3 +482,32 @@ def test_incremental_near_dup_scopes_pairs(spark):
     assert (11, 12) in got  # within-batch pair
     assert (0, 1) not in got  # corpus-internal dup never re-emitted
     assert all(a != 13 and b != 13 for a, b in got)
+
+
+def test_bucket_precap_equals_postcap(spark):
+    """precap drops hot buckets before the collect; result is
+    identical to the default post-collect filter."""
+    from tabata_spark.operators.dedup import bucket_candidate_pairs
+
+    rows = []
+    for i in range(40):
+        rows.append((i, 0, 7))  # hot bucket: 40 members > cap
+    for i in range(5):
+        rows.append((100 + i, 1, 9))  # normal bucket
+    rows.append((200, 2, 11))  # singleton
+    keyed = spark.createDataFrame(rows, "__id long, band int, bh long")
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_candidate_pairs(
+            keyed, ["band", "bh"], "__id", max_bucket_size=10
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_candidate_pairs(
+            keyed, ["band", "bh"], "__id", max_bucket_size=10, precap=True
+        ).collect()
+    }
+    assert a == b
+    # only the normal bucket's pairs survive: C(5,2) = 10
+    assert len(a) == 10 and all(100 <= x < 105 for p in a for x in p)

@@ -143,6 +143,27 @@ def main():
         ).count(),
     )
 
+    # incremental ingest: a 50k-doc batch (re-arrivals of corpus docs
+    # under fresh ids) deduped against the 1M corpus using the STORED
+    # signature table — the recurring-pipeline cost, to compare with
+    # the full minhash run above
+    from tabata_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs).persist()
+    probe("corpus_signatures_once", lambda: sigs.count())
+    batch = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    probe(
+        "incremental_50k_batch",
+        lambda: incremental_near_dup(
+            docs, batch, corpus_sigs=sigs, max_bucket_size=50
+        ).count(),
+    )
+
     out.update(
         {
             "n_docs": n_docs,
