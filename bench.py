@@ -47,6 +47,11 @@ HEADLINE = [
     "sim_lsh_ann",
     "sim_ivf_ann",
     "sim_neardup_lsh",
+    "dedup_lines",
+    "dedup_incremental",
+    "text_unigram_ppl",
+    "quality_topfrac",
+    "mixture_uniform",
 ]
 
 
