@@ -202,3 +202,49 @@ def test_lsh_candidates_no_self_join(spark):
     c = plan_counts(minhash_candidates(sig, bands=4, rows=2))
     assert c["broadcast_joins"] + c["sortmerge_joins"] + c["shuffle_hash_joins"] == 0
     assert c["windows"] == 0
+
+
+def test_mixture_rebalance_never_shuffles_fact_rows(spark, sf):
+    """The fact table meets only a broadcast join + scan-stage hash
+    predicate; the only exchanges move the tiny strata aggregates."""
+    df = battery.QUERIES["mixture_uniform"](spark, sf)
+    c = plan_counts(df)
+    assert c["sortmerge_joins"] == 0 and c["shuffle_hash_joins"] == 0, c
+    assert c["broadcast_joins"] >= 1, c
+    assert c["python_evals"] == 0, c
+
+
+def test_incremental_dedup_broadcasts_batch_keys(spark, sf):
+    """The corpus banded frame must filter via a broadcast semi-join
+    on the batch's bucket keys — a sort-merge there would mean a
+    corpus-sized shuffle on every ingest."""
+    df = battery.QUERIES["dedup_incremental"](spark, sf)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 2, c  # bucket keys + candidate verify joins
+    assert c["python_evals"] == 0, c
+
+
+def test_quality_topfrac_single_window_shuffle(spark, sf):
+    """Rank and count share one ordered window partitioning."""
+    df = battery.QUERIES["quality_topfrac"](spark, sf)
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, c
+    # one exchange for the strata window + one for the final orderBy
+    assert c["exchanges"] <= 2, c
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark, sf):
+    """The df-count aggregation keys on the 60-bit line hash; no
+    sort-merge join of the wide exploded frame."""
+    df = battery.QUERIES["dedup_lines"](spark, sf)
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, c
+
+
+def test_lsh_neardup_arrow_only_python(spark, sf):
+    """The ONLY Python stage is the Arrow signature matmul; the
+    verification joins stay JVM-side."""
+    df = battery.QUERIES["sim_neardup_lsh"](spark, sf)
+    c = plan_counts(df)
+    assert c["python_evals"] == 1, c  # exactly the mapInPandas matmul
+    assert c["sortmerge_joins"] == 0, c
