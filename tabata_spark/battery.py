@@ -3272,3 +3272,347 @@ def q16_supplier_counts(spark, sf_dir):
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@register(
+    "q2_min_cost_supp",
+    """
+    WITH eur_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN eur_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name
+    ),
+    pc AS (
+      SELECT p_partkey, s_name, s_acctbal, n_name, unit_cost
+      FROM cost JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'STANDARD' AND p_size IN (5, 10, 15, 20)
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           round(unit_cost, 4) AS best_cost
+    FROM pc
+    WHERE unit_cost = (
+      SELECT min(unit_cost) FROM pc AS pc2 WHERE pc2.p_partkey = pc.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supp(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier; the partsupp supply cost
+    becomes the supplier's best observed unit price from lineitem).
+    The correlated scalar-min subquery decorrelates to a per-part min
+    aggregate joined back by key — both sides of that join are
+    already-aggregated (small) frames, so the equality filter never
+    rescans lineitem. Suppliers/nation/region fold into one broadcast;
+    the only big-table shuffle is the (partkey, suppkey) aggregation.
+    min() is order-insensitive, so the doubles hash-match exactly.
+    Reference parity: opset-style selection is relational here; cites
+    tabata semantics only via SURVEY §2.4."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    eur = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    parts = p.filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 10, 15, 20)
+    ).select("p_partkey")
+    pc = cost.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    best = pc.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best")
+    )
+    return (
+        pc.join(F.broadcast(best), F.col("p_partkey") == F.col("bk"))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("unit_cost", 4).alias("best_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_nation_profit",
+    """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit; partsupp supply cost is
+    surrogated as half the part's retail price per unit). Five-way
+    join: the LIKE-filtered part, supplier and nation are broadcast,
+    so lineitem shuffles exactly once — on l_orderkey against orders —
+    then aggregates by (nation, year). The part filter lands before
+    the orders join, shrinking the shuffle ~8x.
+
+    The profit sum is an exact integer-cents fold (per-row round to
+    cents, BIGINT sum): partition-order double summation is
+    non-associative and flips the last cent vs the sequential oracle;
+    integer addition is order-independent at any group size — unlike
+    a sorted-collect fold, this survives unbounded groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    parts = p.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                        )
+                        * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("profit")
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(val, 2) AS part_value
+    FROM v
+    WHERE val > (SELECT sum(val) * 0.001 FROM v)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock: partsupp value becomes the
+    nation's observed trade value per part). The scalar threshold
+    subquery is a one-row aggregate of the SAME grouped view — Spark
+    computes the view once, reduces it to the scalar, and broadcasts
+    the single row back as a cross-join filter. No second pass over
+    lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    thr = v.agg((F.sum("val") * 0.001).alias("thr"))
+    return (
+        v.join(F.broadcast(thr))
+        .filter(F.col("val") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("val", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "q12_ship_delay",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY ship_speed
+    ORDER BY ship_speed
+    """,
+)
+def q12_ship_delay(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode priority split; with no l_shipmode
+    column the line class is its shipping delay bucket). Conditional
+    aggregation — both priority counters come out of ONE pass, one
+    shuffle on the two-value bucket key after the orderkey join. The
+    date filter pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) < 30, "FAST"
+            ).otherwise("SLOW").alias("ship_speed")
+        )
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution; the comment
+    NOT-LIKE filter becomes a priority exclusion INSIDE the join
+    condition — customers whose every order is excluded must still
+    appear with count 0, which is why the filter cannot move to a
+    WHERE). Left outer join, then two cheap aggregations; count() of
+    a nullable key counts matched rows only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q20_qualified_suppliers",
+    """
+    WITH ship AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'large%'
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM ship GROUP BY l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND s_suppkey IN (
+        SELECT ship.l_suppkey
+        FROM ship JOIN tot ON ship.l_partkey = tot.l_partkey
+        WHERE ship.qty > 0.2 * tot.total_qty
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_qualified_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess availability; availqty
+    becomes dominant-shipper share: a supplier qualifies when it moved
+    >20% of a 'large%' part's 1997 volume). The doubly-nested IN
+    decorrelates to: one (partkey, suppkey) aggregate, a per-part
+    total that REUSES the same clustering, and a broadcast semi-join
+    into the supplier dim. l_quantity is integer-valued, so the
+    share comparison is float-exact across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    parts = p.filter(F.col("p_name").like("large%")).select("p_partkey")
+    ship = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = ship.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    qualified = (
+        ship.join(F.broadcast(tot), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("qty") > 0.2 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
