@@ -248,3 +248,24 @@ def test_lsh_neardup_arrow_only_python(spark, sf):
     c = plan_counts(df)
     assert c["python_evals"] == 1, c  # exactly the mapInPandas matmul
     assert c["sortmerge_joins"] == 0, c
+
+
+TPCH_TAIL = [
+    "q2_min_cost_supp",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q20_qualified_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_TAIL)
+def test_tpch_tail_jvm_broadcast_only(spark, sf, name):
+    """The six tail TPC-H shapes stay JVM-side with every dim-side
+    join broadcast — no shuffled join at fixture scale (at cluster
+    scale only the deliberate fact-fact joins may sort-merge)."""
+    c = plan_counts(battery.QUERIES[name](spark, sf))
+    assert c["python_evals"] == 0, (name, c)
+    assert c["sortmerge_joins"] == 0 and c["shuffle_hash_joins"] == 0, (name, c)
+    assert c["broadcast_joins"] >= 1, (name, c)
