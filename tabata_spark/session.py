@@ -44,9 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # driver testdata carries INT64 TIMESTAMP(NANOS) parquet columns,
-        # which Spark cannot read as timestamps; read the raw nanos and
-        # convert at the loader (sources.relational.load_table)
+        # driver testdata ts shapes vary by generation: legacy INT64
+        # TIMESTAMP(NANOS) (unreadable as timestamp without this conf —
+        # read raw nanos) and current naive timestamp[us] (arrives as
+        # TIMESTAMP_NTZ). Both are normalized to session-zone TIMESTAMP
+        # at the loader (sources.relational._normalize_ts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

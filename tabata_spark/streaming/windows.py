@@ -23,7 +23,8 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """events table as a file stream (schema taken from the batch
-    read; ns-timestamps handled identically)."""
+    read; ts normalized identically — ``withWatermark`` hard-rejects
+    TIMESTAMP_NTZ event time, so normalization is load-bearing here)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(
         spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -33,13 +34,11 @@ def read_events_stream(
     # file stream sources need a directory: stream the sf dir with a
     # glob picking out the events file
     raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    # ns->us conversion mirrors load_table
-    from pyspark.sql import types as T
+    # same ts-shape normalization as the batch loader (ns-long legacy,
+    # NTZ-us current)
+    from tabata_spark.sources.relational import _normalize_ts
 
-    for f in raw.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return _normalize_ts(raw)
 
 
 def tumbling_agg(

@@ -1,0 +1,126 @@
+"""Regression tests for parquet timestamp-shape drift at ingest.
+
+Round-3 lesson: the driver regenerated testdata as naive
+``timestamp[us]`` parquet, which Spark 3.5+/4 reads as TIMESTAMP_NTZ —
+an illegal source for ``cast("double")`` and rejected outright by
+``withWatermark``. Nothing in the suite read an NTZ ``ts``, so the
+breakage was first seen by the driver. These tests pin every ts shape
+the loader claims to handle (sources/relational.py:_normalize_ts):
+
+- naive ``timestamp[us]``  → TIMESTAMP_NTZ  → normalized TIMESTAMP
+- ``timestamp[ns]`` (INT64 nanos under nanosAsLong → LongType)
+  → normalized TIMESTAMP
+- tz-aware ``timestamp[us, UTC]`` → TIMESTAMP (already fine, unchanged)
+
+and assert the two entry paths that died in round 3 analyze and agree:
+batch signals with an epoch-seconds expression, and a streaming
+watermarked tumbling aggregation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _events_arrow(ts_type: pa.DataType) -> pa.Table:
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3, "click", float(i), "{}")
+        for i in range(60)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(ts_type),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(
+    scope="module",
+    params=["us_naive", "ns_naive", "us_utc"],
+)
+def shaped_dir(request, tmp_path_factory):
+    """A directory holding events.parquet in one physical ts shape."""
+    type_map = {
+        "us_naive": pa.timestamp("us"),
+        "ns_naive": pa.timestamp("ns"),
+        "us_utc": pa.timestamp("us", tz="UTC"),
+    }
+    d = tmp_path_factory.mktemp(f"tsshape_{request.param}")
+    pq.write_table(_events_arrow(type_map[request.param]), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_load_table_normalizes_ts_to_timestamp(spark, shaped_dir):
+    from tabata_spark.sources.relational import load_table
+
+    df = load_table(spark, shaped_dir, "events")
+    (ts_field,) = [f for f in df.schema.fields if f.name == "ts"]
+    assert isinstance(ts_field.dataType, T.TimestampType), ts_field.dataType
+    # epoch seconds must analyze AND match the known wall-clock values
+    # (session tz is UTC, so naive fields are reinterpreted as UTC)
+    first = (
+        df.orderBy("event_id")
+        .select(F.col("ts").cast("double").alias("s"))
+        .first()["s"]
+    )
+    assert first == dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+
+
+def test_signals_duration_analyzes_on_all_shapes(spark, shaped_dir):
+    """The round-3 flagship failure mode: groupBy + ts epoch-diff."""
+    from tabata_spark.sources.relational import events_as_signals, load_table
+
+    sig = events_as_signals(load_table(spark, shaped_dir, "events"))
+    out = (
+        sig.groupBy("record_id")
+        .agg(
+            (
+                (F.max("ts").cast("double") - F.min("ts").cast("double")) / 3600.0
+            ).alias("duration_h")
+        )
+        .orderBy("record_id")
+        .collect()
+    )
+    assert len(out) == 3
+    # 60 events, 3 users round-robin, 7-min spacing -> 20 events per
+    # user, 19 inter-event gaps of 21 min each = 6.65 h for every user
+    assert all(abs(r["duration_h"] - 6.65) < 1e-9 for r in out)
+
+
+def test_streaming_watermark_accepts_normalized_ts(spark, shaped_dir):
+    """withWatermark hard-rejects TIMESTAMP_NTZ event time — the
+    streaming half of the round-3 breakage."""
+    from tabata_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_agg,
+    )
+
+    stream = read_events_stream(spark, shaped_dir)
+    assert stream.isStreaming
+    # complete mode: append would hold back windows above the final
+    # watermark on a finite stream (see test_streaming.py)
+    got = run_stream_to_memory(
+        tumbling_agg(stream, width="1 hour", watermark="2 hours"),
+        f"ts_shape_{abs(hash(shaped_dir)) % 10**8}",
+        spark,
+        mode="complete",
+    )
+    batch = tumbling_agg(
+        __import__(
+            "tabata_spark.sources.relational", fromlist=["load_table"]
+        ).load_table(spark, shaped_dir, "events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
