@@ -126,9 +126,12 @@ def q3_shipping_priority(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # no broadcast hint on customer: it scales with sf (GBs at the
+    # 100 TB target) — AQE switches to broadcast at runtime when the
+    # filtered side is actually small, without pinning an OOM at scale
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -175,9 +178,11 @@ def q5_region_revenue(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # customer is sf-scaling — no forced broadcast (AQE decides);
+    # supplier/nation/region stay hinted: bounded dims at any sf
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -1710,21 +1715,19 @@ def q6_forecast_revenue(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate
-    as a broadcast semi-join key set — the aggregate side collapses to
-    (orderkey) per qualifying order, tiny at any SF relative to
-    lineitem, so the fact table is never shuffled twice."""
+    """TPC-H Q18 (large-volume customers): the HAVING-filtered
+    qualifying-order set is a WINDOW sum over l_orderkey, not a
+    self-semi-join — the semi-join form scans lineitem twice and at
+    100 TB either broadcasts an O(orders) key set (executor OOM) or
+    shuffles the fact a second time. The window qualifies rows in the
+    same single shuffle the final aggregation reuses."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 250)
-        .select("l_orderkey")
-    )
+    order_w = Window.partitionBy("l_orderkey")
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.withColumn("__order_qty", F.sum("l_quantity").over(order_w))
+        .filter(F.col("__order_qty") > 250)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
@@ -2806,9 +2809,11 @@ def q8_market_share(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
+    # part-derived key set is O(part) = sf-scaling: no forced
+    # broadcast (AQE chooses at runtime); dims below stay hinted
     joined = (
         li.join(
-            F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            p.filter(F.col("p_type") == "PROMO").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -2974,21 +2979,21 @@ def quality_topfrac(spark, sf_dir):
 )
 def q17_small_quantity(spark, sf_dir):
     """TPC-H Q17 (small-quantity-order revenue): the correlated
-    per-part average decorrelates into one aggregate keyed by partkey
-    — computed ONLY over the brand's parts (the filter semi-reduces
-    the aggregation input before it runs), then broadcast back. The
-    fact table is scanned once."""
+    per-part average decorrelates into a WINDOW avg over partkey on
+    the brand-reduced fact — the semi-join with the brand's parts
+    shrinks lineitem ~25× first, then a single shuffle computes the
+    cutoff and applies it in the same pass. The aggregate-join-back
+    alternative scans lineitem twice and leaves an agg×fact join;
+    the window scans it once and joins nothing back."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     brand_parts = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    avg_q = (
-        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg((0.2 * F.avg("l_quantity")).alias("q_cut"))
-        .withColumnRenamed("l_partkey", "cut_pk")
-    )
+    # brand_parts is O(part) — sf-scaling, so no forced broadcast;
+    # AQE picks broadcast when the filtered side fits
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("cut_pk"))
+        li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("q_cut", 0.2 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("q_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -3296,7 +3301,7 @@ def q16_supplier_counts(spark, sf_dir):
       WHERE p_type = 'STANDARD' AND p_size IN (5, 10, 15, 20)
     )
     SELECT s_acctbal, s_name, n_name, p_partkey,
-           round(unit_cost, 4) AS best_cost
+           floor(unit_cost * 10000 + 0.5) / 10000 AS best_cost
     FROM pc
     WHERE unit_cost = (
       SELECT min(unit_cost) FROM pc AS pc2 WHERE pc2.p_partkey = pc.p_partkey
@@ -3308,14 +3313,16 @@ def q16_supplier_counts(spark, sf_dir):
 def q2_min_cost_supp(spark, sf_dir):
     """TPC-H Q2 shape (minimum-cost supplier; the partsupp supply cost
     becomes the supplier's best observed unit price from lineitem).
-    The correlated scalar-min subquery decorrelates to a per-part min
-    aggregate joined back by key — both sides of that join are
-    already-aggregated (small) frames, so the equality filter never
-    rescans lineitem. Suppliers/nation/region fold into one broadcast;
-    the only big-table shuffle is the (partkey, suppkey) aggregation.
-    min() is order-insensitive, so the doubles hash-match exactly.
-    Reference parity: opset-style selection is relational here; cites
-    tabata semantics only via SURVEY §2.4."""
+    The correlated scalar-min subquery decorrelates to a WINDOW
+    min over p_partkey, not a join-back: a self-join on the aggregated
+    frame makes Catalyst duplicate (and rescan) the whole lineitem
+    subtree, and the agg×agg join survives as a SortMergeJoin. The
+    window computes the same per-part min in one shuffle with a single
+    pass over the aggregate. Suppliers/nation/region fold into one
+    broadcast; the only big-table shuffle is the (partkey, suppkey)
+    aggregation. min() is order-insensitive, so the doubles hash-match
+    exactly. Reference parity: opset-style selection is relational
+    here; cites tabata semantics only via SURVEY §2.4."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -3335,16 +3342,19 @@ def q2_min_cost_supp(spark, sf_dir):
     parts = p.filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 10, 15, 20)
     ).select("p_partkey")
-    pc = cost.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-    best = pc.groupBy(F.col("p_partkey").alias("bk")).agg(
-        F.min("unit_cost").alias("best")
-    )
+    # parts is O(part) — sf-scaling, no forced broadcast (AQE decides)
+    pc = cost.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    best_w = Window.partitionBy("p_partkey")
     return (
-        pc.join(F.broadcast(best), F.col("p_partkey") == F.col("bk"))
+        pc.withColumn("best", F.min("unit_cost").over(best_w))
         .filter(F.col("unit_cost") == F.col("best"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
-            F.round("unit_cost", 4).alias("best_cost"),
+            # floor(x*1e4+0.5)/1e4 instead of round(): Spark rounds via
+            # the shortest decimal repr (BigDecimal HALF_UP), DuckDB via
+            # scaled floats — they disagree on half-boundary doubles.
+            # This formula is identical IEEE arithmetic in both engines.
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias("best_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -3392,8 +3402,10 @@ def q9_nation_profit(spark, sf_dir):
     sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
         "s_suppkey", "n_name"
     )
+    # parts is O(part) (sf-scaling) — hint dropped; sn is
+    # supplier-bounded and stays broadcast
     return (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
@@ -3594,15 +3606,17 @@ def q20_qualified_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
         )
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        # parts is O(part): sf-scaling, hint left to AQE
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    tot = ship.groupBy(F.col("l_partkey").alias("tk")).agg(
-        F.sum("qty").alias("total_qty")
-    )
+    # per-part total as a WINDOW over the aggregate, not a join-back:
+    # the self-join duplicates the whole lineitem subtree in the plan
+    # and survives as a SortMergeJoin; the window reuses one shuffle
+    tot_w = Window.partitionBy("l_partkey")
     qualified = (
-        ship.join(F.broadcast(tot), F.col("l_partkey") == F.col("tk"))
+        ship.withColumn("total_qty", F.sum("qty").over(tot_w))
         .filter(F.col("qty") > 0.2 * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()

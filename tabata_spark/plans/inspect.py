@@ -42,6 +42,27 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
     return {k: len(re.findall(p, s)) for k, p in keys.items()}
 
 
+def plan_counts_final(df: DataFrame) -> dict[str, int]:
+    """Operator counts of the ADAPTIVE final plan: executes the frame,
+    then inspects the post-AQE executed plan. This is the honest
+    scale-assertion surface for joins whose side is a runtime-sized
+    aggregate — the static plan shows SortMergeJoin (unknown stats),
+    and AQE switches to broadcast once the actual size is known. A
+    forced ``F.broadcast`` hint would pin the same shape statically but
+    becomes an executor OOM when the frame scales with the data."""
+    # collect() (NOT count()) — count wraps the frame in a new plan and
+    # leaves THIS frame's AdaptiveSparkPlan unexecuted/isFinalPlan=false
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    keys = {
+        "broadcast_joins": r"BroadcastHashJoin",
+        "sortmerge_joins": r"SortMergeJoin",
+        "shuffle_hash_joins": r"ShuffledHashJoin",
+        "python_evals": r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas",
+    }
+    return {k: len(re.findall(p, s)) for k, p in keys.items()}
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every Parquet scan in the plan."""
     s = explain_str(df, "formatted")
