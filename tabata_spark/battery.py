@@ -25,6 +25,7 @@ from tabata_spark.operators.flight import flight_summary
 from tabata_spark.operators.indicator import segment_ramp
 from tabata_spark.operators.positions import with_positions
 from tabata_spark.operators.slicing import highlight, left_of
+from tabata_spark.operators.timeutil import duration_h, epoch_diff_s, epoch_s
 from tabata_spark.sources.relational import SIGNALS_CTE, events_as_signals, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -435,9 +436,7 @@ def w_running(spark, sf_dir):
         "seq",
         F.round(F.sum("value").over(run), 6).alias("run_sum"),
         F.round(F.col("value") - F.lag("value").over(w), 6).alias("dvalue"),
-        F.round(
-            F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"), 3
-        ).alias("dt_s"),
+        F.round(epoch_diff_s(F.col("ts"), F.lag("ts").over(w)), 3).alias("dt_s"),
     )
 
 
@@ -467,9 +466,7 @@ def a_user_summary(spark, sf_dir):
             F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_median"),
             F.round(F.max("value"), 6).alias("value_max"),
             F.round(F.min("value"), 6).alias("value_min"),
-            F.round(
-                (F.max("ts").cast("double") - F.min("ts").cast("double")) / 3600, 6
-            ).alias("duration_h"),
+            F.round(duration_h(F.max("ts"), F.min("ts")), 6).alias("duration_h"),
         )
         .orderBy("record_id")
     )
@@ -726,7 +723,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("value_mean"),
             F.round(F.max("value"), 6).alias("value_max"),
             F.round(
-                (F.max("ts").cast("double") - F.min("ts").cast("double")) / 3600.0, 6
+                duration_h(F.max("ts"), F.min("ts")), 6
             ).alias("duration_h"),
         )
         .orderBy("record_id")
@@ -799,7 +796,7 @@ def w_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.col("win.start").cast("double").alias("win_start_s"),
+            epoch_s(F.col("win.start")).alias("win_start_s"),
             "event_type",
             "n",
             "sum_value",
@@ -834,8 +831,8 @@ def w_sliding(spark, sf_dir):
     return (
         sliding_agg(ev, width="1 hour", slide="30 minutes")
         .select(
-            F.col("win_start").cast("double").alias("win_start_s"),
-            F.col("win_end").cast("double").alias("win_end_s"),
+            epoch_s("win_start").alias("win_start_s"),
+            epoch_s("win_end").alias("win_end_s"),
             "n",
             "avg_value",
         )
@@ -876,8 +873,8 @@ def w_sessionize(spark, sf_dir):
         F.col("user_id").alias("record_id"),
         "session_id",
         "n",
-        F.round(F.col("t_start").cast("double"), 3).alias("t_start_s"),
-        F.round(F.col("t_end").cast("double"), 3).alias("t_end_s"),
+        F.round(epoch_s("t_start"), 3).alias("t_start_s"),
+        F.round(epoch_s("t_end"), 3).alias("t_end_s"),
         "sum_value",
     )
 
@@ -1908,8 +1905,8 @@ def j_asof_purchase(spark, sf_dir):
     return out.select(
         "event_id",
         "user_id",
-        F.round(F.col("ts").cast("double"), 3).alias("ts_s"),
-        F.round(F.col("purchase_ts").cast("double"), 3).alias("purchase_ts_s"),
+        F.round(epoch_s("ts"), 3).alias("ts_s"),
+        F.round(epoch_s("purchase_ts"), 3).alias("purchase_ts_s"),
         "pvalue",
     ).orderBy("event_id")
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tabata_spark.operators.timeutil import epoch_diff_s, epoch_s
+
 
 def asof_join(
     left: DataFrame,
@@ -71,10 +73,7 @@ def asof_join(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in carried]
     ).filter(F.col("__is_left") == 1)
     if tolerance_s is not None:
-        stale = (
-            F.col("__ts").cast("double")
-            - F.col(f"__m_{matched_ts_name}").cast("double")
-        ) > float(tolerance_s)
+        stale = epoch_diff_s("__ts", f"__m_{matched_ts_name}") > float(tolerance_s)
         for c in carried:
             out = out.withColumn(
                 f"__m_{c}", F.when(~stale, F.col(f"__m_{c}"))
@@ -104,8 +103,8 @@ def resample_linear(
     if value_cols is None:
         value_cols = [c for c in df.columns if c not in (key_col, ts_col)]
     bounds = df.groupBy(key_col).agg(
-        F.min(F.col(ts_col).cast("double")).alias("__t0"),
-        F.max(F.col(ts_col).cast("double")).alias("__t1"),
+        F.min(epoch_s(ts_col)).alias("__t0"),
+        F.max(epoch_s(ts_col)).alias("__t1"),
     )
     n_steps = F.floor((F.col("__t1") - F.col("__t0")) / F.lit(step_s)).cast("int")
     grid = bounds.select(
@@ -119,7 +118,7 @@ def resample_linear(
     ).withColumn("__is_grid", F.lit(1))
     samples = df.select(
         key_col,
-        F.col(ts_col).cast("double").alias("__ts"),
+        epoch_s(ts_col).alias("__ts"),
         *[F.col(f"`{c}`").cast("double").alias(f"__v_{c}") for c in value_cols],
     ).withColumn("__is_grid", F.lit(0))
     u = grid.unionByName(samples, allowMissingColumns=True)

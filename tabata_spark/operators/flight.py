@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tabata_spark.operators.timeutil import duration_h
+
 
 def with_cruise_flag(
     df: DataFrame,
@@ -58,17 +60,14 @@ def flight_summary(
     and consumption = (first(Masse) - last(Masse)) / hours using
     seq-ordered first/last.
     """
-    hours = (
-        (F.max("ts").cast("double") - F.min("ts").cast("double")) / F.lit(3600.0)
-    ).alias("duration_h")
+    hours = duration_h(F.max("ts"), F.min("ts"))
     return df.groupBy("record_id").agg(
         F.max(alt).alias("alt_max"),
         F.min(tisa).alias("tisa_min"),
         F.avg(tas).alias("tas_mean"),
-        hours,
+        hours.alias("duration_h"),
         (
-            (F.max_by(masse, F.col("seq") * -1) - F.max_by(masse, "seq"))
-            / ((F.max("ts").cast("double") - F.min("ts").cast("double")) / F.lit(3600.0))
+            (F.max_by(masse, F.col("seq") * -1) - F.max_by(masse, "seq")) / hours
         ).alias("conso_kg_h"),
         F.count(F.lit(1)).alias("n_points"),
     )

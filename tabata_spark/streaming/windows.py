@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tabata_spark.operators.timeutil import epoch_diff_s
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -119,7 +121,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     gap_s = gap_minutes * 60.0
     new_sess = F.when(
         F.lag("ts").over(w).isNull()
-        | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > gap_s),
+        | (epoch_diff_s(F.col("ts"), F.lag("ts").over(w)) > gap_s),
         1,
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -250,6 +250,20 @@ def test_lsh_neardup_arrow_only_python(spark, sf):
     assert c["sortmerge_joins"] == 0, c
 
 
+def test_asof_union_window_no_joins(spark, sf):
+    """The as-of join is the union-window formulation: ZERO join
+    operators of any kind (a range-join rewrite would explode row
+    counts at scale), one window over the key partitioning, no Python.
+    Pinned so a future rewrite can't silently reintroduce a range
+    join. Exchanges: purchase-side pre-aggregate, the union's window
+    shuffle, and the output ordering — nothing else."""
+    c = plan_counts(battery.QUERIES["j_asof_purchase"](spark, sf))
+    assert c["broadcast_joins"] + c["sortmerge_joins"] + c["shuffle_hash_joins"] == 0, c
+    assert c["windows"] == 1, c
+    assert c["python_evals"] == 0, c
+    assert c["exchanges"] <= 3, c
+
+
 TPCH_TAIL = [
     "q2_min_cost_supp",
     "q9_nation_profit",
