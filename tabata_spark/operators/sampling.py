@@ -105,7 +105,12 @@ def mixture_rebalance(
     and engine-checkable.
 
     Plan shape: one tiny aggregation over strata (broadcast back) +
-    the scan-stage hash predicate; no shuffle of the fact table.
+    the scan-stage hash predicate; no shuffle of the fact table. The
+    corpus-wide scalars (stratum count, the limiting capacity C) are
+    one-row aggregates joined back by broadcast — NOT global windows,
+    which would funnel the strata frame through a single partition
+    (harmless at this row count but a WindowExec warning magnet and a
+    bad habit at scale).
     """
     w = F.lit(1) if weight_col is None else (
         F.col(weight_col) if isinstance(weight_col, str) else weight_col
@@ -117,12 +122,16 @@ def mixture_rebalance(
             tgt = F.when(F.col(strata_col) == k, F.lit(share)).otherwise(tgt)
         obs = obs.withColumn("__t", tgt).filter(F.col("__t").isNotNull())
     else:
-        n_strata = F.count(F.lit(1)).over(Window.partitionBy())
-        obs = obs.withColumn("__t", 1.0 / n_strata)
-    cap = F.min(F.col("__w") / F.col("__t")).over(Window.partitionBy())
-    frac = obs.select(
+        n_strata = obs.agg(F.count(F.lit(1)).alias("__n"))
+        obs = obs.join(F.broadcast(n_strata)).withColumn(
+            "__t", 1.0 / F.col("__n")
+        )
+    cap_df = obs.agg(F.min(F.col("__w") / F.col("__t")).alias("__cap"))
+    frac = obs.join(F.broadcast(cap_df)).select(
         strata_col,
-        F.least(F.lit(1.0), F.col("__t") * cap / F.col("__w")).alias("__keep"),
+        F.least(
+            F.lit(1.0), F.col("__t") * F.col("__cap") / F.col("__w")
+        ).alias("__keep"),
     )
     b = hash_bucket(id_col, buckets=buckets, salt=salt)
     return (
