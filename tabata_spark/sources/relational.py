@@ -37,29 +37,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    """Normalize the ``ts`` column to session-zone TIMESTAMP regardless
-    of the parquet physical shape. A Spark engine reading foreign
-    parquet must own the timestamp type explicitly; two shapes occur in
-    driver testdata history:
+    """Normalize every temporal column to session-zone TIMESTAMP
+    regardless of the parquet physical shape. A Spark engine reading
+    foreign parquet must own the timestamp type explicitly; two shapes
+    occur in driver testdata history:
 
-    - legacy ``timestamp[ns]`` → raw INT64 under ``nanosAsLong``:
-      truncate to microseconds with integer division (ns magnitudes
-      exceed double precision — ``div``, never ``/``) to match DuckDB's
-      CAST(ts_ns AS TIMESTAMP) truncation in oracles;
+    - legacy ``timestamp[ns]`` → raw INT64 under ``nanosAsLong``
+      (``ts`` only): truncate to microseconds with integer division
+      (ns magnitudes exceed double precision — ``div``, never ``/``)
+      to match DuckDB's CAST(ts_ns AS TIMESTAMP) truncation in oracles;
     - current ``timestamp[us]`` naive → TIMESTAMP_NTZ in Spark 3.5+/4:
       cast to TIMESTAMP. The session timezone is UTC (session.py), so
       the wall-clock field values are reinterpreted as UTC instants —
       bit-identical to DuckDB's ``epoch(ts)`` on the same file, and
-      makes ``ts`` castable to DOUBLE and usable as watermark event
-      time (TIMESTAMP_NTZ is neither).
+      makes the column castable to DOUBLE and usable as watermark
+      event time (TIMESTAMP_NTZ is neither).
+
+    ALL TimestampNTZType columns are normalized, not just ``ts`` —
+    ``o_orderdate``/``l_shipdate`` arrive in the same naive-µs shape,
+    and leaving them NTZ keeps the round-3 trap armed for the first
+    query that does epoch arithmetic on them.
     """
     for f in df.schema.fields:
-        if f.name != "ts":
-            continue
-        if isinstance(f.dataType, T.LongType):
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
