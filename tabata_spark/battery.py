@@ -1912,6 +1912,74 @@ def j_asof_purchase(spark, sf_dir):
 
 
 @register(
+    "j_interval_attrib",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           floor((epoch(p.ts) - epoch(c.ts)) * 1000 + 0.5) / 1000 AS gap_s,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND epoch(p.ts) - epoch(c.ts) <= 1800
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def j_interval_attrib(spark, sf_dir):
+    """Interval (range) join — click→purchase attribution: every pair
+    where the purchase lands within 30 min AFTER the click. The batch
+    twin of streaming/joins.attribution_pairs (same expression joins
+    two watermarked streams with state bounded by the horizon — the
+    stream-stream interval join Structured Streaming is built for).
+    Plan: user-equi shuffle join with the time range as a residual
+    filter; output is bounded by each user's in-horizon pairs, never
+    a cross product."""
+    from tabata_spark.streaming.joins import attribution_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    out = attribution_pairs(ev, horizon_s=1800.0)
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.floor(F.col("gap_s") * 1000 + 0.5) / 1000).alias("gap_s"),
+        "purchase_value",
+    ).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "a_attrib_summary",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT c.user_id, p.event_id AS purchase_id, p.value
+      FROM events c
+      JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts > c.ts
+       AND epoch(p.ts) - epoch(c.ts) <= 1800
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_attributed,
+           round(sum(value), 4) AS attributed_value
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a_attrib_summary(spark, sf_dir):
+    """Attribution rollup over the interval-join pairs: per user, the
+    count and value sum of purchases with at least one preceding click
+    in horizon (each purchase counted once however many clicks matched
+    it)."""
+    from tabata_spark.streaming.joins import attribution_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_summary(ev, horizon_s=1800.0).orderBy("user_id")
+
+
+@register(
     "text_bpe_tokens",
     r"""
     SELECT doc_id,
