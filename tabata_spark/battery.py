@@ -2453,6 +2453,49 @@ def sim_neardup_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "a_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(c ORDER BY pos) AS centroid
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
+def a_label_centroids(spark, sf_dir):
+    """Element-wise vector aggregation: per-label centroid of the
+    embedding column — the distributed reduction behind k-means/IVF
+    quantizer training (operators/similarity.py trains its coarse
+    quantizer this way conceptually). Scalable formulation: posexplode
+    to (label, pos, v), ONE partial-aggregating shuffle on
+    (label, pos) — never a collect of vectors to the driver, state per
+    group is a single running mean. The positional collect_list at the
+    end is bounded by the embedding dimension."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .orderBy("label")
+    )
+
+
 def _sim_neardup_lsh_oracle(bands: int, rows_per: int, threshold: float,
                             cap: int) -> str:
     """Machine-generated oracle for sim_neardup_lsh: recompute each
