@@ -52,6 +52,9 @@ HEADLINE = [
     "text_unigram_ppl",
     "quality_topfrac",
     "mixture_uniform",
+    "j_interval_attrib",
+    "a_attrib_summary",
+    "a_label_centroids",
 ]
 
 
