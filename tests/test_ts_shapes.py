@@ -99,6 +99,29 @@ def test_signals_duration_analyzes_on_all_shapes(spark, shaped_dir):
     assert all(abs(r["duration_h"] - 6.65) < 1e-9 for r in out)
 
 
+def test_no_ntz_leaks_past_loader_any_table(spark):
+    """Driver-drift insurance: every table at every scale factor loads
+    with zero TIMESTAMP_NTZ columns surviving normalization — the
+    whole round-3 failure class, checked against the REAL testdata so
+    the next regeneration is caught here instead of by the driver."""
+    import os
+
+    from tabata_spark.sources.relational import TABLES, load_table
+
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        for t in TABLES:
+            df = load_table(spark, d, t)
+            ntz = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.TimestampNTZType)
+            ]
+            assert not ntz, (sf, t, ntz)
+
+
 def test_streaming_watermark_accepts_normalized_ts(spark, shaped_dir):
     """withWatermark hard-rejects TIMESTAMP_NTZ event time — the
     streaming half of the round-3 breakage."""
