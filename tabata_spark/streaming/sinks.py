@@ -1,0 +1,89 @@
+"""Streaming sinks via ``foreachBatch`` — the write half of the
+streaming surface (SURVEY §2.10; the reference's ``put``/derived-file
+sinks are batch-only).
+
+``foreachBatch`` hands each micro-batch to ordinary batch writers, so
+the engine's existing storage semantics (dynamic-partition-overwrite
+upsert, bucketed tables) apply unchanged to streams. Checkpointing
+gives at-least-once delivery per batch; the sinks here are designed
+so replays are harmless:
+
+- ``stream_upsert_parquet``: per-batch dynamic partition overwrite —
+  replaying a batch rewrites the same partitions with the same rows
+  (idempotent by construction);
+- ``stream_dedup_append``: append only rows whose content hash is not
+  already in the target — replay-safe because the second delivery
+  finds its hashes present and appends nothing.
+
+At scale the same shapes hold: overwrite touches only the partitions
+present in the batch, and the dedup-append's anti-join reads only the
+target's hash column (column-pruned scan), both independent of total
+store size growth per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_upsert_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "record_id",
+):
+    """Micro-batch upsert into a partitioned parquet store — the
+    streaming twin of ``SignalSet.put`` (dynamic partition overwrite:
+    only partitions present in the batch are replaced). Returns the
+    started query; callers drive it (``availableNow`` in tests)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedup_append(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    hash_col: str = "content_hash",
+):
+    """Append-only ingest that drops rows whose content hash already
+    exists in the target — exact dedup across ALL history (the
+    watermark-free complement of streaming.dedup, which bounds state
+    by a horizon; here the store itself is the state). The anti-join
+    reads only the target's hash column. Replay-safe: re-delivered
+    rows find their hashes present and append nothing."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn(
+            hash_col, F.md5(F.col(text_col))
+        ).dropDuplicates([hash_col])
+        try:
+            seen = spark.read.parquet(path).select(hash_col)
+        except Exception:  # first batch: store does not exist yet
+            seen = None
+        if seen is not None:
+            hashed = hashed.join(seen, hash_col, "left_anti")
+        hashed.write.mode("append").parquet(path)
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
