@@ -164,25 +164,57 @@ def bucket_candidate_pairs(
     id_col: str,
     max_bucket_size: int = 100,
     precap: bool = False,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """Candidate pairs from bucket membership rows (key_cols…, id):
     ONE aggregation (collect_list per bucket, size-capped) + in-array
     pair generation + distinct. No self-join, no window sort — two
     shuffles total (bucket agg + distinct) regardless of band count.
 
-    ``max_bucket_size`` drops buckets past the cap — the standard
-    guard against quadratic blowup on hot buckets (boilerplate /
-    low-entropy content): a 10k-doc bucket alone would emit 5·10⁷
-    pairs. By default over-cap buckets are still COLLECTED (then
-    filtered), so the aggregation buffer holds the full bucket's id
-    list. ``precap=True`` removes over-cap buckets BEFORE the
-    collect: a map-side-combinable count finds the hot keys (a tiny
-    set by construction — each is > cap) and a broadcast anti-join
-    drops their rows, so no aggregation buffer ever holds a
-    degenerate bucket. Same result, one extra cheap pass — use it on
-    adversarial/low-entropy corpora where a single bucket could reach
-    millions of ids."""
-    if precap and max_bucket_size:
+    ``max_bucket_size`` guards the quadratic blowup on hot buckets
+    (boilerplate / low-entropy content): a 10k-doc bucket alone would
+    emit 5·10⁷ pairs. ``hot_bucket`` picks the policy:
+
+    - ``"drop"`` (default): over-cap buckets are discarded — zero
+      recall inside them, bounded everything. ``precap=True`` removes
+      their rows BEFORE the collect (map-side-combinable count finds
+      the hot keys — a tiny set by construction — then a broadcast
+      anti-join), so no aggregation buffer ever holds a degenerate
+      bucket.
+    - ``"salt"``: over-cap buckets are SPLIT instead of dropped: each
+      hot key gets ``ceil(2n/cap)`` salt shards, a row's shard is a
+      hash of (id, key) — decorrelated across bands, so a true pair
+      parked in one band's hot bucket gets fresh 1/shards odds in
+      every other band it collides in — and pairs generate within
+      shards only. Expected shard size is cap/2 (the hard cap still
+      applies as a safety bound), memory stays bounded, and recall in
+      hot buckets degrades to ~1/shards per band instead of zero.
+      Cold buckets are untouched either way.
+    """
+    group_cols: list = list(key_cols)
+    if max_bucket_size and hot_bucket == "salt":
+        shards = (
+            keyed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select(
+                *key_cols,
+                F.ceil(2.0 * F.col("__n") / max_bucket_size)
+                .cast("int")
+                .alias("__nsub"),
+            )
+        )
+        keyed = keyed.join(F.broadcast(shards), key_cols, "left").withColumn(
+            "__salt",
+            F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col(id_col), *[F.col(c) for c in key_cols]),
+                    F.col("__nsub"),
+                ).cast("int")
+            ),
+        )
+        group_cols.append("__salt")
+    elif precap and max_bucket_size:
         hot = (
             keyed.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -190,7 +222,7 @@ def bucket_candidate_pairs(
             .select(*key_cols)
         )
         keyed = keyed.join(F.broadcast(hot), key_cols, "left_anti")
-    bucket = keyed.groupBy(*key_cols).agg(
+    bucket = keyed.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(id_col)).alias("__ids")
     )
     if max_bucket_size:
@@ -226,6 +258,7 @@ def minhash_candidates(
     max_bucket_size: int = 100,
     materialize: str | None = "persist",
     precap: bool = False,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, then candidate
     pairs (id_a < id_b) per (band_idx, band_hash) bucket via
@@ -233,6 +266,9 @@ def minhash_candidates(
     expansion, not a self-join.
 
     Probability a pair with Jaccard s collides: 1-(1-s^rows)^bands.
+    ``hot_bucket="salt"`` shard-splits over-cap buckets instead of
+    dropping them (partial recall on low-entropy corpora — the salt
+    hash includes the band, so shard assignment re-rolls per band).
     ``materialize`` is unused here (the banded frame is consumed once)
     and kept for signature compatibility."""
     banded = sig.select(
@@ -245,6 +281,7 @@ def minhash_candidates(
         "__id",
         max_bucket_size=max_bucket_size,
         precap=precap,
+        hot_bucket=hot_bucket,
     )
 
 

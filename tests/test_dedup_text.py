@@ -511,3 +511,39 @@ def test_bucket_precap_equals_postcap(spark):
     assert a == b
     # only the normal bucket's pairs survive: C(5,2) = 10
     assert len(a) == 10 and all(100 <= x < 105 for p in a for x in p)
+
+
+def test_bucket_salt_keeps_partial_recall(spark):
+    """hot_bucket='salt' shard-splits the hot bucket instead of
+    dropping it: memory stays bounded (every shard ≤ cap), cold
+    buckets are untouched, and the hot bucket contributes SOME pairs
+    (1/shards odds per pair) where 'drop' contributes none."""
+    from tabata_spark.operators.dedup import bucket_candidate_pairs
+
+    rows = []
+    for i in range(200):
+        rows.append((i, 0, 7))  # hot bucket: 200 members, cap 20
+    for i in range(5):
+        rows.append((1000 + i, 1, 9))  # cold bucket
+    keyed = spark.createDataFrame(rows, "__id long, band int, bh long")
+
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_candidate_pairs(
+            keyed, ["band", "bh"], "__id", max_bucket_size=20,
+            hot_bucket="salt",
+        ).collect()
+    }
+    cold_pairs = {p for p in salted if p[0] >= 1000}
+    hot_pairs = {p for p in salted if p[0] < 1000}
+    # cold bucket exact: C(5,2)=10, same as the drop policy
+    assert len(cold_pairs) == 10
+    # hot bucket: recall > 0 (drop policy yields zero) and far below
+    # the quadratic C(200,2)=19900 (memory bound held)
+    assert 0 < len(hot_pairs) < 3000
+    # every hot pair is genuinely from the hot bucket's members
+    assert all(0 <= a < 200 and 0 <= b < 200 for a, b in hot_pairs)
+    # expected shard count ceil(2*200/20)=20 -> ~10 members/shard ->
+    # roughly 20 * C(10,2) ≈ 900 pairs; allow wide slack but pin the
+    # order of magnitude
+    assert len(hot_pairs) > 200
