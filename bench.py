@@ -55,6 +55,7 @@ HEADLINE = [
     "j_interval_attrib",
     "a_attrib_summary",
     "a_label_centroids",
+    "a_funnel_depth",
 ]
 
 

@@ -2302,6 +2302,80 @@ def q_event_transitions(spark, sf_dir):
 
 
 @register(
+    "a_funnel_depth",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+      FROM events
+    ), o2 AS (
+      SELECT *, min(CASE WHEN event_type = 'view'
+                          AND r1 IS NOT NULL AND ts > r1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      FROM o
+    ), o3 AS (
+      SELECT *, min(CASE WHEN event_type = 'click'
+                          AND r2 IS NOT NULL AND ts > r2 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r3
+      FROM o2
+    ), o4 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase'
+                          AND r3 IS NOT NULL AND ts > r3 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+      FROM o3
+    )
+    SELECT user_id,
+           max(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)
+         + max(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END)
+         + max(CASE WHEN r3 IS NOT NULL THEN 1 ELSE 0 END)
+         + max(CASE WHEN r4 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+    FROM o4 GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a_funnel_depth(spark, sf_dir):
+    """Ordered-funnel depth per user (signup → view → click →
+    purchase, each stage strictly after the previous stage's first
+    completion): four chained conditional running-mins over ONE
+    user-partitioned ordering — a window-function state machine, so
+    the whole funnel costs a single shuffle however many stages it
+    has. The join-per-stage alternative shuffles events once per
+    stage. Stage k's running min only starts once stage k-1 is
+    reached, which is the sequential-funnel semantics (not mere
+    per-type existence)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stages = ["signup", "view", "click", "purchase"]
+    df = ev
+    prev = None
+    for i, stage in enumerate(stages, start=1):
+        cond = F.col("event_type") == stage
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col("ts") > F.col(prev))
+        df = df.withColumn(
+            f"r{i}", F.min(F.when(cond, F.col("ts"))).over(w)
+        )
+        prev = f"r{i}"
+    depth = sum(
+        F.max(F.col(f"r{i}").isNotNull().cast("int"))
+        for i in range(1, len(stages) + 1)
+    )
+    return (
+        df.groupBy("user_id")
+        .agg(depth.alias("depth"))
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q_window_rank",
     """
     SELECT c_custkey, o_orderkey, o_totalprice

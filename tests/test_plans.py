@@ -250,6 +250,21 @@ def test_lsh_neardup_arrow_only_python(spark, sf):
     assert c["sortmerge_joins"] == 0, c
 
 
+def test_funnel_single_data_shuffle(spark, sf):
+    """The 4-stage ordered funnel is a window state machine: all
+    stages share one user-partitioned shuffle (the second exchange is
+    only the output ordering), the per-user aggregate reuses the
+    window partitioning, and a stage costs a Window op — not a join,
+    not another pass over events."""
+    c = plan_counts(battery.QUERIES["a_funnel_depth"](spark, sf))
+    assert c["exchanges"] <= 2, c
+    assert c["windows"] == 4, c
+    assert (
+        c["broadcast_joins"] + c["sortmerge_joins"] + c["shuffle_hash_joins"] == 0
+    ), c
+    assert c["python_evals"] == 0, c
+
+
 def test_asof_union_window_no_joins(spark, sf):
     """The as-of join is the union-window formulation: ZERO join
     operators of any kind (a range-join rewrite would explode row
