@@ -1,0 +1,82 @@
+"""Store maintenance — compaction and stat-friendly layout for the
+partitioned parquet stores the engine writes (SignalSet.put upserts,
+streaming foreachBatch sinks).
+
+Recurring micro-batch writes accumulate small files per partition;
+at scale that degrades scans twice over (file-open overhead, and
+row-group stats too fragmented to skip anything). ``compact_store``
+rewrites each partition to ~``files_per_partition`` files with rows
+sorted by the sort column INSIDE each file, so parquet row-group
+min/max stats become tight ranges — a ts-predicate scan can then skip
+whole row groups (the poor man's Z-order for a single sort
+dimension, which is exactly the signal-store access pattern:
+record-partitioned, time-ordered reads).
+
+Safety: the rewrite stages into ``<path>.__compact__`` and swaps via
+two renames — a reader never sees a half-written store. (On object
+stores a real deployment would commit via a manifest/table format;
+directory-swap is the filesystem analog.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "record_id",
+    sort_col: str = "seq",
+    files_per_partition: int = 1,
+) -> None:
+    """Rewrite a partitioned parquet store with at most
+    ``files_per_partition`` files per partition, each sorted by
+    ``sort_col`` (tight row-group stats → data skipping on range
+    predicates). One file per partition by default; pass a higher
+    count when single partitions outgrow one task's write (the salt
+    spreads rows deterministically by the sort column's hash)."""
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + ".__compact__"
+    n = _n_partitions(df, partition_col)
+    keys = [F.col(partition_col)]
+    if files_per_partition > 1:
+        keys.append(
+            F.pmod(F.xxhash64(F.col(sort_col)), F.lit(files_per_partition))
+        )
+    (
+        df.repartition(files_per_partition * n, *keys)
+        .sortWithinPartitions(partition_col, sort_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staged)
+    )
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+
+
+def _n_partitions(df: DataFrame, partition_col: str) -> int:
+    # distinct partition values — the store's partition count; a tiny
+    # aggregate (one row per partition value)
+    return df.select(partition_col).distinct().count()
+
+
+def store_file_stats(spark: SparkSession, path: str) -> dict[str, int]:
+    """(n_files, n_partitions) of a partitioned parquet store — the
+    before/after evidence for compaction."""
+    n_files = 0
+    parts = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                rel = os.path.relpath(root, path)
+                if "=" in rel:
+                    parts.add(rel)
+    return {"n_files": n_files, "n_partitions": len(parts)}

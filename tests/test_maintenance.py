@@ -1,0 +1,72 @@
+"""Store compaction: fragmented multi-batch store → few sorted files,
+data identical, row-group stats tight (core/maintenance.py)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.core.maintenance import compact_store, store_file_stats
+
+
+@pytest.fixture()
+def fragmented_store(spark, tmp_path):
+    """Simulate recurring micro-batch appends: 5 unsorted batches into
+    the same partitioned store."""
+    out = str(tmp_path / "store")
+    for b in range(5):
+        (
+            spark.range(b * 200, (b + 1) * 200)
+            .select(
+                (F.col("id") % 4).cast("string").alias("record_id"),
+                # write in descending order so files start stat-hostile
+                (F.lit(1000) - F.col("id")).alias("seq"),
+                F.rand(seed=b).alias("value"),
+            )
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("record_id")
+            .parquet(out)
+        )
+    return out
+
+
+def test_compact_reduces_files_preserves_data(spark, fragmented_store):
+    before = store_file_stats(spark, fragmented_store)
+    assert before["n_files"] > 4 * 5  # ≥1 file per batch per partition
+
+    want = sorted(
+        map(tuple, spark.read.parquet(fragmented_store).collect())
+    )
+    compact_store(spark, fragmented_store, "record_id", "seq")
+    after = store_file_stats(spark, fragmented_store)
+    got = sorted(map(tuple, spark.read.parquet(fragmented_store).collect()))
+
+    assert got == want
+    assert after["n_partitions"] == 4
+    assert after["n_files"] == 4  # one file per partition
+
+
+def test_compacted_files_are_sorted_with_tight_stats(spark, fragmented_store):
+    import glob
+
+    compact_store(spark, fragmented_store, "record_id", "seq")
+    files = glob.glob(f"{fragmented_store}/record_id=*/*.parquet")
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        # row groups must not overlap on seq (sorted file → each row
+        # group's min > previous row group's max) and stats present
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "seq"
+            )
+            stats = col.statistics
+            assert stats is not None and stats.has_min_max
+            if prev_max is not None:
+                assert stats.min > prev_max
+            prev_max = stats.max
