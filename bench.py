@@ -56,6 +56,7 @@ HEADLINE = [
     "a_attrib_summary",
     "a_label_centroids",
     "a_funnel_depth",
+    "sim_knn_join",
 ]
 
 

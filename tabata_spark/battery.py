@@ -707,6 +707,44 @@ def sim_topk_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "sim_knn_join",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+      FROM embeddings e, q
+      WHERE e.vec_id >= 10
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    """Batched exact k-NN (the serving/dedup shape: top-k neighbors
+    for EVERY query in a batch, not one vector at a time): broadcast
+    the query batch, one index scan computes all cosines, per-query
+    window keeps k. Ranking on the unrounded cosine with id tiebreak
+    so both engines agree on membership."""
+    from tabata_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = emb.filter(F.col("vec_id") >= 10)
+    return knn_join(queries, index, k=3).orderBy("query_id", "rank")
+
+
 # =====================================================================
 # Flagship
 # =====================================================================

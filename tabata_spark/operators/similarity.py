@@ -19,7 +19,7 @@ Two tiers:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,60 @@ def brute_force_topk(
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
+    )
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    """Cosine between two array COLUMNS (no literals) — sequential
+    left-to-right folds for engine-parity of the doubles."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (norm_col(a) * norm_col(b))
+
+
+def knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Batched exact k-NN: top-``k`` index neighbors for EVERY query
+    row — the serving/dedup shape where queries arrive in batches, not
+    one vector at a time. The query batch broadcasts (it is the small
+    side by construction); each executor scans its index slice once
+    computing all query cosines (a broadcast nested-loop pass, the
+    dense analog of a matmul tile), and a per-query window keeps k.
+    The window shuffle carries the O(queries x index) scored rows —
+    for large batches chain after an IVF/LSH pre-filter of ``index``
+    (probe cells per query) so the scored set is bucket-bounded
+    rather than index x batch.
+
+    Ranking uses the UNROUNDED cosine (ties broken by ``id_col``) so
+    engines that round display values agree on membership.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qv")
+    )
+    scored = index.join(F.broadcast(q)).select(
+        query_id,
+        id_col,
+        cosine_cols(F.col(vec_col), F.col("__qv")).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            query_id,
+            id_col,
+            F.round("__cos", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
     )
 
 
