@@ -258,6 +258,66 @@ def ivf_topk(
     )
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    assigned: bool = False,
+) -> DataFrame:
+    """Batched ANN: :func:`knn_join` with IVF cell pre-filtering — the
+    scale path for large query batches. Each query computes its
+    ``nprobe`` nearest cells as a JVM expression over the centroid
+    literals (array of (dist, idx) structs, array_sort, slice) and
+    explodes to (query, cell) probe rows; the equi-join on
+    ``ivf_cell`` bounds the scored set to the probed cells' contents
+    instead of |index|·|batch|. With a cell-partitioned stored index
+    the probe set prunes partitions (dynamic partition pruning from
+    the broadcast probe side). ``nprobe = len(centroids)`` is exact —
+    provably identical to :func:`knn_join` whatever the centroids.
+    """
+    indexed = index if assigned else ivf_assign(index, centroids, vec_col)
+    nprobe = max(1, min(nprobe, len(centroids)))
+    dists = F.array(
+        *[
+            F.struct(
+                _l2sq_lit(F.col(vec_col), c).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["i"]
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells).alias("__cell"),
+    )
+    scored = indexed.join(
+        F.broadcast(q), F.col("ivf_cell") == F.col("__cell")
+    ).select(
+        query_id,
+        id_col,
+        cosine_cols(F.col(vec_col), F.col("__qv")).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            query_id,
+            id_col,
+            F.round("__cos", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     planes: list[list[float]],

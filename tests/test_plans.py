@@ -178,6 +178,51 @@ def test_ivf_stored_index_prunes_partitions(spark, tmp_path_factory):
     assert probe.count() == stored.filter(F.col("ivf_cell") != 2).count()
 
 
+def test_ivf_knn_join_batch(spark):
+    """Batched ANN composition: with nprobe=all, ivf_knn_join is
+    EXACTLY knn_join (centroid-independent); with small nprobe every
+    neighbor comes from the query's probed cells (the scored set is
+    cell-bounded, not |index|x|batch|) and clustered queries keep
+    perfect recall (their true neighbors share their nearest cell)."""
+    import numpy as np
+
+    from tabata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_knn_join,
+        kmeans_centroids,
+        knn_join,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[9.0] * 4, [-9.0] * 4, [9.0, -9.0] * 2])
+    vecs = np.concatenate([c + rng.standard_normal((40, 4)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = df.filter(F.col("vec_id") % 40 != 0)
+    cents = kmeans_centroids(df, n_centroids=3, seed=3, max_iter=5)
+
+    exact = sorted(map(tuple, knn_join(queries, index, k=5).collect()))
+    allprobe = sorted(
+        map(tuple, ivf_knn_join(queries, index, cents, k=5, nprobe=3).collect())
+    )
+    assert allprobe == exact
+
+    # nprobe=1 on well-separated clusters: same answer, cell-bounded
+    one = sorted(
+        map(tuple, ivf_knn_join(queries, index, cents, k=5, nprobe=1).collect())
+    )
+    assert one == exact
+    # and each neighbor genuinely lives in its query's nearest cell
+    assigned = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(df, cents).collect()}
+    for qid, vid, _cos, _rk in one:
+        assert assigned[vid] == assigned[qid]
+
+
 def test_q6_pushes_every_predicate_to_scan(spark, sf):
     """TPC-H Q6 is the pushdown litmus: date range, discount band and
     quantity predicates must all reach the parquet scan, and the
