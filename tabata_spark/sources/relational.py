@@ -56,11 +56,18 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     ALL TimestampNTZType columns are normalized, not just ``ts`` —
     ``o_orderdate``/``l_shipdate`` arrive in the same naive-µs shape,
     and leaving them NTZ keeps the round-3 trap armed for the first
-    query that does epoch arithmetic on them.
+    query that does epoch arithmetic on them. A string-typed ``ts``
+    (ISO-8601 text, the remaining plausible regeneration shape) is
+    parsed the same way — ``cast("timestamp")`` reads it as a
+    session-zone wall clock, matching DuckDB's implicit
+    VARCHAR→TIMESTAMP cast under UTC.
     """
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if f.name == "ts" and isinstance(f.dataType, (T.LongType, T.StringType)):
+            if isinstance(f.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         elif isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df

@@ -48,17 +48,26 @@ def _events_arrow(ts_type: pa.DataType) -> pa.Table:
 
 @pytest.fixture(
     scope="module",
-    params=["us_naive", "ns_naive", "us_utc"],
+    params=["us_naive", "ns_naive", "us_utc", "iso_string"],
 )
 def shaped_dir(request, tmp_path_factory):
     """A directory holding events.parquet in one physical ts shape."""
-    type_map = {
-        "us_naive": pa.timestamp("us"),
-        "ns_naive": pa.timestamp("ns"),
-        "us_utc": pa.timestamp("us", tz="UTC"),
-    }
     d = tmp_path_factory.mktemp(f"tsshape_{request.param}")
-    pq.write_table(_events_arrow(type_map[request.param]), str(d / "events.parquet"))
+    if request.param == "iso_string":
+        t = _events_arrow(pa.timestamp("us"))
+        idx = t.schema.get_field_index("ts")
+        iso = pa.array(
+            [v.as_py().isoformat(sep=" ") for v in t.column("ts")], pa.string()
+        )
+        t = t.set_column(idx, "ts", iso)
+    else:
+        type_map = {
+            "us_naive": pa.timestamp("us"),
+            "ns_naive": pa.timestamp("ns"),
+            "us_utc": pa.timestamp("us", tz="UTC"),
+        }
+        t = _events_arrow(type_map[request.param])
+    pq.write_table(t, str(d / "events.parquet"))
     return str(d)
 
 
