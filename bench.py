@@ -57,6 +57,7 @@ HEADLINE = [
     "a_label_centroids",
     "a_funnel_depth",
     "sim_knn_join",
+    "text_chunks",
 ]
 
 

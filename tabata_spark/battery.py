@@ -708,6 +708,50 @@ def sim_topk_cosine(spark, sf_dir):
 
 
 @register(
+    "text_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), p AS (
+      SELECT doc_id, toks,
+             CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) + 1
+               AS n_chunks
+      FROM t
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM p
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 48 AS chunk_start,
+           len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+             AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+             AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Sliding-window document chunking (window 64, stride 48): the
+    long-document splitter for context-length fitting — pure array
+    expressions exploded in the scan stage, zero shuffles. Chunk text
+    is hash-compared so the oracle pins exact content and boundaries,
+    including the shorter final chunk."""
+    from tabata_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, window=64, stride=48)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
     "sim_knn_join",
     """
     WITH q AS (

@@ -105,3 +105,53 @@ def pack_sequences(
         .withColumn("chunk_offset", F.col("start_offset") % budget)
         .drop("__h")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    token chunks of ``window`` tokens every ``stride`` — the long-
+    document splitter (context-length fitting, RAG passage windows).
+    ``pack_sequences`` is the inverse direction (many short docs →
+    one sequence); this is one long doc → many chunks.
+
+    Number of chunks = ceil(max(n - window, 0) / stride) + 1, so a doc
+    shorter than ``window`` yields exactly one chunk and the final
+    chunk always reaches the document's end. Pure array expressions
+    (split → sequence of starts → slice → rejoin) exploded in the
+    scan stage — embarrassingly parallel, no shuffle at all; output
+    order and content are deterministic, so chunk text hashes are
+    engine-checkable.
+
+    Returns (id_col, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_text).
+    """
+    toks = F.split(F.col(text), " ", -1)
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)) + 1
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("chunk_start"),
+            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk_text"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return ex.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.size(F.split(F.col("c.chunk_text"), " ", -1)).alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
