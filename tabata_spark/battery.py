@@ -789,6 +789,50 @@ def sim_knn_join(spark, sf_dir):
     return knn_join(queries, index, k=3).orderBy("query_id", "rank")
 
 
+@register(
+    "sim_ivf_knn_batch",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+      FROM embeddings e, q
+      WHERE e.vec_id >= 10
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_knn_batch(spark, sf_dir):
+    """Batched IVF ANN with nprobe = all cells — provably identical to
+    exact batched k-NN whatever the centroids, so the brute-force
+    oracle checks the ENTIRE composed path (per-query probe-cell
+    derivation, cell equi-join, per-query ranking). The scale setting
+    (small nprobe over a cell-partitioned index) is pinned by
+    test_ivf_knn_join_batch."""
+    from tabata_spark.operators.similarity import ivf_knn_join, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = emb.filter(F.col("vec_id") >= 10)
+    cents = kmeans_centroids(
+        emb, n_centroids=8, seed=42, max_iter=2, sample_fraction=0.2
+    )
+    return ivf_knn_join(
+        queries, index, cents, k=3, nprobe=len(cents)
+    ).orderBy("query_id", "rank")
+
+
 # =====================================================================
 # Flagship
 # =====================================================================
