@@ -1,0 +1,72 @@
+"""Continuous rollup maintenance: N incremental upserts ≡ one batch
+rollup, including out-of-order (late) batches (operators/rollup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.rollup import read_rollup, rollup_events, upsert_rollup
+from tabata_spark.sources.relational import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _norm(df):
+    return sorted(
+        (str(r["win_start"]), r["event_type"], r["n"],
+         round(r["sum_value"], 6), round(r["min_value"], 6),
+         round(r["max_value"], 6))
+        for r in df.collect()
+    )
+
+
+def test_incremental_equals_batch(spark, events, tmp_path):
+    store = str(tmp_path / "rollup")
+    # split by event_id mod 3 — every batch spans the whole time range,
+    # so EVERY upsert reopens existing buckets (the late-data path)
+    for b in range(3):
+        upsert_rollup(spark, store, events.filter(F.col("event_id") % 3 == b))
+    got = _norm(spark.read.parquet(store).drop("win_date"))
+    want = _norm(rollup_events(events).drop("win_date"))
+    assert got == want
+
+
+def test_touched_partition_merge_only(spark, events, tmp_path):
+    """A second-day batch must not rewrite day-one partitions: stored
+    day-one files stay byte-identical after an upsert that touches
+    only other dates."""
+    import glob
+    import os
+
+    store = str(tmp_path / "rollup2")
+    dates = sorted(
+        r["d"]
+        for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(dates) >= 2, "fixture must span multiple dates"
+    d0 = dates[0]
+    upsert_rollup(spark, store, events.filter(F.to_date("ts") == d0))
+    day1_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{store}/win_date={d0}/*.parquet")
+    }
+    assert day1_files
+    upsert_rollup(spark, store, events.filter(F.to_date("ts") != d0))
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{store}/win_date={d0}/*.parquet")
+    }
+    assert after == day1_files  # untouched partitions not rewritten
+
+
+def test_read_rollup_derives_avg(spark, events, tmp_path):
+    store = str(tmp_path / "rollup3")
+    upsert_rollup(spark, store, events)
+    view = read_rollup(spark, store)
+    row = view.orderBy("win_start", "event_type").first()
+    assert abs(row["avg_value"] - row["sum_value"] / row["n"]) < 1e-12
+    assert view.count() == rollup_events(events).count()
