@@ -58,6 +58,8 @@ HEADLINE = [
     "a_funnel_depth",
     "sim_knn_join",
     "text_chunks",
+    "w_rolling_time",
+    "a_winsorize",
 ]
 
 

@@ -2428,6 +2428,94 @@ def q_event_transitions(spark, sf_dir):
 
 
 @register(
+    "w_rolling_time",
+    """
+    SELECT user_id, event_id,
+           round(epoch(ts), 3) AS ts_s,
+           sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS roll_sum,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS roll_n
+    FROM events
+    ORDER BY user_id, ts_s, event_id
+    """,
+)
+def w_rolling_time(spark, sf_dir):
+    """Time-based rolling aggregates: a RANGE frame over EVENT TIME
+    (all events in the trailing hour), not a row-count frame — the
+    window shape every other query here leaves unexercised
+    (rowsBetween counts rows; rangeBetween bounds the ORDER key's
+    VALUE). Spark's rangeBetween needs a numeric order key, so the
+    frame orders by epoch seconds with the offset in seconds —
+    semantically identical to DuckDB's RANGE BETWEEN INTERVAL.
+
+    Ties (same user, same ts): a RANGE frame includes ALL peers of
+    the current order value in both engines, so the sum is
+    tie-order-insensitive — hash-stable without an event_id tiebreak
+    in the frame itself."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(epoch_s("ts"), 3).alias("ts_s"),
+            F.sum("value").over(w).alias("roll_sum"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+@register(
+    "a_winsorize",
+    SIGNALS_CTE
+    + """
+    , b AS (
+      SELECT record_id, seq, value,
+             quantile_cont(value, 0.05) OVER (PARTITION BY record_id) AS lo,
+             quantile_cont(value, 0.95) OVER (PARTITION BY record_id) AS hi
+      FROM signals
+    )
+    SELECT record_id, seq,
+           round(CASE WHEN value < lo THEN lo
+                      WHEN value > hi THEN hi ELSE value END, 6) AS w_value,
+           (value < lo OR value > hi) AS clipped
+    FROM b ORDER BY record_id, seq
+    """,
+)
+def a_winsorize(spark, sf_dir):
+    """Per-record winsorization (clip to the record's [p05, p95]) —
+    the outlier-tempering preprocessing step, as two percentile
+    window aggregates over the record partition plus a pure clip
+    expression. Same single record-shuffle as every signal operator;
+    percentile_cont interpolation semantics match DuckDB's
+    quantile_cont exactly."""
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("record_id")
+    lo = F.expr("percentile(value, 0.05)").over(w)
+    hi = F.expr("percentile(value, 0.95)").over(w)
+    clipped = F.least(F.greatest(F.col("value"), lo), hi)
+    return (
+        sig.select(
+            "record_id",
+            "seq",
+            F.round(clipped, 6).alias("w_value"),
+            ((F.col("value") < lo) | (F.col("value") > hi)).alias("clipped"),
+        )
+        .orderBy("record_id", "seq")
+    )
+
+
+@register(
     "a_funnel_depth",
     """
     WITH o AS (
