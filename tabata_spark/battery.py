@@ -1127,6 +1127,65 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(d.text, ' '), 1,
+               greatest(CAST(ceil(len(string_split(d.text, ' ')) * 0.4) AS INT), 1)),
+               ' ') AS text
+      FROM documents d WHERE d.doc_id % 3 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / sa.n_sh, 6) AS c_ab,
+           round(n_inter / sb.n_sh, 6) AS c_ba,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / sa.n_sh >= 0.9 OR n_inter / sb.n_sh >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directional containment near-dup over a corpus salted with
+    TRUNCATED copies (every 3rd doc re-appears as its first 40% of
+    tokens): the fragment is ~fully contained in its source
+    (containment ≈ 1) while their Jaccard is only ~0.4 — exactly the
+    quote/partial-copy class that symmetric-Jaccard dedup misses.
+    Keep when either direction clears 0.9."""
+    from tabata_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ", -1)
+    frag_len = F.greatest(
+        F.ceil(F.size(toks) * 0.4).cast("int"), F.lit(1)
+    )
+    frags = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, frag_len), " ").alias("text"),
+    )
+    corpus = docs.unionByName(frags)
+    return containment_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@register(
     "dedup_clusters",
     """
     WITH RECURSIVE corpus AS (
@@ -2510,6 +2569,34 @@ def a_winsorize(spark, sf_dir):
             "seq",
             F.round(clipped, 6).alias("w_value"),
             ((F.col("value") < lo) | (F.col("value") > hi)).alias("clipped"),
+        )
+        .orderBy("record_id", "seq")
+    )
+
+
+@register(
+    "a_quantile_transform",
+    SIGNALS_CTE
+    + """
+    SELECT record_id, seq,
+           round(percent_rank() OVER (PARTITION BY record_id
+                                      ORDER BY value, seq), 6) AS q
+    FROM signals ORDER BY record_id, seq
+    """,
+)
+def a_quantile_transform(spark, sf_dir):
+    """Rank-based quantile transform per record (value → its uniform
+    quantile): the distribution-free normalization step (robust to
+    outliers where z-scoring is not). percent_rank over the record
+    partition ordered by (value, seq) — the seq tiebreak makes the
+    rank total, so both engines agree on tied values exactly."""
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("record_id").orderBy("value", "seq")
+    return (
+        sig.select(
+            "record_id",
+            "seq",
+            F.round(F.percent_rank().over(w), 6).alias("q"),
         )
         .orderBy("record_id", "seq")
     )

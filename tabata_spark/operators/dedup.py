@@ -372,6 +372,75 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    materialize: str | None = "persist",
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT for document pairs:
+    ``c(a in b) = |sh(a) ∩ sh(b)| / |sh(a)|`` — the measure that
+    catches a short document copied INSIDE a long one (quotes,
+    boilerplate-wrapped reposts), which symmetric Jaccard dilutes to
+    ~|a|/|b| and misses entirely. Emits both directions per pair plus
+    the Jaccard for context; keep a pair when EITHER direction clears
+    ``threshold``.
+
+    Same scale shape as the candidate path of
+    :func:`ngram_jaccard_pairs`: per-doc shingle arrays fetched by two
+    equi-joins, one JVM array_intersect per pair — candidate-bounded.
+    Without candidates, the shared-shingle self-join oracle path.
+    """
+    arr = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+        ),
+        materialize,
+    )
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+    else:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+        )
+        sh = _materialize(sh, materialize)
+        cand = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    joined = cand.join(
+        arr.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("__a")), "id_a"
+    ).join(
+        arr.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("__b")), "id_b"
+    )
+    n_inter = F.size(F.array_intersect("__a", "__b"))
+    c_ab = n_inter / F.size("__a")
+    c_ba = n_inter / F.size("__b")
+    jac = n_inter / (F.size("__a") + F.size("__b") - n_inter)
+    return (
+        joined.withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("c_ab", 6).alias("c_ab"),
+            F.round("c_ba", 6).alias("c_ba"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
 def md5_token_hash(col: Column) -> Column:
     """60-bit token hash from the first 15 hex chars of md5 — the
     *engine-portable* hash: DuckDB computes the identical value via
