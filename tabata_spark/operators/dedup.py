@@ -441,6 +441,78 @@ def containment_pairs(
     )
 
 
+def containment_candidates(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_window: int = 64,
+    chunk_stride: int = 48,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate pairs FOR CONTAINMENT — where minhash LSH is blind.
+
+    LSH banding collides pairs by JACCARD, and a short fragment inside
+    a long document has Jaccard ≈ |frag|/|doc| — far below any banding
+    threshold, so the jaccard-tuned candidate generator never emits
+    the pair. The fix is resolution matching: chunk every document
+    into sliding windows (:func:`~tabata_spark.operators.packing.
+    chunk_documents`), band the CHUNK signatures together with the
+    whole-doc signatures, and map chunk collisions back to their
+    parent documents. A fragment now meets a same-sized chunk of its
+    container (Jaccard ≈ 1 at chunk scale) and collides with
+    probability ~1.
+
+    Returns distinct (id_a, id_b) parent-document pairs (id_a < id_b)
+    to feed :func:`containment_pairs` as ``candidates``. Cost: the
+    chunk explode multiplies the signature stage by ~len/stride, but
+    bucket aggregation, capping, and pair expansion stay the
+    LSH-bounded shapes — no all-pairs anywhere.
+    """
+    from tabata_spark.operators.packing import chunk_documents
+
+    whole = df.select(
+        F.concat(F.lit("d:"), F.col(id_col).cast("string")).alias("__cid"),
+        F.col(text).alias("__text"),
+    )
+    chunks = chunk_documents(
+        df, window=chunk_window, stride=chunk_stride, text=text, id_col=id_col
+    ).select(
+        F.concat(
+            F.lit("c:"),
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("__cid"),
+        F.col("chunk_text").alias("__text"),
+    )
+    units = whole.unionByName(chunks)
+    sigs = minhash_signatures(units, "__text", "__cid", num_hashes, shingle_n)
+    pairs = minhash_candidates(
+        sigs, "__cid", bands=bands, rows=rows, max_bucket_size=max_bucket_size
+    )
+    id_type = dict(df.dtypes)[id_col]  # cast parents back to the real id type
+
+    def parent(c):
+        return F.substring_index(
+            F.regexp_replace(c, r"^[dc]:", ""), "#", 1
+        ).cast(id_type)
+
+    mapped = pairs.select(
+        parent(F.col("id_a")).alias("__pa"), parent(F.col("id_b")).alias("__pb")
+    ).filter(F.col("__pa") != F.col("__pb"))
+    return (
+        mapped.select(
+            F.least("__pa", "__pb").alias("id_a"),
+            F.greatest("__pa", "__pb").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def md5_token_hash(col: Column) -> Column:
     """60-bit token hash from the first 15 hex chars of md5 — the
     *engine-portable* hash: DuckDB computes the identical value via

@@ -513,6 +513,48 @@ def test_bucket_precap_equals_postcap(spark):
     assert len(a) == 10 and all(100 <= x < 105 for p in a for x in p)
 
 
+def test_containment_candidates_find_fragment_lsh_misses(spark):
+    """A 40-token fragment inside a 400-token document has Jaccard
+    ~0.1 — jaccard-tuned minhash LSH never collides the pair; the
+    chunk-resolution candidate generator must."""
+    import random
+
+    from tabata_spark.operators.dedup import (
+        containment_candidates,
+        containment_pairs,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(3000)]
+    long_docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(400)) for i in range(20)
+    }
+    rows = [(i, t) for i, t in long_docs.items()]
+    # doc 100: a 40-token slice out of the middle of doc 0
+    frag = " ".join(long_docs[0].split(" ")[100:140])
+    rows.append((100, frag))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df)
+    jaccard_cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(sigs, bands=16, rows=2).collect()
+    }
+    assert (0, 100) not in jaccard_cands  # LSH is blind to the fragment
+
+    cands = containment_candidates(df, chunk_window=64, chunk_stride=48)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 100) in got
+
+    verified = containment_pairs(df, threshold=0.9, candidates=cands).collect()
+    hits = {(r["id_a"], r["id_b"]): (r["c_ab"], r["c_ba"]) for r in verified}
+    assert (0, 100) in hits
+    c_ab, c_ba = hits[(0, 100)]
+    assert max(c_ab, c_ba) > 0.9  # the fragment direction is ~fully contained
+
+
 def test_bucket_salt_keeps_partial_recall(spark):
     """hot_bucket='salt' shard-splits the hot bucket instead of
     dropping it: memory stays bounded (every shard ≤ cap), cold
