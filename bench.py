@@ -60,6 +60,7 @@ HEADLINE = [
     "text_chunks",
     "w_rolling_time",
     "a_winsorize",
+    "w_m4_downsample",
 ]
 
 

@@ -2575,6 +2575,55 @@ def a_winsorize(spark, sf_dir):
 
 
 @register(
+    "w_m4_downsample",
+    SIGNALS_CTE
+    + """
+    , b AS (
+      SELECT record_id, seq, value,
+             min(seq) OVER (PARTITION BY record_id) AS lo,
+             max(seq) OVER (PARTITION BY record_id) AS hi
+      FROM signals
+    ), t AS (
+      SELECT record_id, seq, value,
+             CAST(least(floor((seq - lo) * 50 / greatest(hi - lo, 1)), 49)
+                  AS INT) AS bucket
+      FROM b
+    )
+    SELECT record_id, bucket,
+           round(arg_min(value, seq), 6) AS v_first,
+           round(arg_max(value, seq), 6) AS v_last,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max,
+           min(seq) AS seq_first,
+           max(seq) AS seq_last,
+           count(*) AS n
+    FROM t GROUP BY record_id, bucket ORDER BY record_id, bucket
+    """,
+)
+def w_m4_downsample(spark, sf_dir):
+    """M4 downsampling (50 buckets/record): the error-free line-chart
+    reduction — per bucket keep first/last/min/max, which is ALL a
+    pixel column can display. One window for the span + one
+    partial-agg shuffle; no sequential dependency (unlike LTTB), so
+    it scales like any aggregation."""
+    from tabata_spark.operators.asof import m4_downsample
+
+    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    out = m4_downsample(sig, n_buckets=50)
+    return out.select(
+        "record_id",
+        "bucket",
+        F.round("v_first", 6).alias("v_first"),
+        F.round("v_last", 6).alias("v_last"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        "seq_first",
+        "seq_last",
+        "n",
+    ).orderBy("record_id", "bucket")
+
+
+@register(
     "a_quantile_transform",
     SIGNALS_CTE
     + """

@@ -33,15 +33,23 @@ def asof_join(
     matched_ts_name: str = "matched_ts",
     strict: bool = False,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the right row with the
-    greatest ``ts`` ≤ left.ts (or < if ``strict``) within the same
-    ``key_cols`` group; unmatched rows keep nulls.
+    """As-of join: for every left row, the right row with the greatest
+    ``ts`` ≤ left.ts (``direction="backward"``, the default) or the
+    smallest ``ts`` ≥ left.ts (``direction="forward"`` — "next
+    scheduled maintenance/price change after this point") within the
+    same ``key_cols`` group; ``strict`` excludes the equal-ts match.
+    Unmatched rows keep nulls.
 
     ``value_cols`` are the right columns to carry (defaults to all
-    non-key, non-ts columns). ``tolerance_s`` nulls matches older than
-    the given number of seconds. Right (key, ts) pairs must be unique
-    for a deterministic result (pre-aggregate the right side).
+    non-key, non-ts columns). ``tolerance_s`` nulls matches farther
+    than the given number of seconds in the match direction. Right
+    (key, ts) pairs must be unique for a deterministic result
+    (pre-aggregate the right side). Both directions are the same
+    union-window formulation — one shuffle, no join operator; forward
+    simply flips the frame (current→following) and the carry function
+    (first instead of last).
     """
     if value_cols is None:
         value_cols = [
@@ -59,21 +67,37 @@ def asof_join(
         "__is_left", F.lit(1)
     )
     u = lsel.unionByName(rsel, allowMissingColumns=True)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # tie order at equal ts: non-strict wants the right row VISIBLE to
-    # the left row (right sorts first); strict hides it (left first)
-    order = [F.col("__ts")] + (
-        [F.desc("__is_left")] if strict else [F.col("__is_left")]
-    )
+    # the left row within the frame (backward frame looks back, so
+    # right sorts first; forward frame looks ahead, so right sorts
+    # last); strict hides it (the opposite placement)
+    if direction == "backward":
+        order = [F.col("__ts")] + (
+            [F.desc("__is_left")] if strict else [F.col("__is_left")]
+        )
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        carry = F.last
+    else:
+        order = [F.col("__ts")] + (
+            [F.col("__is_left")] if strict else [F.desc("__is_left")]
+        )
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        carry = F.first
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
     out = u.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in carried]
+        "*", *[carry(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in carried]
     ).filter(F.col("__is_left") == 1)
     if tolerance_s is not None:
-        stale = epoch_diff_s("__ts", f"__m_{matched_ts_name}") > float(tolerance_s)
+        if direction == "backward":
+            stale = epoch_diff_s("__ts", f"__m_{matched_ts_name}") > float(tolerance_s)
+        else:
+            stale = epoch_diff_s(f"__m_{matched_ts_name}", "__ts") > float(tolerance_s)
         for c in carried:
             out = out.withColumn(
                 f"__m_{c}", F.when(~stale, F.col(f"__m_{c}"))
@@ -83,6 +107,48 @@ def asof_join(
         F.col(f"__m___r_{c}").alias(c) for c in value_cols
     ]
     return out.select(*keep, *renames)
+
+
+def m4_downsample(
+    df: DataFrame,
+    n_buckets: int = 100,
+    key_col: str = "record_id",
+    seq_col: str = "seq",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 time-series downsampling: per (key, time-bucket), keep the
+    first, last, min and max points — the standard error-free
+    reduction for line-chart rendering (a pixel column can only show
+    those four), and unlike LTTB it is one aggregation with NO
+    sequential dependency, so it parallelizes like any groupBy.
+
+    Buckets split the key's [min(seq), max(seq)] span evenly; output
+    is (key, bucket, seq-ordered first/last and value min/max with
+    their seqs). One record-window pass for the span + one partial-agg
+    shuffle."""
+    w = Window.partitionBy(key_col)
+    lo = F.min(seq_col).over(w)
+    hi = F.max(seq_col).over(w)
+    span = F.greatest(hi - lo, F.lit(1))
+    bucket = F.least(
+        F.floor((F.col(seq_col) - lo) * n_buckets / span),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    v = F.col(value_col)
+    s = F.col(seq_col)
+    return (
+        df.withColumn("__b", bucket)
+        .groupBy(key_col, F.col("__b").alias("bucket"))
+        .agg(
+            F.min_by(v, s).alias("v_first"),
+            F.max_by(v, s).alias("v_last"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+            F.min(s).alias("seq_first"),
+            F.max(s).alias("seq_last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
 
 
 def resample_linear(

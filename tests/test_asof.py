@@ -83,6 +83,58 @@ def test_asof_tolerance(quotes_trades):
     assert out[3] is None  # 5s old: stale, nulled
 
 
+def test_asof_forward_with_ties(quotes_trades):
+    """direction='forward': smallest right ts >= left ts; equal-ts
+    visible non-strict, hidden strict; pandas merge_asof parity."""
+    import pandas as pd
+
+    quotes, trades = quotes_trades
+    out = {
+        r["qty"]: (r["px"], r["matched_ts"])
+        for r in asof_join(
+            trades, quotes, key_cols=["sym"], value_cols=["px"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == (101.0, _ts(10))  # next quote after t=4
+    assert out[2] == (101.0, _ts(10))  # ts-equal quote IS visible
+    assert out[3] == (None, None)      # nothing at-or-after t=25
+    assert out[4] == (50.0, _ts(5))    # b: next quote after t=1
+    assert out[5] == (None, None)      # unseen key
+
+    # full parity with pandas merge_asof(direction='forward')
+    q = quotes.toPandas().sort_values("ts")
+    t = trades.toPandas().sort_values("ts")
+    want = pd.merge_asof(t, q, on="ts", by="sym", direction="forward")
+    want_map = {
+        int(r.qty): (None if pd.isna(r.px) else float(r.px))
+        for r in want.itertuples()
+    }
+    assert {k: v[0] for k, v in out.items()} == want_map
+
+    strict = {
+        r["qty"]: r["px"]
+        for r in asof_join(
+            trades, quotes, key_cols=["sym"], value_cols=["px"],
+            direction="forward", strict=True,
+        ).collect()
+    }
+    assert strict[2] == 102.0  # equal-ts quote hidden under strict >
+
+
+def test_asof_forward_tolerance(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["qty"]: r["px"]
+        for r in asof_join(
+            trades, quotes, key_cols=["sym"], value_cols=["px"],
+            direction="forward", tolerance_s=4.0,
+        ).collect()
+    }
+    assert out[4] == 50.0   # 4 s ahead: inside tolerance
+    assert out[1] is None   # next quote is 6 s ahead: nulled
+
+
 def test_asof_single_shuffle_no_join(quotes_trades, spark):
     from tabata_spark.plans.inspect import plan_counts
 
