@@ -25,7 +25,7 @@ from tabata_spark.operators.flight import flight_summary
 from tabata_spark.operators.indicator import segment_ramp
 from tabata_spark.operators.positions import with_positions
 from tabata_spark.operators.slicing import highlight, left_of
-from tabata_spark.operators.timeutil import duration_h, epoch_diff_s, epoch_s
+from tabata_spark.operators.timeutil import duration_h, epoch_diff_s, epoch_s, epoch_us
 from tabata_spark.sources.relational import SIGNALS_CTE, events_as_signals, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -419,24 +419,32 @@ def w_positions(spark, sf_dir):
     SIGNALS_CTE
     + """
     SELECT record_id, seq,
-           round(sum(value) OVER (PARTITION BY record_id ORDER BY seq
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum,
-           round(value - lag(value) OVER (PARTITION BY record_id ORDER BY seq), 6) AS dvalue,
-           round(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY record_id ORDER BY seq)), 3) AS dt_s
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY record_id ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS run_sum,
+           CAST(CAST(value AS DECIMAL(18,6))
+                - lag(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY record_id ORDER BY seq)
+                AS DECIMAL(18,6)) AS dvalue,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY record_id ORDER BY seq)) AS dt_us
     FROM signals
     """,
 )
 def w_running(spark, sf_dir):
-    """W10/W11: running sum + sample-to-sample diffs (exam cell 39)."""
+    """W10/W11: running sum + sample-to-sample diffs (exam cell 39).
+
+    Hash-stable encodings: the prefix sum and the diff run in exact
+    DECIMAL(18,6) arithmetic (order-independent, identical in both
+    engines by construction) and the time delta is exact BIGINT µs —
+    no rounded-double outputs anywhere."""
     sig = events_as_signals(_t(spark, sf_dir, "events"))
     w = Window.partitionBy("record_id").orderBy("seq")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vdec = F.col("value").cast("decimal(18,6)")
     return sig.select(
         "record_id",
         "seq",
-        F.round(F.sum("value").over(run), 6).alias("run_sum"),
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("dvalue"),
-        F.round(epoch_diff_s(F.col("ts"), F.lag("ts").over(w)), 3).alias("dt_s"),
+        F.sum(vdec).over(run).cast("decimal(18,6)").alias("run_sum"),
+        (vdec - F.lag(vdec).over(w)).cast("decimal(18,6)").alias("dvalue"),
+        (epoch_us("ts") - epoch_us(F.lag("ts").over(w))).alias("dt_us"),
     )
 
 
@@ -450,13 +458,15 @@ def w_running(spark, sf_dir):
            round(median(value), 6) AS value_median,
            round(max(value), 6)    AS value_max,
            round(min(value), 6)    AS value_min,
-           round((epoch(max(ts)) - epoch(min(ts))) / 3600, 6) AS duration_h
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
     FROM signals GROUP BY record_id ORDER BY record_id
     """,
 )
 def a_user_summary(spark, sf_dir):
     """A2/A3/A6: per-record summary incl. exact median
-    (pandas-exact parity, SURVEY §7 median note)."""
+    (pandas-exact parity, SURVEY §7 median note). Duration is exact
+    BIGINT µs (hash-stable; rounded-double epoch fractions are one
+    regeneration away from a one-ulp hash miss)."""
     sig = events_as_signals(_t(spark, sf_dir, "events"))
     return (
         sig.groupBy("record_id")
@@ -466,7 +476,7 @@ def a_user_summary(spark, sf_dir):
             F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_median"),
             F.round(F.max("value"), 6).alias("value_max"),
             F.round(F.min("value"), 6).alias("value_min"),
-            F.round(duration_h(F.max("ts"), F.min("ts")), 6).alias("duration_h"),
+            (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("duration_us"),
         )
         .orderBy("record_id")
     )
@@ -908,61 +918,67 @@ def q_semi_customers(spark, sf_dir):
 @register(
     "w_tumbling",
     """
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS DOUBLE) AS win_start_s,
-           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
 def w_tumbling(spark, sf_dir):
     """Tumbling event-time window agg (streaming twin — identical
-    expression runs under a watermark in streaming/windows.py)."""
+    expression runs under a watermark in streaming/windows.py).
+    Hash-stable outputs: BIGINT µs window start, exact decimal sum."""
+    from tabata_spark.streaming.windows import tumbling_agg
+
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        tumbling_agg(ev, width="1 hour")
         .select(
-            epoch_s(F.col("win.start")).alias("win_start_s"),
+            epoch_us("win_start").alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
         )
-        .orderBy("win_start_s", "event_type")
+        .orderBy("win_start_us", "event_type")
     )
 
 
 @register(
     "w_sliding",
     """
-    SELECT CAST(epoch(ws) AS DOUBLE) AS win_start_s,
-           CAST(epoch(ws + INTERVAL '1 hour') AS DOUBLE) AS win_end_s,
-           count(*) AS n, round(avg(value), 6) AS avg_value
+    SELECT epoch_us(ws) AS win_start_us,
+           epoch_us(ws + INTERVAL '1 hour') AS win_end_us,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM (
       SELECT e.value,
              time_bucket(INTERVAL '30 minutes', CAST(e.ts AS TIMESTAMP))
                - k.k * INTERVAL '30 minutes' AS ws
       FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
     )
-    GROUP BY ws ORDER BY win_start_s
+    GROUP BY ws ORDER BY win_start_us
     """,
 )
 def w_sliding(spark, sf_dir):
     """Sliding (overlapping) event-time windows, 1 h width / 30 min
     slide — streaming twin of streaming.windows.sliding_agg (identical
     expression under a watermark). The oracle enumerates each event's
-    two containing windows via a cross join on the slide index."""
+    two containing windows via a cross join on the slide index.
+    Hash-stable outputs: BIGINT µs bounds + exact decimal sum (mean is
+    derivable as sum_value / n)."""
     from tabata_spark.streaming.windows import sliding_agg
 
     ev = _t(spark, sf_dir, "events")
     return (
         sliding_agg(ev, width="1 hour", slide="30 minutes")
         .select(
-            epoch_s("win_start").alias("win_start_s"),
-            epoch_s("win_end").alias("win_end_s"),
+            epoch_us("win_start").alias("win_start_us"),
+            epoch_us("win_end").alias("win_end_us"),
             "n",
-            "avg_value",
+            "sum_value",
         )
-        .orderBy("win_start_s")
+        .orderBy("win_start_us")
     )
 
 
@@ -981,16 +997,18 @@ def w_sliding(spark, sf_dir):
       FROM tagged
     )
     SELECT record_id, session_id, count(*) AS n,
-           round(epoch(min(ts)), 3) AS t_start_s,
-           round(epoch(max(ts)), 3) AS t_end_s,
-           round(sum(value ORDER BY seq), 4) AS sum_value
+           epoch_us(min(ts)) AS t_start_us,
+           epoch_us(max(ts)) AS t_end_us,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM sess GROUP BY record_id, session_id
     """,
 )
 def w_sessionize(spark, sf_dir):
     """Gap-based sessionization with pure window functions (batch twin
     of session_window; streaming variant in streaming/windows.py).
-    30-minute gap."""
+    30-minute gap. Round 4's only driver-red was this query's rounded
+    DOUBLE epoch/sum encoding — now BIGINT µs bounds + exact decimal
+    sum, which hash identically in both engines by construction."""
     from tabata_spark.streaming.windows import sessionize_batch
 
     sig = events_as_signals(_t(spark, sf_dir, "events"))
@@ -999,8 +1017,8 @@ def w_sessionize(spark, sf_dir):
         F.col("user_id").alias("record_id"),
         "session_id",
         "n",
-        F.round(epoch_s("t_start"), 3).alias("t_start_s"),
-        F.round(epoch_s("t_end"), 3).alias("t_end_s"),
+        epoch_us("t_start").alias("t_start_us"),
+        epoch_us("t_end").alias("t_end_us"),
         "sum_value",
     )
 
@@ -2055,8 +2073,8 @@ def q_corr_stats(spark, sf_dir):
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     )
     SELECT l.event_id, l.user_id,
-           round(epoch(l.ts), 3) AS ts_s,
-           round(epoch(r.ts), 3) AS purchase_ts_s,
+           epoch_us(l.ts) AS ts_us,
+           epoch_us(r.ts) AS purchase_ts_us,
            r.pvalue
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     ORDER BY l.event_id
@@ -2090,8 +2108,8 @@ def j_asof_purchase(spark, sf_dir):
     return out.select(
         "event_id",
         "user_id",
-        F.round(epoch_s("ts"), 3).alias("ts_s"),
-        F.round(epoch_s("purchase_ts"), 3).alias("purchase_ts_s"),
+        epoch_us("ts").alias("ts_us"),
+        epoch_us("purchase_ts").alias("purchase_ts_us"),
         "pvalue",
     ).orderBy("event_id")
 
@@ -2102,7 +2120,7 @@ def j_asof_purchase(spark, sf_dir):
     SELECT c.user_id,
            c.event_id AS click_id,
            p.event_id AS purchase_id,
-           floor((epoch(p.ts) - epoch(c.ts)) * 1000 + 0.5) / 1000 AS gap_s,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
            p.value AS purchase_value
     FROM events c
     JOIN events p
@@ -2130,7 +2148,7 @@ def j_interval_attrib(spark, sf_dir):
         "user_id",
         "click_id",
         "purchase_id",
-        (F.floor(F.col("gap_s") * 1000 + 0.5) / 1000).alias("gap_s"),
+        "gap_us",
         "purchase_value",
     ).orderBy("click_id", "purchase_id")
 
@@ -2149,7 +2167,7 @@ def j_interval_attrib(spark, sf_dir):
     )
     SELECT user_id,
            count(*) AS n_attributed,
-           round(sum(value), 4) AS attributed_value
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS attributed_value
     FROM pairs GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -2490,17 +2508,17 @@ def q_event_transitions(spark, sf_dir):
     "w_rolling_time",
     """
     SELECT user_id, event_id,
-           round(epoch(ts), 3) AS ts_s,
-           sum(value) OVER (
+           epoch_us(ts) AS ts_us,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS roll_sum,
+           ) AS DECIMAL(18,6)) AS roll_sum,
            count(*) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
            ) AS roll_n
     FROM events
-    ORDER BY user_id, ts_s, event_id
+    ORDER BY user_id, ts_us, event_id
     """,
 )
 def w_rolling_time(spark, sf_dir):
@@ -2526,11 +2544,14 @@ def w_rolling_time(spark, sf_dir):
         ev.select(
             "user_id",
             "event_id",
-            F.round(epoch_s("ts"), 3).alias("ts_s"),
-            F.sum("value").over(w).alias("roll_sum"),
+            epoch_us("ts").alias("ts_us"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("decimal(18,6)")
+            .alias("roll_sum"),
             F.count(F.lit(1)).over(w).alias("roll_n"),
         )
-        .orderBy("user_id", "ts_s", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
     )
 
 

@@ -30,6 +30,17 @@ def epoch_s(col: Column | str) -> Column:
     return c.cast("double")
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Epoch **microseconds** as BIGINT — the hash-stable encoding for
+    timestamp *outputs*. ``unix_micros`` is exact (timestamps are
+    stored at µs precision) and matches DuckDB's ``epoch_us(ts)``
+    bit-for-bit, with none of the round-to-decimal boundary ambiguity
+    of ``round(epoch_s(ts), 3)`` doubles (round-4 w_sessionize red).
+    Same loader contract as :func:`epoch_s`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c)
+
+
 def epoch_diff_s(end: Column | str, start: Column | str) -> Column:
     """``end - start`` in seconds; both session-zone TIMESTAMP."""
     return epoch_s(end) - epoch_s(start)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tabata_spark.operators.timeutil import epoch_diff_s
+from tabata_spark.operators.timeutil import epoch_diff_s, epoch_us
 
 
 def _sides(
@@ -85,6 +85,10 @@ def attribution_pairs(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
         gap.alias("gap_s"),
+        # exact BIGINT gap — the hash-stable output encoding (gap_s
+        # doubles are exact too at µs precision, but downstream
+        # consumers that round them reopen the ulp boundary)
+        (epoch_us("r_ts") - epoch_us("l_ts")).alias("gap_us"),
         F.col("r_value").alias("purchase_value"),
     )
 
@@ -109,7 +113,11 @@ def attribution_summary(
     per_purchase = pairs.groupBy("user_id", "purchase_id").agg(
         F.first("purchase_value").alias("purchase_value")
     )
+    # exact decimal sum — order-independent, hash-stable vs the oracle
+    # (see streaming/windows._dec_sum rationale)
     return per_purchase.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_attributed"),
-        F.round(F.sum("purchase_value"), 4).alias("attributed_value"),
+        F.sum(F.col("purchase_value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("attributed_value"),
     )

@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 
 from tabata_spark.operators.timeutil import epoch_diff_s
 
+#: Hash-stable value aggregation: quantize the input double ONCE to
+#: DECIMAL(18,6), then sum in exact decimal arithmetic. Decimal sums
+#: are order-independent and bit-identical across engines (DuckDB sums
+#: into a hugeint, Spark into a widened Decimal) — unlike IEEE-double
+#: folds, whose result depends on partition order, or round(sum, k),
+#: whose half-boundary behavior differs between engines by one ulp.
+_VALUE_DEC = "decimal(18,6)"
+
+
+def _dec_sum(col: str = "value"):
+    return F.sum(F.col(col).cast(_VALUE_DEC)).cast(_VALUE_DEC)
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -52,7 +64,7 @@ def tumbling_agg(
         src.groupBy(F.window("ts", width).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _dec_sum().alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -74,12 +86,17 @@ def sliding_agg(
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", width, slide).alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            _dec_sum().alias("sum_value"),
+        )
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
             "n",
             "avg_value",
+            "sum_value",
         )
     )
 
@@ -92,7 +109,7 @@ def session_agg(
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum().alias("sum_value"))
         .select(
             "user_id",
             F.col("win.start").alias("win_start"),
@@ -110,13 +127,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     is the running count of starts. Returns per-session aggregates
     (user_id, session_id, n, t_start, t_end, sum_value).
 
-    ``sum_value`` is an *order-deterministic* IEEE-double fold in
-    (ts, event_id) order — a partition-order ``F.sum`` over doubles is
-    non-associative and hashes differently run-to-run and vs the
-    DuckDB oracle (which uses ``sum(value ORDER BY seq)``). Sessions
-    are gap-bounded per user, so the per-group ``collect_list`` stays
-    small regardless of total data volume — this does not regress the
-    100 TB path."""
+    ``sum_value`` is an exact DECIMAL(18,6) sum (see ``_dec_sum``):
+    decimal addition is associative, so the result is independent of
+    partition order — hash-stable vs the DuckDB oracle by
+    construction, with no need for the ordered collect_list fold this
+    used before (round 4's only driver-red was the rounded-double
+    variant of this very column)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60.0
     new_sess = F.when(
@@ -130,20 +146,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     tagged = events.withColumn("__new", new_sess).withColumn(
         "session_id", F.sum("__new").over(run)
     )
-    ordered_sum = F.aggregate(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x["value"],
-    )
     return (
         tagged.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("ts").alias("t_start"),
             F.max("ts").alias("t_end"),
-            F.round(ordered_sum, 4).alias("sum_value"),
+            _dec_sum().alias("sum_value"),
         )
     )
 

@@ -34,7 +34,12 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     vals.append("nan")
                 else:
-                    vals.append(f"{v:.9g}")
+                    # Full-precision repr so this gate is at least as
+                    # strict as the driver's value hash (%.9g hid the
+                    # millisecond digits of epoch-seconds doubles —
+                    # round-4 w_sessionize red was invisible locally).
+                    # -0.0 normalized: engines disagree on its sign.
+                    vals.append(repr(v + 0.0 if v == 0.0 else v))
             elif isinstance(v, bool):
                 vals.append(str(bool(v)))
             elif v is None:
