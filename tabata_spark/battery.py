@@ -168,8 +168,8 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_region_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: all dims broadcast; lineitem⨝orders is the only
-    shuffle join. Catalyst folds the dim chain into one broadcast stage."""
+    """TPC-H Q5 shape: fixed-cardinality dims broadcast; lineitem⨝orders
+    is the only guaranteed shuffle join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -179,13 +179,15 @@ def q5_region_revenue(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # customer is sf-scaling — no forced broadcast (AQE decides);
-    # supplier/nation/region stay hinted: bounded dims at any sf
+    # customer AND supplier are O(sf) — no forced broadcast (supplier
+    # is 10k×sf rows ≈ 100 GB at the 100 TB point; AQE decides from
+    # runtime stats). Only the fixed-cardinality nation/region frames
+    # keep the hint.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -3811,9 +3813,11 @@ def q15_top_supplier(spark, sf_dir):
 def q16_supplier_counts(spark, sf_dir):
     """TPC-H Q16 shape (supplier counts by part attributes; the
     complaints NOT IN becomes a negative-balance supplier blacklist):
-    NOT IN over a non-nullable key = broadcast left-anti join; part
-    attribute filters push to the part scan; the distinct-count
-    aggregates the already-reduced join output."""
+    NOT IN over a non-nullable key = left-anti join (the blacklist is
+    supplier-derived — O(sf) — so AQE picks the strategy from runtime
+    stats rather than a forced broadcast); part attribute filters push
+    to the part scan; the distinct-count aggregates the already-reduced
+    join output."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -3824,7 +3828,7 @@ def q16_supplier_counts(spark, sf_dir):
         & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -3871,8 +3875,10 @@ def q2_min_cost_supp(spark, sf_dir):
     frame makes Catalyst duplicate (and rescan) the whole lineitem
     subtree, and the agg×agg join survives as a SortMergeJoin. The
     window computes the same per-part min in one shuffle with a single
-    pass over the aggregate. Suppliers/nation/region fold into one
-    broadcast; the only big-table shuffle is the (partkey, suppkey)
+    pass over the aggregate. nation/region broadcast (fixed
+    cardinality); the supplier-derived EUROPE frame is O(sf), so AQE
+    picks its join strategy; the only guaranteed big-table shuffle is
+    the (partkey, suppkey)
     aggregation. min() is order-insensitive, so the doubles hash-match
     exactly. Reference parity: opset-style selection is relational
     here; cites tabata semantics only via SURVEY §2.4."""
@@ -3888,7 +3894,7 @@ def q2_min_cost_supp(spark, sf_dir):
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -3934,10 +3940,12 @@ def q2_min_cost_supp(spark, sf_dir):
 def q9_nation_profit(spark, sf_dir):
     """TPC-H Q9 shape (product-type profit; partsupp supply cost is
     surrogated as half the part's retail price per unit). Five-way
-    join: the LIKE-filtered part, supplier and nation are broadcast,
-    so lineitem shuffles exactly once — on l_orderkey against orders —
-    then aggregates by (nation, year). The part filter lands before
-    the orders join, shrinking the shuffle ~8x.
+    join: nation broadcasts (fixed 25 rows); part and the
+    supplier⋈nation frame are O(sf), so AQE picks their strategies
+    from runtime stats; lineitem's guaranteed shuffle is on
+    l_orderkey against orders, then the (nation, year) aggregation.
+    The part filter lands before the orders join, shrinking the
+    shuffle ~8x.
 
     The profit sum is an exact integer-cents fold (per-row round to
     cents, BIGINT sum): partition-order double summation is
@@ -3955,11 +3963,11 @@ def q9_nation_profit(spark, sf_dir):
     sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
         "s_suppkey", "n_name"
     )
-    # parts is O(part) (sf-scaling) — hint dropped; sn is
-    # supplier-bounded and stays broadcast
+    # parts and sn are both O(sf) (supplier is 10k×sf rows — ~100 GB
+    # at the 100 TB point) — no forced broadcasts; AQE decides
     return (
         li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -4014,8 +4022,11 @@ def q11_important_parts(spark, sf_dir):
                F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
+    # nat is supplier-derived — O(sf) — so no forced broadcast (the
+    # single-nation filter cuts it 25×, but it still scales with sf;
+    # AQE decides); the scalar threshold row stays hinted below
     v = (
-        li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
     )
@@ -4146,9 +4157,10 @@ def q20_qualified_suppliers(spark, sf_dir):
     becomes dominant-shipper share: a supplier qualifies when it moved
     >20% of a 'large%' part's 1997 volume). The doubly-nested IN
     decorrelates to: one (partkey, suppkey) aggregate, a per-part
-    total that REUSES the same clustering, and a broadcast semi-join
-    into the supplier dim. l_quantity is integer-valued, so the
-    share comparison is float-exact across engines."""
+    total that REUSES the same clustering, and a semi-join into the
+    supplier dim (the qualified set is supplier-bounded but O(sf) —
+    AQE picks broadcast when it fits). l_quantity is integer-valued,
+    so the share comparison is float-exact across engines."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -4179,7 +4191,7 @@ def q20_qualified_suppliers(spark, sf_dir):
             F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "n_name")
         .orderBy("s_name")
     )

@@ -347,4 +347,7 @@ def test_tpch_tail_jvm_broadcast_only(spark, sf, name):
     c = plan_counts_final(battery.QUERIES[name](spark, sf))
     assert c["python_evals"] == 0, (name, c)
     assert c["sortmerge_joins"] == 0 and c["shuffle_hash_joins"] == 0, (name, c)
-    assert c["broadcast_joins"] >= 1, (name, c)
+    # AQE collapses empty runtime subtrees to EmptyRelation — at
+    # fixture scale a selective query can end with no join nodes at
+    # all, which still satisfies "no shuffle join survived"
+    assert c["broadcast_joins"] >= 1 or c["empty_relations"] >= 1, (name, c)
