@@ -160,10 +160,17 @@ def savgol_native(
     rev = n - F.lit(1) - pos  # rows from end
 
     # out[i] = sum_k c_k * y[i - h + k]; lag(y, off) reads y[i - off],
-    # so the tap at window slot k needs off = h - k
-    interior = sum(
-        (F.lit(float(ck)) * F.lag(y, h - k).over(w) for k, ck in enumerate(c)),
-        F.lit(0.0),
+    # so the tap at window slot k needs off = h - k. Built as ONE SQL
+    # string — a width-term Column chain costs ~5·width py4j
+    # round-trips PER QUERY BUILD (driver-side, before any execution);
+    # at width 11 that alone is tens of ms, and the edge maps below
+    # multiply it by 2h rows. One expr() call parses JVM-side.
+    ysql = f"CAST(`{col}` AS DOUBLE)"
+    wsql = "OVER (PARTITION BY record_id ORDER BY seq)"
+    interior = F.expr(
+        " + ".join(
+            f"({float(ck)!r} * lag({ysql}, {h - k}) {wsql})" for k, ck in enumerate(c)
+        )
     )
 
     if not edges:
@@ -181,67 +188,85 @@ def savgol_native(
     # filtered small side and broadcast-join it back: zero extra
     # shuffles of the fact table, O(records) side state.
     # (Relies on the engine invariant: seq is dense 0..n-1 per record.)
+    #
+    # The whole side is ONE filtered pass + ONE aggregation: the record
+    # length comes from a window over the partitioning the frame
+    # already has (no counts shuffle), head/tail rows are selected in a
+    # single filter, and the head array, reversed tail array, AND the
+    # short-record fit moments are collected by the same groupBy. The
+    # previous formulation (separate counts/heads/tails/short
+    # aggregations chained by joins) rebuilt the windowed source four
+    # times — measured 2.2 s of the w_indicator_full bench at sf0.1;
+    # this shape is a single re-derivation.
     E = savgol_edge_matrix(width, polyorder, deriv, delta)
     sign = (-1.0) ** deriv
 
-    src = df.select("record_id", "seq", y.alias("__y"))
-    counts = src.groupBy("record_id").agg(F.count(F.lit(1)).alias("__n"))
-    heads = (
-        src.filter(F.col("seq") < width)
+    src = df.select(
+        "record_id",
+        "seq",
+        y.alias("__y"),
+        F.expr("count(1) OVER (PARTITION BY record_id)").alias("__n"),
+    )
+    # moments feed the short-record global fit; for n < width every row
+    # is a head row, so summing over the filtered side == summing over
+    # the record (long records' moments are unused)
+    moments = [
+        f"sum(__y * power(CAST(seq AS DOUBLE), {j})) AS __t{j}"
+        for j in range(min(polyorder, 3) + 1)
+    ]
+    agg = (
+        src.filter(f"seq < {width} OR seq >= __n - {width}")
         .groupBy("record_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seq", "__y"))), lambda s: s["__y"]
-            ).alias("__hy")
+            F.expr("max(__n) AS __n"),
+            F.expr(
+                f"transform(array_sort(collect_list(CASE WHEN seq < {width} "
+                "THEN struct(seq, __y) END)), s -> s.__y) AS __hy"
+            ),
+            # reversed: __ty[k] = y[n-1-k]
+            F.expr(
+                f"reverse(transform(array_sort(collect_list(CASE WHEN seq >= __n - {width} "
+                "THEN struct(seq, __y) END)), s -> s.__y)) AS __ty"
+            ),
+            *[F.expr(m) for m in moments],
         )
-    )
-    tails_src = src.join(F.broadcast(counts), "record_id").filter(
-        F.col("seq") >= F.col("__n") - width
-    )
-    tails = tails_src.groupBy("record_id").agg(
-        F.reverse(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seq", "__y"))), lambda s: s["__y"]
-            )
-        ).alias("__ty")  # reversed: __ty[k] = y[n-1-k]
     )
 
-    def dot(arr, row, scale=1.0):
-        return sum(
-            (F.lit(scale * float(row[k])) * F.element_at(arr, k + 1) for k in range(width)),
-            F.lit(0.0),
+    # whole edge map as one SQL string (2h rows × width taps would be
+    # ~1000 py4j calls as Column algebra — the dominant cost of
+    # building this query, not running it)
+    def dot_sql(arr: str, row, scale: float = 1.0) -> str:
+        return " + ".join(
+            f"({scale * float(row[k])!r} * element_at({arr}, {k + 1}))"
+            for k in range(width)
         )
 
-    keys, vals = [], []
-    for j in range(h):
-        keys.append(F.lit(j).cast("long"))
-        vals.append(dot(F.col("__hy"), E[j]))
-    for j in range(h):
-        keys.append((F.col("__n") - 1 - F.lit(j)).cast("long"))
-        vals.append(dot(F.col("__ty"), E[j], sign))
-    edge_maps = (
-        heads.join(tails, "record_id")
-        .join(counts, "record_id")
-        .filter(F.col("__n") >= width)
-        .select(
-            "record_id",
-            F.col("__n").alias("__n"),
-            F.map_from_arrays(F.array(*keys), F.array(*vals)).alias("__emap"),
-        )
+    keys_sql = [f"CAST({j} AS BIGINT)" for j in range(h)] + [
+        f"CAST(__n - 1 - {j} AS BIGINT)" for j in range(h)
+    ]
+    vals_sql = [dot_sql("__hy", E[j]) for j in range(h)] + [
+        dot_sql("__ty", E[j], sign) for j in range(h)
+    ]
+    emap_sql = (
+        f"map_from_arrays(array({', '.join(keys_sql)}), array({', '.join(vals_sql)}))"
+    )
+    edge_maps = agg.filter(F.col("__n") >= width).select(
+        "record_id", "__n", F.expr(emap_sql).alias("__emap")
     )
 
     # Records SHORTER than ``width`` degrade to a single global
     # polynomial fit of degree min(polyorder, n-1) — numpy-oracle
     # semantics (savgol_filter_np). The fit is computed NATIVELY from
     # Gram-polynomial moments (closed-form normal equations on the
-    # integer grid), so the whole plan stays JVM-side: four weighted
-    # moments per short record, then a per-seq fitted-value map,
-    # merged into the same broadcast edge map. Supported for
-    # polyorder ≤ 3 (every reference/repo use); higher orders keep
-    # the old behavior (short records → null).
+    # integer grid) collected by the same side aggregation, so the
+    # whole plan stays JVM-side. Supported for polyorder ≤ 3 (every
+    # reference/repo use); higher orders keep the old behavior (short
+    # records → null).
     short_maps = None
     if polyorder <= 3:
-        short_maps = _short_global_fit_maps(src, counts, width, polyorder, deriv, delta)
+        short_maps = _short_global_fit_maps(
+            agg.filter(F.col("__n") < width), polyorder, deriv, delta
+        )
 
     side = edge_maps if short_maps is None else edge_maps.unionByName(short_maps)
     joined = df.join(F.broadcast(side), "record_id", "left")
@@ -252,87 +277,72 @@ def savgol_native(
 
 
 def _short_global_fit_maps(
-    src: DataFrame, counts: DataFrame, width: int, polyorder: int, deriv: int, delta: float
+    agg: DataFrame, polyorder: int, deriv: int, delta: float
 ) -> DataFrame:
     """Per-record {seq -> value} maps for records with n < width: the
     single least-squares polynomial fit of degree min(polyorder, n-1),
     derived in closed form.
 
+    ``agg`` is the already-aggregated short-record side frame from
+    ``savgol_native`` carrying ``__n`` and the weighted power moments
+    ``__t0..__tk`` (Σ y·seqʲ over the whole record).
+
     On the integer grid 0..n-1 the discrete orthogonal (Gram) basis is
     φ0 = 1, φ1 = c (centered x), φ2 = c² − m2, φ3 = c³ − αc with
     m2 = (n²−1)/12, α = Σc⁴/Σc², and the power sums Σc², Σc⁴, Σc⁶
     are Faulhaber closed forms in n — so each fit coefficient is a
-    ratio of two aggregate expressions and the whole computation is
-    plain Column algebra over an O(records·width) side frame."""
-    y = F.col("__y")
-    s = F.col("seq").cast("double")
-    moments = [F.sum(y * F.pow(s, j)).alias(f"__t{j}") for j in range(polyorder + 1)]
-    agg = (
-        src.join(
-            F.broadcast(counts.filter(F.col("__n") < width).select("record_id")),
-            "record_id",
-        )
-        .groupBy("record_id")
-        .agg(F.count(F.lit(1)).alias("__n"), *moments)
-    )
+    ratio of two aggregate expressions. Assembled as ONE SQL string
+    (the equivalent Column algebra is ~80 py4j round-trips of
+    driver-side build cost per query)."""
+    n = "CAST(__n AS DOUBLE)"
+    xbar = f"(({n} - 1.0) / 2.0)"
+    m2 = f"(({n}*{n} - 1.0) / 12.0)"
+    sc2 = f"({n} * ({n}*{n} - 1.0) / 12.0)"
+    sc4 = f"({n} * ({n}*{n} - 1.0) * (3.0*{n}*{n} - 7.0) / 240.0)"
+    sc6 = f"({n} * ({n}*{n} - 1.0) * (3.0*power({n},4) - 18.0*{n}*{n} + 31.0) / 1344.0)"
+    alpha = f"(CASE WHEN __n > 1 THEN {sc4} / {sc2} ELSE 0.0 END)"
 
-    n = F.col("__n").cast("double")
-    xbar = (n - F.lit(1.0)) / F.lit(2.0)
-    m2 = (n * n - 1) / F.lit(12.0)
-    sc2 = n * (n * n - 1) / F.lit(12.0)
-    sc4 = n * (n * n - 1) * (F.lit(3.0) * n * n - 7) / F.lit(240.0)
-    sc6 = (
-        n
-        * (n * n - 1)
-        * (F.lit(3.0) * F.pow(n, 4) - F.lit(18.0) * n * n + 31)
-        / F.lit(1344.0)
-    )
-    alpha = F.when(F.col("__n") > 1, sc4 / sc2).otherwise(F.lit(0.0))
-
-    t = [F.col(f"__t{j}") if j <= polyorder else F.lit(0.0) for j in range(4)]
-    c1y = t[1] - xbar * t[0]
-    phi2y = t[2] - 2 * xbar * t[1] + xbar * xbar * t[0] - m2 * t[0]
+    t = [f"__t{j}" if j <= polyorder else "0.0" for j in range(4)]
+    c1y = f"({t[1]} - {xbar} * {t[0]})"
+    phi2y = f"({t[2]} - 2*{xbar}*{t[1]} + {xbar}*{xbar}*{t[0]} - {m2}*{t[0]})"
     phi3y = (
-        t[3]
-        - 3 * xbar * t[2]
-        + 3 * xbar * xbar * t[1]
-        - F.pow(xbar, 3) * t[0]
-        - alpha * c1y
+        f"({t[3]} - 3*{xbar}*{t[2]} + 3*{xbar}*{xbar}*{t[1]}"
+        f" - power({xbar},3)*{t[0]} - {alpha}*{c1y})"
     )
 
-    zero = F.lit(0.0)
-    a0 = t[0] / n
-    a1 = F.when(F.col("__n") > 1, c1y / sc2).otherwise(zero) if polyorder >= 1 else zero
+    a0 = f"({t[0]} / {n})"
+    a1 = f"(CASE WHEN __n > 1 THEN {c1y} / {sc2} ELSE 0.0 END)" if polyorder >= 1 else "0.0"
     a2 = (
-        F.when(F.col("__n") > 2, phi2y / (sc4 - n * m2 * m2)).otherwise(zero)
+        f"(CASE WHEN __n > 2 THEN {phi2y} / ({sc4} - {n}*{m2}*{m2}) ELSE 0.0 END)"
         if polyorder >= 2
-        else zero
+        else "0.0"
     )
     a3 = (
-        F.when(F.col("__n") > 3, phi3y / (sc6 - sc4 * sc4 / sc2)).otherwise(zero)
+        f"(CASE WHEN __n > 3 THEN {phi3y} / ({sc6} - {sc4}*{sc4}/{sc2}) ELSE 0.0 END)"
         if polyorder >= 3
-        else zero
+        else "0.0"
     )
 
-    def fitted(p):
-        c = p.cast("double") - xbar
-        if deriv == 0:
-            v = a0 + a1 * c + a2 * (c * c - m2) + a3 * (F.pow(c, 3) - alpha * c)
-        elif deriv == 1:
-            v = a1 + 2 * a2 * c + a3 * (F.lit(3.0) * c * c - alpha)
-        elif deriv == 2:
-            v = 2 * a2 + F.lit(6.0) * a3 * c
-        elif deriv == 3:
-            v = F.lit(6.0) * a3
-        else:  # deriv > polyorder of the global fit -> 0
-            v = zero
-        return v / F.lit(float(delta) ** deriv)
+    cv = f"(CAST(p AS DOUBLE) - {xbar})"
+    if deriv == 0:
+        v = f"({a0} + {a1}*{cv} + {a2}*({cv}*{cv} - {m2}) + {a3}*(power({cv},3) - {alpha}*{cv}))"
+    elif deriv == 1:
+        v = f"({a1} + 2*{a2}*{cv} + {a3}*(3.0*{cv}*{cv} - {alpha}))"
+    elif deriv == 2:
+        v = f"(2*{a2} + 6.0*{a3}*{cv})"
+    elif deriv == 3:
+        v = f"(6.0*{a3})"
+    else:  # deriv > polyorder of the global fit -> 0
+        v = "0.0"
+    fitted = f"({v} / {float(delta) ** deriv!r})"
 
-    seq_arr = F.sequence(F.lit(0).cast("long"), (F.col("__n") - 1).cast("long"))
+    seq_arr = "sequence(CAST(0 AS BIGINT), CAST(__n - 1 AS BIGINT))"
     return agg.select(
         "record_id",
         "__n",
-        F.map_from_arrays(seq_arr, F.transform(seq_arr, fitted)).alias("__emap"),
+        F.expr(
+            f"map_from_arrays({seq_arr}, transform({seq_arr}, p -> {fitted}))"
+        ).alias("__emap"),
     )
 
 
