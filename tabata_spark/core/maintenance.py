@@ -13,9 +13,15 @@ dimension, which is exactly the signal-store access pattern:
 record-partitioned, time-ordered reads).
 
 Safety: the rewrite stages into ``<path>.__compact__`` and swaps via
-two renames — a reader never sees a half-written store. (On object
-stores a real deployment would commit via a manifest/table format;
-directory-swap is the filesystem analog.)
+two renames, so a reader never sees a HALF-WRITTEN store. The swap is
+not fully atomic: between the two renames there is a brief window
+with no directory at ``path`` at all (a concurrent open fails cleanly
+rather than reading partial data), and a crash inside the window
+leaves the complete store at ``<path>.__old__`` for manual recovery.
+Stale ``.__compact__``/``.__old__`` leftovers from a crashed prior
+run are removed at entry. (On object stores a real deployment would
+commit via a manifest/table format; directory-swap is the filesystem
+analog.)
 """
 
 from __future__ import annotations
@@ -40,8 +46,15 @@ def compact_store(
     predicates). One file per partition by default; pass a higher
     count when single partitions outgrow one task's write (the salt
     spreads rows deterministically by the sort column's hash)."""
-    df = spark.read.parquet(path)
     staged = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    # a crashed prior run can leave either dir behind; a stale
+    # .__compact__ would make the overwrite-write merge with garbage
+    # and a stale .__old__ would fail the first rename below
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    df = spark.read.parquet(path)
     n = _n_partitions(df, partition_col)
     keys = [F.col(partition_col)]
     if files_per_partition > 1:
@@ -55,7 +68,6 @@ def compact_store(
         .partitionBy(partition_col)
         .parquet(staged)
     )
-    old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(staged, path)
     shutil.rmtree(old)

@@ -478,14 +478,19 @@ def containment_candidates(
         F.concat(F.lit("d:"), F.col(id_col).cast("string")).alias("__cid"),
         F.col(text).alias("__text"),
     )
+    # chunk ids put the NUMERIC chunk index before the parent id
+    # ("c:<idx>#<id>") so the parent is recovered by stripping an
+    # anchored prefix — an id column that itself contains '#' (or any
+    # other character) round-trips unharmed, unlike a trailing
+    # "#<idx>" suffix split on the first '#'
     chunks = chunk_documents(
         df, window=chunk_window, stride=chunk_stride, text=text, id_col=id_col
     ).select(
         F.concat(
             F.lit("c:"),
-            F.col(id_col).cast("string"),
-            F.lit("#"),
             F.col("chunk_idx").cast("string"),
+            F.lit("#"),
+            F.col(id_col).cast("string"),
         ).alias("__cid"),
         F.col("chunk_text").alias("__text"),
     )
@@ -497,9 +502,7 @@ def containment_candidates(
     id_type = dict(df.dtypes)[id_col]  # cast parents back to the real id type
 
     def parent(c):
-        return F.substring_index(
-            F.regexp_replace(c, r"^[dc]:", ""), "#", 1
-        ).cast(id_type)
+        return F.regexp_replace(c, r"^(d:|c:[0-9]+#)", "").cast(id_type)
 
     mapped = pairs.select(
         parent(F.col("id_a")).alias("__pa"), parent(F.col("id_b")).alias("__pb")

@@ -99,13 +99,20 @@ def knn_join(
     Ranking uses the UNROUNDED cosine (ties broken by ``id_col``) so
     engines that round display values agree on membership.
     """
-    q = queries.select(
-        F.col(query_id), F.col(vec_col).alias("__qv")
-    )
-    scored = index.join(F.broadcast(q)).select(
-        query_id,
-        id_col,
-        cosine_cols(F.col(vec_col), F.col("__qv")).alias("__cos"),
+    if query_id == id_col:
+        raise ValueError(
+            f"query_id and id_col must differ (both {query_id!r}) — the "
+            "output carries one column per side"
+        )
+    # both sides reduced to renamed private columns before the join:
+    # an index frame that happens to carry a query_id (or __qv) column
+    # must not collide with the broadcast batch's columns
+    ix = index.select(F.col(id_col).alias("__ix_id"), F.col(vec_col).alias("__ix_v"))
+    q = queries.select(F.col(query_id).alias("__q_id"), F.col(vec_col).alias("__qv"))
+    scored = ix.join(F.broadcast(q)).select(
+        F.col("__q_id").alias(query_id),
+        F.col("__ix_id").alias(id_col),
+        cosine_cols(F.col("__ix_v"), F.col("__qv")).alias("__cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), id_col)
     return (
@@ -280,6 +287,11 @@ def ivf_knn_join(
     the broadcast probe side). ``nprobe = len(centroids)`` is exact —
     provably identical to :func:`knn_join` whatever the centroids.
     """
+    if query_id == id_col:
+        raise ValueError(
+            f"query_id and id_col must differ (both {query_id!r}) — the "
+            "output carries one column per side"
+        )
     indexed = index if assigned else ivf_assign(index, centroids, vec_col)
     nprobe = max(1, min(nprobe, len(centroids)))
     dists = F.array(
@@ -293,17 +305,24 @@ def ivf_knn_join(
     probe_cells = F.transform(
         F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["i"]
     )
+    # renamed private columns on both sides — same collision guard as
+    # knn_join (an index frame carrying query_id/__qv must not clash)
+    ix = indexed.select(
+        F.col(id_col).alias("__ix_id"),
+        F.col(vec_col).alias("__ix_v"),
+        "ivf_cell",
+    )
     q = queries.select(
-        F.col(query_id),
+        F.col(query_id).alias("__q_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(probe_cells).alias("__cell"),
     )
-    scored = indexed.join(
+    scored = ix.join(
         F.broadcast(q), F.col("ivf_cell") == F.col("__cell")
     ).select(
-        query_id,
-        id_col,
-        cosine_cols(F.col(vec_col), F.col("__qv")).alias("__cos"),
+        F.col("__q_id").alias(query_id),
+        F.col("__ix_id").alias(id_col),
+        cosine_cols(F.col("__ix_v"), F.col("__qv")).alias("__cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), id_col)
     return (

@@ -73,11 +73,16 @@ def stream_dedup_append(
         hashed = batch_df.withColumn(
             hash_col, F.md5(F.col(text_col))
         ).dropDuplicates([hash_col])
-        try:
+        # explicit existence check (scheme-aware via Hadoop FS), NOT a
+        # broad except: a transient read error (corrupt footer, FS
+        # hiccup) must propagate and fail the batch — swallowing it as
+        # "first batch" would skip the anti-join and append duplicates
+        # exactly when the store is unhealthy, breaking the
+        # replay-safety invariant
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             seen = spark.read.parquet(path).select(hash_col)
-        except Exception:  # first batch: store does not exist yet
-            seen = None
-        if seen is not None:
             hashed = hashed.join(seen, hash_col, "left_anti")
         hashed.write.mode("append").parquet(path)
 

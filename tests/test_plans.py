@@ -222,6 +222,18 @@ def test_ivf_knn_join_batch(spark):
     for qid, vid, _cos, _rk in one:
         assert assigned[vid] == assigned[qid]
 
+    # plan pin: with nprobe < n_centroids the scored set is produced
+    # by the ivf_cell EQUI-join (BroadcastHashJoin on the cell key) —
+    # never the unconditioned nested-loop of the exact path, which
+    # would silently regress the composed ANN to O(|index|·|batch|)
+    import re
+
+    pruned = ivf_knn_join(queries, index, cents, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    m = re.search(r"BroadcastHashJoin \[(\w+)", plan)
+    assert m and m.group(1) == "ivf_cell", plan[:800]
+
 
 def test_q6_pushes_every_predicate_to_scan(spark, sf):
     """TPC-H Q6 is the pushdown litmus: date range, discount band and
