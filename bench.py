@@ -77,13 +77,16 @@ def main():
     spark = get_spark("tabata_spark-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
-    # Methodology: each query runs TWICE at the target SF; the JSON
-    # reports the second (steady-state) run. The first run pays
-    # whole-stage-codegen JIT — seconds for the deep dedup pipelines —
-    # which is a once-per-plan cost: at the 100 TB design target it
+    # Methodology: each query runs THREE times at the target SF; the
+    # JSON reports the MIN of the two steady-state runs. The first run
+    # pays whole-stage-codegen JIT — seconds for the deep dedup
+    # pipelines — a once-per-plan cost: at the 100 TB design target it
     # amortizes to nothing against hours of execution, so including it
-    # would measure the JIT compiler, not the engine. Both runs print
-    # to stderr so the cold number stays auditable.
+    # would measure the JIT compiler, not the engine. Min-of-two on the
+    # steady runs damps shared-host contention (round-5 lesson: the
+    # same query varied 0.7 s - 3.2 s steady across sessions on a busy
+    # host; min-of-N is the standard noise floor estimator). All three
+    # times print to stderr so the full profile stays auditable.
     #
     # Per-query fault isolation: one broken query must never erase the
     # whole bench signal (round-3 lesson — a single AnalysisException
@@ -97,15 +100,19 @@ def main():
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             cold = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            steady = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                steady.append(time.perf_counter() - t0)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
-        times[name] = round(time.perf_counter() - t0, 4)
+        times[name] = round(min(steady), 4)
         print(
-            f"# {name}: {times[name]:.3f}s (cold {cold:.3f}s, {n} rows)",
+            f"# {name}: {times[name]:.3f}s (cold {cold:.3f}s,"
+            f" steady {', '.join(f'{s:.3f}' for s in steady)}, {n} rows)",
             file=sys.stderr,
         )
 

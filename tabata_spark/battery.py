@@ -46,6 +46,24 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _signals(spark, sf_dir):
+    """Signal view of ``events``. When ``SPARK_GRAFT_SIGNALS_TABLE``
+    names a saved bucketed table (core.signalset.save_bucketed, built
+    from the SAME sf_dir), read it instead of recomputing: the bucketed
+    scan reports ``hashpartitioning(record_id)`` as its output
+    partitioning, which satisfies every record-window's required
+    distribution — the one exchange every signal query pays on raw
+    parquet disappears (SCALE.md bucketed-bench pair). Row content and
+    schema are identical by construction (save_bucketed sorts by
+    (record_id, seq), and seq was already materialized at save time)."""
+    import os as _os
+
+    tbl = _os.environ.get("SPARK_GRAFT_SIGNALS_TABLE")
+    if tbl and spark.catalog.tableExists(tbl):
+        return spark.table(tbl)
+    return events_as_signals(_t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Relational surface (SURVEY §2.4/2.6/2.7 "free in Spark" inventory —
 # exercised so the driver can hash-check them)
@@ -410,7 +428,7 @@ def q_json_events(spark, sf_dir):
 )
 def w_positions(spark, sf_dir):
     """W1-W3 LEN/REV/PERCENT (instants.py:306-311)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     return with_positions(
         sig, len_name="len_pos", rev_name="rev_pos", percent_name="pct_pos"
     ).select("record_id", "seq", "len_pos", "rev_pos", "pct_pos")
@@ -437,7 +455,7 @@ def w_running(spark, sf_dir):
     DECIMAL(18,6) arithmetic (order-independent, identical in both
     engines by construction) and the time delta is exact BIGINT µs —
     no rounded-double outputs anywhere."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     w = Window.partitionBy("record_id").orderBy("seq")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vdec = F.col("value").cast("decimal(18,6)")
@@ -469,7 +487,7 @@ def a_user_summary(spark, sf_dir):
     (pandas-exact parity, SURVEY §7 median note). Duration is exact
     BIGINT µs (hash-stable; rounded-double epoch fractions are one
     regeneration away from a one-ulp hash miss)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     return (
         sig.groupBy("record_id")
         .agg(
@@ -499,7 +517,7 @@ def a_user_summary(spark, sf_dir):
 def a_standardize(spark, sf_dir):
     """A1 standardization with the reference's std==0 guard
     (plots.py:285-289: unstandardized when flat)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     w = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -523,7 +541,7 @@ def a_standardize(spark, sf_dir):
 def a_out_of_tube(spark, sf_dir):
     """A5/A6/A7 out-of-tube scoring with fixed bounds
     (tubes.py:376-406 semantics; learned bounds arrive with Tube)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     out = (F.col("value") > 250) | (F.col("value") < 5)
     return (
         sig.groupBy("record_id")
@@ -550,7 +568,7 @@ def a_out_of_tube(spark, sf_dir):
 def j_highlight(spark, sf_dir):
     """J1 membership flag (tubes.py:41-70): mark rows whose (record, ts)
     appears in the extract — here the purchase sub-stream."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     extract = sig.filter(F.col("event_type") == "purchase")
     return highlight(sig, extract, flag="INTERVAL").select(
         "record_id", "seq", "INTERVAL"
@@ -577,7 +595,7 @@ def j_slice_left(spark, sf_dir):
     """J3/P8 positional slice: rows strictly before each record's
     argmax instant (instants.py:600-601 left semantics; instant =
     first row attaining the record max, W8 argmax)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     instants = sig.groupBy("record_id").agg(
         F.expr("min_by(seq, struct(value * -1, seq))").alias("seq")
     )
@@ -622,7 +640,7 @@ def w_segment_ramp(spark, sf_dir):
     channel with a fixed threshold — the segmentation half of the
     indicator, SQL-checkable (the SG half is checked against the
     numpy oracle in tests)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     out = segment_ramp(sig, "value", 100.0, "ramp")
     return out.select("record_id", "seq", F.round("ramp", 6).alias("ramp"))
 
@@ -853,7 +871,7 @@ def sim_ivf_knn_batch(spark, sf_dir):
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-record signal summary over the event streams — the engine's
     core shape (scan → record windows → one aggregation)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     summary = (
         sig.groupBy("record_id")
         .agg(
@@ -1013,7 +1031,7 @@ def w_sessionize(spark, sf_dir):
     sum, which hash identically in both engines by construction."""
     from tabata_spark.streaming.windows import sessionize_batch
 
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     out = sessionize_batch(sig.withColumnRenamed("record_id", "user_id"), 30.0)
     return out.select(
         F.col("user_id").alias("record_id"),
@@ -1066,7 +1084,7 @@ def w_savgol_interior(spark, sf_dir):
     from tabata_spark.operators.positions import record_frame
     from tabata_spark.operators.savgol import savgol_native
 
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     # edges=False: the interior filter below makes the 2*width edge
     # window aggregates dead weight — don't compute them
     out = savgol_native(sig, "value", "sg", 11, 2, 0, edges=False)
@@ -1531,6 +1549,58 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "text_gopher",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+             len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 ln -> regexp_matches(trim(ln), '^([\*\-•]|[0-9]+[\.\)])'))) AS n_bullet,
+             len(list_filter(string_split(text, chr(10)),
+                 ln -> regexp_matches(trim(ln), '(\.\.\.|…)$'))) AS n_ellipsis,
+             len(list_filter(string_split(text, ' '),
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','be','to','of','and','that','have','with'))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+           (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words) AS r_mean_word_len,
+           (n_symbols <= 0.1 * n_words) AS r_symbol_ratio,
+           (n_bullet <= 0.9 * n_lines) AS r_bullet_lines,
+           (n_ellipsis <= 0.3 * n_lines) AS r_ellipsis_lines,
+           (n_alpha >= 0.8 * n_words) AS r_alpha_words,
+           (stop_hits >= 2) AS r_stopwords,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words)
+            AND (n_symbols <= 0.1 * n_words)
+            AND (n_bullet <= 0.9 * n_lines)
+            AND (n_ellipsis <= 0.3 * n_lines)
+            AND (n_alpha >= 0.8 * n_words)
+            AND (stop_hits >= 2)) AS keep
+    FROM g ORDER BY doc_id
+    """,
+)
+def text_gopher(spark, sf_dir):
+    """Gopher-style rule filter (Rae et al. 2021 table A1): per-rule
+    booleans + conjunction, all scan-stage Column exprs with
+    cross-multiplied integer ratio tests (hash-stable booleans). The
+    word-count floor is 30 here (driver docs run 10-99 words) — the
+    paper's 50/100k bounds are the operator defaults."""
+    from tabata_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = gopher_rules("text", min_words=30)
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in rules.items()]
+    ).orderBy("doc_id")
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
@@ -1789,7 +1859,7 @@ def w_indicator_full(spark, sf_dir):
     machine-generated SQL mirror, edge maps included."""
     from tabata_spark.operators.indicator import indicator_col
 
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     out = indicator_col(sig, "value", "ind", width=11, order=1, sigma=2.0, deg=2)
     return out.select("record_id", "seq", F.round("ind", 6).alias("ind"))
 
@@ -1820,7 +1890,7 @@ def w_rev_indicator(spark, sf_dir):
     the final count, applied to a running threshold count."""
     from tabata_spark.operators.indicator import reversed_indicator
 
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     run = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1852,7 +1922,7 @@ def a_detect_error(spark, sf_dir):
     """A8 detection-error shape (instants.py:655-680): per-record
     deviation between two instant detectors (here argmax vs argmin of
     the channel, both first-occurrence like np.argmax)."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     out = sig.groupBy("record_id").agg(
         F.expr("min_by(seq, struct(value * -1, seq))").alias("i_max"),
         F.expr("min_by(seq, struct(value, seq))").alias("i_min"),
@@ -2581,7 +2651,7 @@ def a_winsorize(spark, sf_dir):
     expression. Same single record-shuffle as every signal operator;
     percentile_cont interpolation semantics match DuckDB's
     quantile_cont exactly."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     w = Window.partitionBy("record_id")
     lo = F.expr("percentile(value, 0.05)").over(w)
     hi = F.expr("percentile(value, 0.95)").over(w)
@@ -2631,7 +2701,7 @@ def w_m4_downsample(spark, sf_dir):
     it scales like any aggregation."""
     from tabata_spark.operators.asof import m4_downsample
 
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     out = m4_downsample(sig, n_buckets=50)
     return out.select(
         "record_id",
@@ -2662,7 +2732,7 @@ def a_quantile_transform(spark, sf_dir):
     outliers where z-scoring is not). percent_rank over the record
     partition ordered by (value, seq) — the seq tiebreak makes the
     rank total, so both engines agree on tied values exactly."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     w = Window.partitionBy("record_id").orderBy("value", "seq")
     return (
         sig.select(
@@ -2852,7 +2922,7 @@ def a_normalize(spark, sf_dir):
     """A13 belief normalization (instants.py:539-543): clip at zero,
     divide by the per-record sum, with the reference's Z==0 -> 1
     guard — a probability distribution over each record's rows."""
-    sig = events_as_signals(_t(spark, sf_dir, "events"))
+    sig = _signals(spark, sf_dir)
     w = Window.partitionBy("record_id").orderBy("seq").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

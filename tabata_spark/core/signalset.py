@@ -308,6 +308,17 @@ def save_bucketed(
     with zero data movement.
     """
     spark = sset.df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # a managed location can outlive its catalog entry (in-memory
+        # catalog died, or a crash between file write and catalog
+        # commit) — overwrite mode can't see it, so clear it explicitly
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.split('.')[-1]}")
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
     (
         sset.df.write.mode("overwrite")
         .bucketBy(num_buckets, "record_id")

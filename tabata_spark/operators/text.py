@@ -214,6 +214,83 @@ def with_pii_analysis(df: DataFrame, text: str = "text") -> DataFrame:
     return out.withColumn("redacted", pii_redact(text))
 
 
+# ---------------------------------------------------------------------
+# Gopher-style rule filtering (Rae et al. 2021, "Scaling Language
+# Models", table A1 — the standard pre-training quality gate). Every
+# rule is a pure Column expression over token/line arrays: scan-stage,
+# no shuffle, linear at any corpus size, and each threshold comparison
+# is integer/rational so the booleans are hash-stable across engines.
+
+#: Gopher's stop-word presence list (the paper's 8).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: str | Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Per-rule pass/fail booleans plus the conjunction ``keep``.
+
+    Ratio comparisons are written cross-multiplied over integer counts
+    (``symbols * 10 <= words`` instead of ``symbols/words <= 0.1``) so
+    no engine-dependent float division enters the hashed output.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    words = tokens(t)
+    n_words = F.size(words)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    # mean word length over non-space chars; cross-multiplied bounds
+    total_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([\*\-•]|[0-9]+[\.\)])"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (
+            total_word_chars >= F.lit(min_mean_word_len) * n_words
+        )
+        & (total_word_chars <= F.lit(max_mean_word_len) * n_words),
+        "r_symbol_ratio": n_symbols
+        <= F.lit(max_symbol_word_ratio) * n_words,
+        "r_bullet_lines": n_bullet_lines
+        <= F.lit(max_bullet_line_frac) * n_lines,
+        "r_ellipsis_lines": n_ellipsis_lines
+        <= F.lit(max_ellipsis_line_frac) * n_lines,
+        "r_alpha_words": n_alpha_words >= F.lit(min_alpha_word_frac) * n_words,
+        "r_stopwords": stop_hits >= F.lit(min_stop_hits),
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    rules["keep"] = keep
+    return rules
+
+
+def with_gopher_rules(df: DataFrame, text: str = "text", **thresholds) -> DataFrame:
+    """Adds the per-rule booleans and ``keep`` to ``df``."""
+    out = df
+    for name, col in gopher_rules(text, **thresholds).items():
+        out = out.withColumn(name, col)
+    return out
+
+
 def unigram_logprob(
     df: DataFrame,
     text: str = "text",

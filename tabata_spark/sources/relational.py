@@ -26,6 +26,11 @@ TABLES = (
     "embeddings",
 )
 
+#: Every temporal column in the driver's testdata. A LongType or
+#: StringType column with one of these names is a regeneration shape
+#: (INT64-ns under nanosAsLong / ISO-8601 text), never business data.
+TEMPORAL_COLS = frozenset({"ts", "o_orderdate", "l_shipdate"})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable SQL conf: required even when the caller's session
@@ -56,18 +61,23 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     ALL TimestampNTZType columns are normalized, not just ``ts`` —
     ``o_orderdate``/``l_shipdate`` arrive in the same naive-µs shape,
     and leaving them NTZ keeps the round-3 trap armed for the first
-    query that does epoch arithmetic on them. A string-typed ``ts``
-    (ISO-8601 text, the remaining plausible regeneration shape) is
-    parsed the same way — ``cast("timestamp")`` reads it as a
-    session-zone wall clock, matching DuckDB's implicit
-    VARCHAR→TIMESTAMP cast under UTC.
+    query that does epoch arithmetic on them. The INT64-ns and
+    ISO-string shapes are likewise handled for EVERY known temporal
+    column (not just ``ts``): a Long column named in ``TEMPORAL_COLS``
+    can only be ``nanosAsLong`` output, and a String one is parsed as a
+    session-zone wall clock via ``cast("timestamp")`` — matching
+    DuckDB's implicit VARCHAR→TIMESTAMP cast under UTC.
     """
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, (T.LongType, T.StringType)):
+        if f.name in TEMPORAL_COLS and isinstance(
+            f.dataType, (T.LongType, T.StringType)
+        ):
             if isinstance(f.dataType, T.LongType):
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+                )
             else:
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         elif isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df

@@ -131,6 +131,86 @@ def test_no_ntz_leaks_past_loader_any_table(spark):
             assert not ntz, (sf, t, ntz)
 
 
+def _orders_arrow(shape: str) -> pa.Table:
+    base = dt.datetime(1994, 6, 1, 0, 0, 0)
+    rows = [(i, i % 5, base + dt.timedelta(days=3 * i)) for i in range(40)]
+    dates = pa.array([r[2] for r in rows])
+    if shape == "iso_string":
+        od = pa.array([r[2].isoformat(sep=" ") for r in rows], pa.string())
+    else:
+        od = dates.cast(
+            {
+                "us_naive": pa.timestamp("us"),
+                "ns_naive": pa.timestamp("ns"),
+                "us_utc": pa.timestamp("us", tz="UTC"),
+            }[shape]
+        )
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderdate": od,
+            "o_totalprice": pa.array([100.0 + r[0] for r in rows], pa.float64()),
+        }
+    )
+
+
+@pytest.fixture(
+    scope="module",
+    params=["us_naive", "ns_naive", "us_utc", "iso_string"],
+)
+def orders_shaped_dir(request, tmp_path_factory):
+    """orders.parquet with o_orderdate in one physical shape — the
+    second half of the regeneration matrix (VERDICT r4 item 7): the
+    loader must own EVERY temporal column, not just ``ts``."""
+    d = tmp_path_factory.mktemp(f"odshape_{request.param}")
+    pq.write_table(_orders_arrow(request.param), str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_orderdate_normalizes_and_epoch_matches_duckdb(spark, orders_shaped_dir):
+    """All four shapes load as TIMESTAMP and agree with DuckDB's
+    epoch() on the same file — exact, row by row."""
+    import duckdb
+
+    from tabata_spark.sources.relational import load_table
+
+    df = load_table(spark, orders_shaped_dir, "orders")
+    (od,) = [f for f in df.schema.fields if f.name == "o_orderdate"]
+    assert isinstance(od.dataType, T.TimestampType), od.dataType
+
+    got = {
+        r["o_orderkey"]: r["es"]
+        for r in df.select(
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("es"),
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT o_orderkey, CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"
+            f" FROM '{orders_shaped_dir}/orders.parquet' "
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_orderdate_filter_pushdown_survives_shapes(spark, orders_shaped_dir):
+    """A date-range predicate still returns the right keys under every
+    physical shape (the TPC-H q3/q5 filter pattern)."""
+    from tabata_spark.sources.relational import load_table
+
+    df = load_table(spark, orders_shaped_dir, "orders")
+    keys = sorted(
+        r["o_orderkey"]
+        for r in df.filter(
+            F.col("o_orderdate") < F.lit("1994-07-01").cast("timestamp")
+        ).collect()
+    )
+    # base 1994-06-01 + 3d*i < 1994-07-01  =>  i in 0..9
+    assert keys == list(range(10))
+
+
 def test_streaming_watermark_accepts_normalized_ts(spark, shaped_dir):
     """withWatermark hard-rejects TIMESTAMP_NTZ event time — the
     streaming half of the round-3 breakage."""
