@@ -61,6 +61,9 @@ HEADLINE = [
     "w_rolling_time",
     "a_winsorize",
     "w_m4_downsample",
+    "text_gopher",
+    "sim_semantic_dedup",
+    "sample_dsir",
 ]
 
 

@@ -1601,6 +1601,45 @@ def text_gopher(spark, sf_dir):
 
 
 @register(
+    "sample_dsir",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             (('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT % 1024) AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ), bs AS (
+      SELECT b, count(*)::DOUBLE AS cr,
+             (count(*) FILTER (is_t))::DOUBLE AS ct
+      FROM tok GROUP BY b
+    ), sc AS (
+      SELECT sum(cr) AS nr, sum(ct) AS nt FROM bs
+    ), blr AS (
+      SELECT b,
+             CAST(round(ln(((ct + 1.0) * (nr + 1024.0))
+                          / ((cr + 1.0) * (nt + 1024.0))), 6)
+                  AS DECIMAL(18,6)) AS lr
+      FROM bs, sc
+    )
+    SELECT t.doc_id, CAST(sum(lr) AS DECIMAL(18,6)) AS dsir_weight
+    FROM tok t JOIN blr USING (b)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def sample_dsir(spark, sf_dir):
+    """DSIR importance weights toward the English subset: hashed
+    unigram buckets (salted md5, engine-portable), add-1 smoothed
+    target/raw bucket distributions, per-doc sum of DECIMAL-quantized
+    log-ratios (order-independent, hash-stable by construction)."""
+    from tabata_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, target=F.col("lang") == "en", n_buckets=1024
+    ).orderBy("doc_id")
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
@@ -1695,6 +1734,62 @@ def sim_ivf_ann(spark, sf_dir):
     return ivf_topk(
         emb.filter(F.col("vec_id") != 0), qvec, cents, k=10, nprobe=len(cents)
     )
+
+
+@register(
+    "sim_semantic_dedup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 7 = 0
+    ), seeds AS (
+      SELECT vec_id AS sid, embedding::DOUBLE[] AS sv FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT c.vec_id, c.v,
+             (SELECT s.sid FROM seeds s
+              ORDER BY list_sum(list_transform(generate_series(1, len(c.v)),
+                        i -> (c.v[i] - s.sv[i]) * (c.v[i] - s.sv[i]))), s.sid
+              LIMIT 1) AS sem_cell
+      FROM corpus c
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.sem_cell = b.sem_cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+    )
+    SELECT vec_id, sem_cell,
+           vec_id NOT IN (SELECT vec_id FROM drops) AS keep
+    FROM assigned ORDER BY vec_id
+    """,
+)
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup: every 7th embedding re-arrives as an
+    exact copy under a fresh id; cluster-bounded cosine pairs drop the
+    copies (keep = lowest id). Seeds are the vectors of vec_id 0-7
+    (fixed-id rule, so the oracle derives identical centroids from the
+    same table — the Lloyd fit is the production path, seeds are the
+    parity path). Organic max pairwise cosine in this corpus is ~0.51
+    vs the planted copies' 1.0, so the 0.8 threshold has a wide
+    hash-stability margin on both sides."""
+    from tabata_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    out = semantic_dedup(corpus, seeds, threshold=0.8)
+    return out.select(
+        "vec_id", F.col("ivf_cell").alias("sem_cell"), "keep"
+    ).orderBy("vec_id")
 
 
 def _sim_lsh_oracle() -> str:

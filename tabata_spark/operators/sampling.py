@@ -197,3 +197,61 @@ def top_fraction_per_stratum(
         .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(frac)))
         .drop("__rk", "__n")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its hashed
+    unigram distribution looks like the ``target`` subset vs the raw
+    corpus — ``weight(doc) = Σ_w log(p_target(b(w)) / p_raw(b(w)))``
+    with ``b(w)`` the engine-portable salted-md5 bucket (hash_bucket)
+    and add-alpha smoothed bucket distributions. High-weight docs are
+    the ones importance resampling keeps when fitting a pretraining
+    mixture toward the target domain.
+
+    Hash-stability: each bucket log-ratio is quantized to
+    DECIMAL(18,6) BEFORE the per-doc sum, so the summation is
+    order-independent and engine-exact; the log's argument is a single
+    division of integer-exact double products, identical in any IEEE
+    engine.
+
+    Plan: one explode → one bucket aggregation with a conditional
+    target count (map-side combinable, ≤ n_buckets groups), scalars
+    folded back via broadcast, then token ⋈ broadcast(bucket table)
+    and one per-doc sum — linear end-to-end, no corpus² anywhere. At
+    100 TB raise n_buckets (DSIR's own setting is 10⁴); the broadcast
+    side stays n_buckets rows regardless of corpus size."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__is_t"),
+        F.explode(F.split(F.col(text), " ", -1)).alias("__w"),
+    ).select(
+        "__id", "__is_t", hash_bucket("__w", n_buckets, salt=salt).alias("__b")
+    )
+    bs = tok.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__cr"),
+        F.count_if("__is_t").cast("double").alias("__ct"),
+    )
+    sc = bs.agg(F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt"))
+    ab = float(alpha) * n_buckets
+    lr = F.log(
+        ((F.col("__ct") + F.lit(float(alpha))) * (F.col("__nr") + F.lit(ab)))
+        / ((F.col("__cr") + F.lit(float(alpha))) * (F.col("__nt") + F.lit(ab)))
+    )
+    blr = bs.join(F.broadcast(sc)).select(
+        "__b", F.round(lr, 6).cast("decimal(18,6)").alias("__lr")
+    )
+    return (
+        tok.join(F.broadcast(blr), "__b")
+        .groupBy("__id")
+        .agg(F.sum("__lr").cast("decimal(18,6)").alias("dsir_weight"))
+        .select(F.col("__id").alias(id_col), "dsir_weight")
+    )

@@ -497,3 +497,55 @@ def pairwise_topk_per_label(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, compare pairs ONLY within a cluster, and drop every
+    member of a near-duplicate pair except the lowest id (the
+    deterministic survivor rule used across the dedup tier).
+
+    Returns ``df`` plus ``ivf_cell`` (the cluster) and ``keep``.
+
+    Scale: the pairwise stage is cluster-bounded — with k clusters of
+    ~n/k vectors the scored set is n²/k instead of n², and the
+    intra-cluster join is an equi-join on ``ivf_cell`` (one shuffle on
+    the cell key, AQE skew-splits any hot cluster). At 100 TB: raise k
+    with corpus size (SemDeDup's own regime, k ≈ √n keeps clusters
+    flat), fit the centroids on a sample (``kmeans_centroids``), and
+    store the assignment partitioned by cell so re-runs prune to
+    changed cells. For engine-parity in the oracle the battery passes
+    fixed-id seed vectors instead of a Lloyd fit; the operator is
+    indifferent — any centroid list works.
+    """
+    assigned = ivf_assign(df, centroids, vec_col)
+    a = assigned.select(
+        F.col("ivf_cell").alias("__cell"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("ivf_cell").alias("__cell"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    drops = (
+        a.join(b, "__cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine_cols(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, id_col, "left")
+        .withColumn("keep", F.col("__drop").isNull())
+        .drop("__drop")
+    )

@@ -363,3 +363,20 @@ def test_tpch_tail_jvm_broadcast_only(spark, sf, name):
     # fixture scale a selective query can end with no join nodes at
     # all, which still satisfies "no shuffle join survived"
     assert c["broadcast_joins"] >= 1 or c["empty_relations"] >= 1, (name, c)
+
+
+def test_semantic_dedup_pairs_join_is_cell_equi_join(spark):
+    """SemDeDup's pairwise stage must be the ivf_cell equi-join
+    (cluster-bounded n²/k), never a cartesian/nested-loop over the
+    corpus — the property that makes it a 100 TB operator."""
+    from tabata_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 31 + d * 7) % 13) for d in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    cents = [[float((s * 31 + d * 7) % 13) for d in range(8)] for s in range(4)]
+    plan = semantic_dedup(emb, cents, threshold=0.99)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

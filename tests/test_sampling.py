@@ -127,3 +127,43 @@ def test_top_fraction_per_stratum_exact_and_stable(ids):
     # stable under repartition
     out2 = top_fraction_per_stratum(scored.repartition(13), 0.25, "score", "lang")
     assert {r["doc_id"] for r in out2.collect()} == kept_ids
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs written in the target subset's vocabulary must score above
+    docs written in disjoint vocabulary — the defining DSIR property."""
+    from tabata_spark.operators.sampling import dsir_weights
+
+    tgt_words = "alpha beta gamma delta"
+    oth_words = "zeta eta theta iota"
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", tgt_words))          # target docs
+    for i in range(40, 60):
+        rows.append((i, "fr", tgt_words))          # raw doc, target-like text
+    for i in range(60, 80):
+        rows.append((i, "fr", oth_words))          # raw doc, off-target text
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {
+        r["doc_id"]: float(r["dsir_weight"])
+        for r in dsir_weights(df, target=F.col("lang") == "en").collect()
+    }
+    assert all(out[i] > out[j] for i in range(40, 60) for j in range(60, 80))
+    # target-vocab docs all share one weight; disjoint-vocab likewise
+    assert len({out[i] for i in range(40, 60)}) == 1
+    assert len({out[i] for i in range(60, 80)}) == 1
+
+
+def test_dsir_weights_deterministic_under_repartition(spark):
+    from tabata_spark.operators.sampling import dsir_weights
+
+    rows = [(i, "en" if i % 3 == 0 else "fr", f"w{i % 17} w{i % 5} common") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    a = sorted(map(tuple, dsir_weights(df, F.col("lang") == "en").collect()))
+    b = sorted(
+        map(tuple, dsir_weights(df.repartition(13), F.col("lang") == "en").collect())
+    )
+    assert a == b  # decimal-quantized sums: order-independent exactly
