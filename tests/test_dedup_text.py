@@ -589,3 +589,44 @@ def test_bucket_salt_keeps_partial_recall(spark):
     # roughly 20 * C(10,2) ≈ 900 pairs; allow wide slack but pin the
     # order of magnitude
     assert len(hot_pairs) > 200
+
+
+def test_gopher_rules_line_and_word_branches(spark):
+    """The driver's documents are single-line word soup, so the oracle
+    can never exercise the line-level rules — pin them on synthetic
+    multiline docs: bullets, trailing ellipses, symbol ratio, alpha
+    fraction, and the stop-word floor."""
+    from tabata_spark.operators.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and then "
+        "we have walked along with many other nice fine words here"
+    )
+    bullets = "\n".join(f"* item {i} of the list and that" for i in range(10))
+    ellipses = "\n".join(
+        ["the part that trails off and..."] * 8 + ["the one solid line and that"]
+    )
+    symbols = "the " + "# " * 30 + "and that have with of to be"
+    numeric = "the and " + " ".join(str(i) for i in range(40))
+    rows = [
+        (0, good),
+        (1, bullets),
+        (2, ellipses),
+        (3, symbols),
+        (4, numeric),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rules = gopher_rules("text", min_words=10)
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in rules.items()]
+        ).collect()
+    }
+    assert out[0]["keep"]
+    assert not out[1]["r_bullet_lines"]  # 10/10 bullet lines > 0.9
+    assert not out[2]["r_ellipsis_lines"]  # 8/9 ellipsis lines > 0.3
+    assert not out[3]["r_symbol_ratio"]  # 30 '#' on ~37 words > 0.1
+    assert not out[4]["r_alpha_words"]  # 40/42 words digit-only < 0.8
+    # every failing doc is excluded by the conjunction
+    assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
