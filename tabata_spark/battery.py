@@ -2561,6 +2561,39 @@ def pack_chunks(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "pack_length_batches",
+    """
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), grouped AS (
+      SELECT doc_id, n_tokens,
+             ntile(10) OVER (ORDER BY n_tokens, doc_id) AS length_group
+      FROM base
+    )
+    SELECT doc_id, n_tokens, length_group,
+           length_group::BIGINT * 1000000000
+             + (row_number() OVER (PARTITION BY length_group
+                                   ORDER BY n_tokens, doc_id) - 1) // 8
+             AS batch_id
+    FROM grouped ORDER BY doc_id
+    """,
+)
+def pack_length_batches(spark, sf_dir):
+    """Length-grouped batch assignment (dynamic-padding loader shape):
+    ntile token-length groups, fixed-size batches within each group —
+    padding waste bounded by the group's quantile width. Total
+    (n_tokens, doc_id) ordering makes every id deterministic; ntile
+    semantics are identical in Spark and DuckDB."""
+    from tabata_spark.operators.packing import length_grouped_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_grouped_batches(
+        docs, batch_size=8, n_length_groups=10
+    ).orderBy("doc_id")
+
+
 def _vocab_topk_impl(spark, sf_dir):
     from tabata_spark.operators.text import tokens
 

@@ -155,3 +155,42 @@ def chunk_documents(
         F.size(F.split(F.col("c.chunk_text"), " ", -1)).alias("n_chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    n_length_groups: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-grouped batch assignment (the dynamic-padding trick of
+    every LLM fine-tuning loader): rank documents by token count into
+    ``n_length_groups`` quantile groups, then cut fixed-size batches
+    WITHIN each group, so a batch's sequences share a length scale and
+    padding waste is bounded by the group's quantile width instead of
+    the corpus max length.
+
+    Deterministic: both windows order by (n_tokens, id) — a total
+    order — so group and batch ids are reproducible across engines and
+    repartitionings (ntile semantics are identical in Spark and
+    DuckDB). Adds ``n_tokens``, ``length_group``, ``batch_id``
+    (globally unique: group * 10^9 + local batch index).
+
+    Scale: two window passes over one global ordering. A global ntile
+    needs a global sort at 100 TB — shard first (hash_split /
+    per-shard invocation) exactly like pack_sequences' shards, which
+    is also what data-parallel training readers want; within a shard
+    the plan is sort → two window passes, no joins."""
+    n = F.size(F.split(F.col(text), " ", -1)).alias("n_tokens")
+    base = df.select(F.col(id_col), n)
+    w = Window.orderBy("n_tokens", id_col)
+    grouped = base.withColumn("length_group", F.ntile(n_length_groups).over(w))
+    wg = Window.partitionBy("length_group").orderBy("n_tokens", id_col)
+    return grouped.withColumn(
+        "batch_id",
+        (
+            F.col("length_group").cast("long") * F.lit(1_000_000_000)
+            + F.floor((F.row_number().over(wg) - 1) / batch_size)
+        ),
+    )

@@ -549,3 +549,77 @@ def semantic_dedup(
         .withColumn("keep", F.col("__drop").isNull())
         .drop("__drop")
     )
+
+
+# ---------------------------------------------------------------------
+# Stored IVF index: the serving layout. Build once (assign + write
+# partitionBy(ivf_cell), centroids in a JSON sidecar), then every
+# probe reads ONLY its nprobe cell partitions — partition pruning does
+# the index lookup, so query cost is data-proportional to the probed
+# cells, not the corpus. This is the piece that turns the IVF
+# operators from "a plan" into "an index" at 100 TB.
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Assign + write the corpus partitioned by ``ivf_cell`` with the
+    centroid list in ``<path>/_centroids.json``. Returns the
+    centroids. Fit (when not supplied) trains MLlib KMeans on the
+    corpus — pass ``sample_fraction`` via a pre-sampled ``df`` or
+    supply centroids to skip the fit at rebuild time."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, n_centroids, vec_col, seed=seed)
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def load_ivf_index(spark, path: str):
+    """(index_df, centroids) — the partition-discovered table plus the
+    sidecar centroids. ``ivf_cell`` comes back as a partition column,
+    so any ``ivf_cell IN (...)`` probe prunes at planning time."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a stored index: rank centroids on the driver,
+    probe ``nprobe`` cell PARTITIONS (pruned scan — the physical plan
+    reads only those directories), exact cosine within."""
+    index, centroids = load_ivf_index(spark, path)
+    qv = np.asarray(query, dtype=float)
+    order = np.argsort(
+        [float(((qv - np.asarray(c)) ** 2).sum()) for c in centroids], kind="stable"
+    )
+    cells = [int(i) for i in order[: max(1, min(nprobe, len(centroids)))]]
+    return (
+        index.filter(F.col("ivf_cell").isin(cells))
+        .select(
+            id_col,
+            F.round(cosine_to_query(F.col(vec_col), query), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

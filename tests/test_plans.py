@@ -380,3 +380,53 @@ def test_semantic_dedup_pairs_join_is_cell_equi_join(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stored_ivf_index_prunes_partitions_and_matches_exact(spark, tmp_path):
+    """The stored IVF index must (a) answer nprobe=all identically to
+    brute force, (b) read ONLY the probed cell partitions at small
+    nprobe — partition pruning IS the index lookup at 100 TB."""
+    import random
+
+    from tabata_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_index,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(emb, path, n_centroids=8, seed=3)
+    assert len(cents) == 8
+
+    q = rows[7][1]
+    exact = [tuple(r) for r in brute_force_topk(emb, q, k=5).collect()]
+    full = [
+        tuple(r) for r in ivf_index_topk(spark, path, q, k=5, nprobe=8).collect()
+    ]
+    assert full == exact
+
+    # small nprobe: the scan's partition filter prunes to <= nprobe
+    # cell directories (check the executed plan's selected partitions)
+    probe = ivf_index_topk(spark, path, q, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan[:800]
+    # and the probed result is a subset of reality: every returned id
+    # really lives in one of the two probed cells
+    index, _ = load_ivf_index(spark, path)
+    got_ids = {r["vec_id"] for r in probe.collect()}
+    cells = {
+        r["ivf_cell"]
+        for r in index.filter(F.col("vec_id").isin(list(got_ids)))
+        .select("ivf_cell")
+        .collect()
+    }
+    assert len(cells) <= 2
