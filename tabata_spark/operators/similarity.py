@@ -524,7 +524,18 @@ def semantic_dedup(
     changed cells. For engine-parity in the oracle the battery passes
     fixed-id seed vectors instead of a Lloyd fit; the operator is
     indifferent — any centroid list works.
+
+    The cosine is the JVM sequential-fold expression ON PURPOSE: an
+    Arrow pandas-UDF cosine was measured 2.6× SLOWER here (106 s vs
+    41 s on the 50k×128-cluster probe) because a per-pair UDF ships
+    both vectors of every candidate pair to Python — serialization of
+    the O(n²/k) pair stream dwarfs the fold cost, unlike
+    hyperplane_signatures' per-ROW matmul where each vector crosses
+    the boundary once. Vectorizing this stage properly means blocked
+    per-partition matmuls over grouped cluster members, which changes
+    the join shape; at current cluster sizes the JVM fold wins.
     """
+    cos_fn = cosine_cols
     assigned = ivf_assign(df, centroids, vec_col)
     a = assigned.select(
         F.col("ivf_cell").alias("__cell"),
@@ -539,7 +550,7 @@ def semantic_dedup(
     drops = (
         a.join(b, "__cell")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine_cols(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .filter(cos_fn(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
         .select(F.col("__idb").alias(id_col))
         .distinct()
         .withColumn("__drop", F.lit(True))
