@@ -634,3 +634,108 @@ def ivf_index_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def semantic_dedup_blocked(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 1024,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the pairwise stage vectorized as
+    blocked matmuls — the scale path for LARGE clusters.
+
+    Cluster members are cut into ``block_size`` blocks (row_number
+    within cell); each (block, block) pair inside a cell becomes ONE
+    row carrying both blocks' id+vector arrays, and an Arrow
+    ``mapInPandas`` computes the full cosine submatrix with a numpy
+    matmul. Each vector crosses the Python boundary once per PARTNER
+    BLOCK instead of once per candidate pair — a factor ``block_size``
+    less serialization than a per-pair UDF (measured loser, SCALE.md)
+    while keeping the O(n²/k) arithmetic in BLAS.
+
+    Same keep semantics as semantic_dedup (lowest id survives). Float
+    caveat: matmul sums reassociate vs the JVM sequential fold, so a
+    cosine within ~1e-12 of ``threshold`` can flip between the two
+    variants — irrelevant for real dedup thresholds.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    w = Window.partitionBy("ivf_cell").orderBy("__id")
+    blocked = (
+        assigned.select("ivf_cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__blk", ((F.row_number().over(w) - 1) / block_size).cast("long"))
+        .groupBy("ivf_cell", "__blk")
+        .agg(
+            F.collect_list("__id").alias("__ids"),
+            F.collect_list("__v").alias("__vecs"),
+        )
+    )
+    a = blocked.select(
+        "ivf_cell",
+        F.col("__blk").alias("__ba"),
+        F.col("__ids").alias("__ids_a"),
+        F.col("__vecs").alias("__vecs_a"),
+    )
+    b = blocked.select(
+        "ivf_cell",
+        F.col("__blk").alias("__bb"),
+        F.col("__ids").alias("__ids_b"),
+        F.col("__vecs").alias("__vecs_b"),
+    )
+    joined = a.join(b, "ivf_cell").filter(F.col("__ba") <= F.col("__bb"))
+
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+        ]
+    )
+
+    def _block_pairs(batches):
+        cols = ["__ids_a", "__vecs_a", "__ids_b", "__vecs_b"]
+        for pdf in batches:
+            outs_a, outs_b = [], []
+            # plain tuples: itertuples would mangle the __-prefixed names
+            for raw_a, vecs_a, raw_b, vecs_b in pdf[cols].itertuples(
+                index=False, name=None
+            ):
+                ids_a = np.asarray(raw_a)
+                ids_b = np.asarray(raw_b)
+                va = np.asarray([np.asarray(v, dtype=float) for v in vecs_a])
+                vb = np.asarray([np.asarray(v, dtype=float) for v in vecs_b])
+                na = np.linalg.norm(va, axis=1)
+                nb = np.linalg.norm(vb, axis=1)
+                cos = (va @ vb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(cos >= threshold)
+                pa, pb = ids_a[ii], ids_b[jj]
+                lo = np.minimum(pa, pb)
+                hi = np.maximum(pa, pb)
+                keep = lo < hi  # drop self-pairs; orient id_a < id_b
+                outs_a.append(lo[keep])
+                outs_b.append(hi[keep])
+            if outs_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(outs_a),
+                        "id_b": np.concatenate(outs_b),
+                    }
+                )
+
+    pairs = joined.mapInPandas(_block_pairs, schema=out_schema)
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, id_col, "left")
+        .withColumn("keep", F.col("__drop").isNull())
+        .drop("__drop")
+    )

@@ -630,3 +630,36 @@ def test_gopher_rules_line_and_word_branches(spark):
     assert not out[4]["r_alpha_words"]  # 40/42 words digit-only < 0.8
     # every failing doc is excluded by the conjunction
     assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_semantic_dedup_blocked_equals_expression_path(spark):
+    """The blocked-matmul SemDeDup variant must produce the exact keep
+    set of the JVM-expression path (same clusters, same survivor
+    rule), including across block boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_blocked,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(500)]
+    rows += [(1000 + i, rows[i * 3][1]) for i in range(50)]  # planted copies
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [rows[s][1] for s in range(8)]
+    a = sorted(
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(emb, cents, 0.95).collect()
+    )
+    # block_size=64 forces multi-block clusters -> cross-block pairs
+    b = sorted(
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup_blocked(
+            emb, cents, 0.95, block_size=64
+        ).collect()
+    )
+    assert a == b
+    assert sum(1 for _, k in a if not k) == 50  # every planted copy dropped

@@ -103,15 +103,25 @@ def main():
         list(map(float, r["embedding"]))
         for r in emb.filter(F.col("vec_id") < 128).orderBy("vec_id").collect()
     ]
-    t0 = time.perf_counter()
-    sd = semantic_dedup(emb, seeds, threshold=0.95)
-    dropped = sd.filter(~F.col("keep")).count()
-    out["semantic_dedup_s"] = round(time.perf_counter() - t0, 2)
-    out["semantic_dedup_dropped"] = dropped
-    print(
-        f"# semantic_dedup: {out['semantic_dedup_s']}s ({dropped} dropped)",
-        file=sys.stderr,
-    )
+    from tabata_spark.operators.similarity import semantic_dedup_blocked
+
+    for name, fn in (
+        ("semantic_dedup", lambda: semantic_dedup(emb, seeds, threshold=0.95)),
+        (
+            "semantic_dedup_blocked",
+            lambda: semantic_dedup_blocked(
+                emb, seeds, threshold=0.95, block_size=1024
+            ),
+        ),
+    ):
+        t0 = time.perf_counter()
+        dropped = fn().filter(~F.col("keep")).count()
+        out[f"{name}_s"] = round(time.perf_counter() - t0, 2)
+        out[f"{name}_dropped"] = dropped
+        print(
+            f"# {name}: {out[f'{name}_s']}s ({dropped} dropped)",
+            file=sys.stderr,
+        )
 
     print(json.dumps(out))
 
