@@ -163,6 +163,8 @@ def length_grouped_batches(
     n_length_groups: int = 10,
     text: str = "text",
     id_col: str = "doc_id",
+    n_shards: int = 1,
+    salt: str = "lenbatch",
 ) -> DataFrame:
     """Length-grouped batch assignment (the dynamic-padding trick of
     every LLM fine-tuning loader): rank documents by token count into
@@ -177,20 +179,48 @@ def length_grouped_batches(
     DuckDB). Adds ``n_tokens``, ``length_group``, ``batch_id``
     (globally unique: group * 10^9 + local batch index).
 
-    Scale: two window passes over one global ordering. A global ntile
-    needs a global sort at 100 TB — shard first (hash_split /
-    per-shard invocation) exactly like pack_sequences' shards, which
-    is also what data-parallel training readers want; within a shard
-    the plan is sort → two window passes, no joins."""
+    Scale: ``n_shards=1`` is a global ntile — one global sort, fine to
+    ~10⁷ docs. At 100 TB set ``n_shards`` to the data-parallel reader
+    count: documents are salted-hash-sharded first (the pack_sequences
+    shard rule, deterministic, engine-portable), each shard does its
+    own ntile + batching inside one hash partition — no global sort
+    anywhere, and shards ARE the training reader streams. Per-shard
+    quantiles converge to the global ones because the hash shard is a
+    uniform sample. ``batch_id`` stays globally unique:
+    ``(shard · n_groups + group) · 10⁹ + local``; a ``shard`` column
+    is added when ``n_shards > 1``."""
+    from tabata_spark.operators.sampling import hash_bucket
+
     n = F.size(F.split(F.col(text), " ", -1)).alias("n_tokens")
-    base = df.select(F.col(id_col), n)
-    w = Window.orderBy("n_tokens", id_col)
-    grouped = base.withColumn("length_group", F.ntile(n_length_groups).over(w))
-    wg = Window.partitionBy("length_group").orderBy("n_tokens", id_col)
+    if n_shards <= 1:
+        base = df.select(F.col(id_col), n)
+        w = Window.orderBy("n_tokens", id_col)
+        grouped = base.withColumn(
+            "length_group", F.ntile(n_length_groups).over(w)
+        )
+        wg = Window.partitionBy("length_group").orderBy("n_tokens", id_col)
+        group_key = F.col("length_group").cast("long")
+    else:
+        base = df.select(
+            F.col(id_col),
+            n,
+            hash_bucket(id_col, n_shards, salt=salt).alias("shard"),
+        )
+        w = Window.partitionBy("shard").orderBy("n_tokens", id_col)
+        grouped = base.withColumn(
+            "length_group", F.ntile(n_length_groups).over(w)
+        )
+        wg = Window.partitionBy("shard", "length_group").orderBy(
+            "n_tokens", id_col
+        )
+        group_key = (
+            F.col("shard").cast("long") * n_length_groups
+            + F.col("length_group")
+        )
     return grouped.withColumn(
         "batch_id",
         (
-            F.col("length_group").cast("long") * F.lit(1_000_000_000)
+            group_key * F.lit(1_000_000_000)
             + F.floor((F.row_number().over(wg) - 1) / batch_size)
         ),
     )

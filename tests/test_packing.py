@@ -57,3 +57,57 @@ def test_pack_sequences_stable_under_repartition(spark):
         for r in pack_sequences(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_length_batches_sharded_no_global_sort_and_sane(spark):
+    """Sharded mode: per-shard ntile inside one hash partitioning (no
+    single-partition global window), batch sizes respected, batch ids
+    unique across shards, and every batch is length-homogeneous
+    relative to its shard's quantiles."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.packing import length_grouped_batches
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.pmod("id", 97) + 3).cast("int"))
+        ).alias("text"),
+    )
+    out = length_grouped_batches(
+        docs, batch_size=16, n_length_groups=4, n_shards=8
+    )
+    rows = out.collect()
+    assert len(rows) == 2000
+    assert len({r["shard"] for r in rows}) == 8
+    # batches hold <= batch_size docs and are unique across shards
+    from collections import Counter, defaultdict
+
+    per_batch = Counter(r["batch_id"] for r in rows)
+    assert max(per_batch.values()) <= 16
+    owner = {}
+    for r in rows:
+        key = r["batch_id"]
+        assert owner.setdefault(key, (r["shard"], r["length_group"])) == (
+            r["shard"],
+            r["length_group"],
+        )
+    # within a (shard, group), token lengths never overlap a LATER group
+    bounds = defaultdict(lambda: (10**9, -1))
+    for r in rows:
+        lo, hi = bounds[(r["shard"], r["length_group"])]
+        bounds[(r["shard"], r["length_group"])] = (
+            min(lo, r["n_tokens"]),
+            max(hi, r["n_tokens"]),
+        )
+    for (sh, g), (lo, hi) in bounds.items():
+        nxt = bounds.get((sh, g + 1))
+        if nxt:
+            assert hi <= nxt[0]
+    # the global window disappears: plan has no single-partition
+    # ntile (every Window partitions by shard)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in m.group(1), m.group(0)[:120]

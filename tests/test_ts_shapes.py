@@ -195,6 +195,48 @@ def test_orderdate_normalizes_and_epoch_matches_duckdb(spark, orders_shaped_dir)
     assert got == want
 
 
+def test_orderdate_date32_stays_date_and_matches_duckdb(spark, tmp_path):
+    """date32 is the remaining plausible regeneration shape for a date
+    column. The loader must LEAVE it as DATE — DuckDB reads date32 as
+    DATE too, so both engines stringify identically ('1994-06-01');
+    normalizing to TIMESTAMP would diverge ('1994-06-01 00:00:00')
+    and hash-mismatch every query that emits the column. Comparisons
+    still work: Spark upcasts DATE against timestamp literals."""
+    import duckdb
+
+    from tabata_spark.sources.relational import load_table
+
+    t = _orders_arrow("us_naive")
+    idx = t.schema.get_field_index("o_orderdate")
+    t = t.set_column(idx, "o_orderdate", t.column("o_orderdate").cast(pa.date32()))
+    d = tmp_path / "d32"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+
+    df = load_table(spark, str(d), "orders")
+    (od,) = [f for f in df.schema.fields if f.name == "o_orderdate"]
+    assert isinstance(od.dataType, T.DateType), od.dataType
+
+    got = sorted(
+        (r["o_orderkey"], str(r["o_orderdate"])) for r in df.collect()
+    )
+    want = sorted(
+        (k, str(v))
+        for k, v in duckdb.sql(
+            f"SELECT o_orderkey, o_orderdate FROM '{d}/orders.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+    # the TPC-H filter pattern still selects the right keys
+    keys = sorted(
+        r["o_orderkey"]
+        for r in df.filter(
+            F.col("o_orderdate") < F.lit("1994-07-01").cast("timestamp")
+        ).collect()
+    )
+    assert keys == list(range(10))
+
+
 def test_orderdate_filter_pushdown_survives_shapes(spark, orders_shaped_dir):
     """A date-range predicate still returns the right keys under every
     physical shape (the TPC-H q3/q5 filter pattern)."""
