@@ -1591,18 +1591,18 @@ def text_quality(spark, sf_dir):
     )
     SELECT doc_id,
            (n_words >= 30 AND n_words <= 100000) AS r_word_count,
-           (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words) AS r_mean_word_len,
-           (n_symbols <= 0.1 * n_words) AS r_symbol_ratio,
-           (n_bullet <= 0.9 * n_lines) AS r_bullet_lines,
-           (n_ellipsis <= 0.3 * n_lines) AS r_ellipsis_lines,
-           (n_alpha >= 0.8 * n_words) AS r_alpha_words,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS r_mean_word_len,
+           (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+           (n_bullet * 10 <= 9 * n_lines) AS r_bullet_lines,
+           (n_ellipsis * 10 <= 3 * n_lines) AS r_ellipsis_lines,
+           (n_alpha * 5 >= 4 * n_words) AS r_alpha_words,
            (stop_hits >= 2) AS r_stopwords,
            ((n_words >= 30 AND n_words <= 100000)
-            AND (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words)
-            AND (n_symbols <= 0.1 * n_words)
-            AND (n_bullet <= 0.9 * n_lines)
-            AND (n_ellipsis <= 0.3 * n_lines)
-            AND (n_alpha >= 0.8 * n_words)
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND (n_symbols * 10 <= n_words)
+            AND (n_bullet * 10 <= 9 * n_lines)
+            AND (n_ellipsis * 10 <= 3 * n_lines)
+            AND (n_alpha * 5 >= 4 * n_words)
             AND (stop_hits >= 2)) AS keep
     FROM g ORDER BY doc_id
     """,
@@ -2589,9 +2589,11 @@ def pack_length_batches(spark, sf_dir):
     from tabata_spark.operators.packing import length_grouped_batches
 
     docs = _t(spark, sf_dir, "documents")
-    return length_grouped_batches(
-        docs, batch_size=8, n_length_groups=10
-    ).orderBy("doc_id")
+    return (
+        length_grouped_batches(docs, batch_size=8, n_length_groups=10)
+        .select("doc_id", "n_tokens", "length_group", "batch_id")
+        .orderBy("doc_id")
+    )
 
 
 def _vocab_topk_impl(spark, sf_dir):

@@ -48,9 +48,16 @@ def compact_store(
     spreads rows deterministically by the sort column's hash)."""
     staged = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
-    # a crashed prior run can leave either dir behind; a stale
-    # .__compact__ would make the overwrite-write merge with garbage
-    # and a stale .__old__ would fail the first rename below
+    # crash recovery BEFORE any deletion: if a prior run died between
+    # the two renames, `path` is gone and `.__old__` holds the ONLY
+    # complete copy — restore it first (deleting it here would destroy
+    # the store). Only then clear stale leftovers: a stale .__compact__
+    # would make the overwrite-write merge with garbage and a stale
+    # .__old__ (with `path` present) would fail the first rename below.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no store at {path} and no {old} to recover")
     for stale in (staged, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

@@ -311,14 +311,26 @@ def save_bucketed(
     if not spark.catalog.tableExists(table):
         # a managed location can outlive its catalog entry (in-memory
         # catalog died, or a crash between file write and catalog
-        # commit) — overwrite mode can't see it, so clear it explicitly
+        # commit) — overwrite mode can't see it, so clear it explicitly.
+        # The managed location is <warehouse>/<tbl> for the default db
+        # and <warehouse>/<db>.db/<tbl> for a qualified name; building
+        # it from the last segment alone would point a qualified name
+        # at the DEFAULT db's like-named table and delete its data.
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.split('.')[-1]}")
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(path):
-            fs.delete(path, True)
+        parts = table.split(".")
+        if len(parts) == 1:
+            loc = f"{wh}/{parts[0]}"
+        elif len(parts) == 2:
+            loc = f"{wh}/{parts[0]}.db/{parts[1]}"
+        else:  # catalog-qualified or deeper: don't guess, don't delete
+            loc = None
+        if loc is not None:
+            jvm = spark.sparkContext._jvm
+            jsc = spark.sparkContext._jsc
+            path = jvm.org.apache.hadoop.fs.Path(loc)
+            fs = path.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(path):
+                fs.delete(path, True)
     (
         sset.df.write.mode("overwrite")
         .bucketBy(num_buckets, "record_id")

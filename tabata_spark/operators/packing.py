@@ -191,9 +191,10 @@ def length_grouped_batches(
     is added when ``n_shards > 1``."""
     from tabata_spark.operators.sampling import hash_bucket
 
-    n = F.size(F.split(F.col(text), " ", -1)).alias("n_tokens")
+    # every input column is carried through (the batch consumer needs
+    # the payload next to its batch id)
+    base = df.withColumn("n_tokens", F.size(F.split(F.col(text), " ", -1)))
     if n_shards <= 1:
-        base = df.select(F.col(id_col), n)
         w = Window.orderBy("n_tokens", id_col)
         grouped = base.withColumn(
             "length_group", F.ntile(n_length_groups).over(w)
@@ -201,10 +202,8 @@ def length_grouped_batches(
         wg = Window.partitionBy("length_group").orderBy("n_tokens", id_col)
         group_key = F.col("length_group").cast("long")
     else:
-        base = df.select(
-            F.col(id_col),
-            n,
-            hash_bucket(id_col, n_shards, salt=salt).alias("shard"),
+        base = base.withColumn(
+            "shard", hash_bucket(id_col, n_shards, salt=salt)
         )
         w = Window.partitionBy("shard").orderBy("n_tokens", id_col)
         grouped = base.withColumn(

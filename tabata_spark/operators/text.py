@@ -239,10 +239,17 @@ def gopher_rules(
 ) -> dict[str, Column]:
     """Per-rule pass/fail booleans plus the conjunction ``keep``.
 
-    Ratio comparisons are written cross-multiplied over integer counts
-    (``symbols * 10 <= words`` instead of ``symbols/words <= 0.1``) so
-    no engine-dependent float division enters the hashed output.
+    Ratio comparisons are cross-multiplied over integer counts
+    (``symbols * 10 <= words`` instead of ``symbols/words <= 0.1``):
+    each threshold is read as an exact decimal
+    (``Fraction(str(x))``), so no float multiply or division enters
+    the hashed booleans — integer-exact in every engine.
     """
+    from fractions import Fraction
+
+    def _frac(x):
+        return Fraction(str(x))
+
     t = F.col(text) if isinstance(text, str) else text
     words = tokens(t)
     n_words = F.size(words)
@@ -261,19 +268,23 @@ def gopher_rules(
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     )
+    lo_len, hi_len = _frac(min_mean_word_len), _frac(max_mean_word_len)
+    sym, bul = _frac(max_symbol_word_ratio), _frac(max_bullet_line_frac)
+    ell, alp = _frac(max_ellipsis_line_frac), _frac(min_alpha_word_frac)
     rules = {
         "r_word_count": (n_words >= min_words) & (n_words <= max_words),
         "r_mean_word_len": (
-            total_word_chars >= F.lit(min_mean_word_len) * n_words
+            total_word_chars * lo_len.denominator >= lo_len.numerator * n_words
         )
-        & (total_word_chars <= F.lit(max_mean_word_len) * n_words),
-        "r_symbol_ratio": n_symbols
-        <= F.lit(max_symbol_word_ratio) * n_words,
-        "r_bullet_lines": n_bullet_lines
-        <= F.lit(max_bullet_line_frac) * n_lines,
-        "r_ellipsis_lines": n_ellipsis_lines
-        <= F.lit(max_ellipsis_line_frac) * n_lines,
-        "r_alpha_words": n_alpha_words >= F.lit(min_alpha_word_frac) * n_words,
+        & (total_word_chars * hi_len.denominator <= hi_len.numerator * n_words),
+        "r_symbol_ratio": n_symbols * sym.denominator
+        <= sym.numerator * n_words,
+        "r_bullet_lines": n_bullet_lines * bul.denominator
+        <= bul.numerator * n_lines,
+        "r_ellipsis_lines": n_ellipsis_lines * ell.denominator
+        <= ell.numerator * n_lines,
+        "r_alpha_words": n_alpha_words * alp.denominator
+        >= alp.numerator * n_words,
         "r_stopwords": stop_hits >= F.lit(min_stop_hits),
     }
     keep = F.lit(True)

@@ -81,7 +81,15 @@ def stream_dedup_append(
         # replay-safety invariant
         jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
+        # a data file must exist, not just the directory: an empty
+        # first batch leaves <path>/_SUCCESS with zero part files, and
+        # spark.read.parquet on that throws schema-inference errors on
+        # EVERY later batch — the stream would be wedged for good
+        has_data = fs.exists(jpath) and any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(jpath)
+        )
+        if has_data:
             seen = spark.read.parquet(path).select(hash_col)
             hashed = hashed.join(seen, hash_col, "left_anti")
         hashed.write.mode("append").parquet(path)

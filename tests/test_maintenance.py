@@ -70,3 +70,27 @@ def test_compacted_files_are_sorted_with_tight_stats(spark, fragmented_store):
             if prev_max is not None:
                 assert stats.min > prev_max
             prev_max = stats.max
+
+
+def test_compact_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between the two swap renames leaves the ONLY complete
+    copy at <path>.__old__ — a re-run must restore it, not delete it."""
+    import os
+
+    from tabata_spark.core.maintenance import compact_store
+
+    path = str(tmp_path / "store")
+    df = spark.range(100).selectExpr(
+        "cast(id % 5 as string) record_id", "id seq", "id * 2.0 value"
+    )
+    df.write.partitionBy("record_id").parquet(path)
+    # simulate the crash window: path renamed away, swap never finished
+    os.rename(path, path + ".__old__")
+    assert not os.path.exists(path)
+
+    compact_store(spark, path)
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    assert sorted(r["seq"] for r in got.collect()) == list(range(100))
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")

@@ -61,3 +61,23 @@ def test_dedup_append_is_replay_safe(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 4
     assert got.select("content_hash").distinct().count() == 4
+
+
+def test_dedup_append_survives_pre_existing_empty_store(spark, tmp_path):
+    """A store directory holding only _SUCCESS (the residue of an
+    empty first batch) must read as 'no history yet', not wedge every
+    later batch with a schema-inference error."""
+    import os
+
+    from tabata_spark.streaming.sinks import stream_dedup_append
+
+    out = str(tmp_path / "corpus2")
+    os.makedirs(out)
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    texts = ["alpha beta", "gamma delta", "alpha beta"]
+    stream = _doc_stream(spark, tmp_path, texts, "src_empty")
+    q = stream_dedup_append(stream, out, str(tmp_path / "ck_empty"))
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # dedup within the batch still applies

@@ -38,9 +38,11 @@ TABLE = "signals_bench"
 
 
 def _exchanges(df) -> int:
-    # executedPlan string AFTER AQE finalization would need an action;
-    # the pre-AQE physical plan is the honest static count here
-    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    # SHUFFLE exchanges only (plans.inspect regex): a bare substring
+    # count also matched BroadcastExchange and inflated both sides
+    from tabata_spark.plans.inspect import plan_counts
+
+    return plan_counts(df)["exchanges"]
 
 
 def _time_one(spark, sf_dir, name):
