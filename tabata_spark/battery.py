@@ -4465,3 +4465,101 @@ def q20_qualified_suppliers(spark, sf_dir):
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (suffix-array-style duplicated n-gram spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_OCC_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t)-7, 0))) AS pos,
+             unnest(list_transform(generate_series(1, greatest(len(t)-7, 0)),
+                    i -> array_to_string(list_slice(t, i, i+7), ' '))) AS g
+      FROM toks)
+"""
+
+
+@register(
+    "dedup_span_stats",
+    f"""
+    WITH {_SPAN_OCC_CTE},
+    dup AS (SELECT g FROM (SELECT g, count(*) AS c FROM occ GROUP BY g) WHERE c >= 2),
+    d AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+    seg AS (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts,
+                   CAST(sum(CASE WHEN prev IS NULL THEN 8
+                            ELSE least(8, pos - prev) END) AS BIGINT) AS covered_tokens
+            FROM seg GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_starts, 0) AS BIGINT) AS dup_starts,
+           CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens
+    FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id
+    """,
+)
+def dedup_span_stats(spark, sf_dir):
+    """Suffix-array-style exact-duplication coverage: for each document,
+    the number of tokens inside a length-8 token span that occurs more
+    than once anywhere in the corpus. A duplicated span of any length
+    >= n is a run of duplicated n-grams, so union-of-intervals over
+    duplicated n-gram starts (a single lag window — all intervals share
+    length n) recovers exact span coverage without suffix structures.
+    All-BIGINT output: hash-stable by construction. key='text' groups
+    raw n-gram strings so the DuckDB oracle is bit-exact; production
+    uses key='hash' (8-byte xxhash64 shuffle keys)."""
+    from tabata_spark.operators.dedup import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, n=8, key="text").orderBy("doc_id")
+
+
+@register(
+    "dedup_span_strip",
+    f"""
+    WITH {_SPAN_OCC_CTE},
+    rk AS (SELECT doc_id, pos, g,
+                  count(*) OVER (PARTITION BY g) AS c,
+                  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+           FROM occ),
+    noncanon AS (SELECT doc_id, pos FROM rk WHERE c >= 2 AND rn > 1),
+    cov AS (SELECT DISTINCT doc_id, cp FROM
+            (SELECT doc_id, unnest(generate_series(pos, pos+7)) AS cp FROM noncanon)),
+    tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                      unnest(generate_series(1, len(t))) AS tp FROM toks),
+    kept AS (SELECT k.doc_id, k.tok, k.tp FROM tokpos k LEFT JOIN cov c
+             ON k.doc_id = c.doc_id AND k.tp = c.cp WHERE c.cp IS NULL),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS s,
+                   CAST(count(*) AS BIGINT) AS nk
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(a.nk, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(a.s, '')) AS clean_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def dedup_span_strip(spark, sf_dir):
+    """Remove duplicated length-8 token spans keeping the globally
+    first occurrence (min doc_id, then min pos): every token covered by
+    a non-canonical duplicated n-gram occurrence is dropped; survivors
+    reassembled in order. The md5 of the reassembled text proves both
+    the removal set and the order-preserving reassembly. The Spark plan
+    never explodes the token column: covered positions are collected as
+    a per-doc set and the survivors come from an index-aware array
+    filter at the scan stage (the oracle rebuilds via token explode)."""
+    from tabata_spark.operators.dedup import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        strip_duplicate_spans(docs, n=8, key="text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.md5(F.col("kept_text").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

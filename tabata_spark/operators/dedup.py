@@ -1004,3 +1004,167 @@ def incremental_near_dup(
         materialize=materialize,
         shingle_arrays=arr,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (duplicate token n-grams across the corpus)
+# ---------------------------------------------------------------------------
+#
+# The sixth tier: position-aware EXACT duplication, in the spirit of
+# suffix-array training-data dedup ("identical spans of >= N tokens
+# appearing more than once"). A suffix array is a single-machine
+# structure; the Spark-native equivalent is a rolling token n-gram
+# occurrence table — every duplicated span of length >= n is exactly a
+# run of duplicated n-grams, so union-of-intervals over duplicated
+# n-gram starts recovers span coverage without materializing suffixes.
+# Cost model at 100 TB: one scan-stage explode (tokens x 1 row per
+# n-gram start), one groupBy on uniform keys with map-side partial
+# counts, one equi-join back, one per-doc window. Nothing quadratic.
+
+
+def ngram_positions(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    key: str = "hash",
+) -> DataFrame:
+    """One row per token n-gram occurrence: (id, pos, k) with 1-based
+    start position `pos`. Docs shorter than n tokens emit no rows.
+
+    Scan-stage only (split -> indexed transform -> explode; zero
+    shuffles). ``key='hash'`` ships 8-byte xxhash64 keys through the
+    downstream shuffle (production default); ``key='text'`` carries
+    the raw n-gram string — engine-portable, used by the DuckDB
+    oracle, and semantically identical minus hash collisions.
+    """
+    if key not in ("hash", "text"):
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    toks = F.split(F.col(text), " ", -1)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda p: F.struct(
+                p.alias("pos"), F.array_join(F.slice(toks, p, n), " ").alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    occ = df.select(F.col(id_col), F.explode(grams).alias("o"))
+    return occ.select(
+        id_col,
+        F.col("o.pos").alias("pos"),
+        (F.xxhash64("o.g") if key == "hash" else F.col("o.g")).alias("k"),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    key: str = "hash",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document exact-duplication coverage: how many tokens sit
+    inside a length-n span that occurs >= min_count times corpus-wide.
+
+    Output: (id, n_tokens, dup_starts, covered_tokens), all BIGINT —
+    hash-stable by construction (no floats). covered_tokens is the
+    union length of the intervals [pos, pos+n) over duplicated n-gram
+    starts; because all intervals share length n, the union telescopes
+    to sum(min(n, pos_i - pos_{i-1})) over starts sorted per doc (first
+    term n) — one lag window, no interval explode.
+
+    Plan: occurrence explode (scan stage) -> count per key (one
+    shuffle, uniform 8-byte keys, map-side combine) -> equi-join back
+    (AQE broadcasts when the duplicated-key set is small) -> per-doc
+    lag window -> groupBy doc. Left-join restores zero-coverage docs.
+    """
+    occ = ngram_positions(df, text=text, id_col=id_col, n=n, key=key)
+    dup = (
+        occ.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("k")
+    )
+    hits = occ.join(dup, "k")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seg = hits.withColumn("__prev", F.lag("pos").over(w)).withColumn(
+        "__add",
+        F.when(F.col("__prev").isNull(), F.lit(n)).otherwise(
+            F.least(F.lit(n), F.col("pos") - F.col("__prev"))
+        ),
+    )
+    per_doc = seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_starts"),
+        F.sum("__add").cast("long").alias("covered_tokens"),
+    )
+    docs = df.select(
+        F.col(id_col), F.size(F.split(F.col(text), " ", -1)).cast("long").alias("n_tokens")
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_starts", F.lit(0)).cast("long").alias("dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    key: str = "hash",
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove duplicated spans, keeping the globally-first occurrence.
+
+    An occurrence of a duplicated n-gram is *non-canonical* unless it
+    is the (min id, min pos) occurrence of that n-gram; every token
+    covered by at least one non-canonical occurrence is dropped, and
+    the survivors are reassembled in order. Output:
+    (id, n_tokens, n_removed, kept_text).
+
+    Plan: occurrence explode -> ONE groupBy per key computing (count,
+    min struct(id,pos)) with map-side partials -> join back -> covered
+    positions collected per doc as a set (collect_set over the
+    interval explode — bounded by doc length) -> hash-join to the doc
+    table -> index-aware array filter (F.filter's (x, i) lambda) keeps
+    the surviving tokens without ever exploding the token column.
+    """
+    occ = ngram_positions(df, text=text, id_col=id_col, n=n, key=key)
+    agg = occ.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("first_occ"),
+    )
+    dup = agg.filter(F.col("n_occ") >= min_count)
+    noncanon = occ.join(dup, "k").filter(
+        ~((F.col(id_col) == F.col("first_occ.i")) & (F.col("pos") == F.col("first_occ.p")))
+    )
+    cov = (
+        noncanon.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cp").alias("__cov"))
+    )
+    toks = F.split(F.col(text), " ", -1)
+    kept = F.when(F.col("__cov").isNull(), toks).otherwise(
+        F.filter(toks, lambda x, i: ~F.array_contains(F.col("__cov"), i + 1))
+    )
+    return (
+        df.join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
+    )
