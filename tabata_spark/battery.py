@@ -4563,3 +4563,31 @@ def dedup_span_strip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_domain_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY md5('v1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id
+    """,
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain quota: keep at most 10 docs per source by
+    deterministic salted-hash order. The Spark side runs the exact
+    two-phase SHARDED plan (rank per (domain, shard) then re-rank the
+    bounded survivors) — per-task memory O(cap) under any domain skew —
+    while the oracle is the plain single-window SQL: the hash match IS
+    the proof that the skew-safe plan computes the exact global cap."""
+    from tabata_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        domain_cap(docs, domain="source", id_col="doc_id", cap=10, salt="v1", shards=4)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -255,3 +255,64 @@ def dsir_weights(
         .agg(F.sum("__lr").cast("decimal(18,6)").alias("dsir_weight"))
         .select(F.col("__id").alias(id_col), "dsir_weight")
     )
+
+
+def _cap_order(id_col: str, salt: str) -> list[Column]:
+    """Deterministic per-domain ranking order: salted md5 of the id
+    (engine-portable — DuckDB: ``md5(salt || ':' || id::VARCHAR)``)
+    with the raw id as total tie-break."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    return [key, F.col(id_col)]
+
+
+def domain_cap(
+    df: DataFrame,
+    domain: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "",
+    shards: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen by deterministic
+    salted-hash order — the per-domain quota step of web-corpus
+    curation (downweight crawl-heavy hosts without losing coverage).
+
+    Membership is a pure function of (id, salt): reproducible across
+    engines, re-runs, and arrival order; nested (cap=K's survivors
+    contain cap=K-1's, since ranks are stable).
+
+    ``shards=None`` ranks each domain in ONE window partition — exact
+    but skew-bound: a crawl-scale hot domain funnels through a single
+    task. ``shards=k`` runs the exact two-phase plan instead:
+
+    1. rank within (domain, shard(id)) and keep per-shard rank <= cap —
+       every global top-``cap`` row survives (its shard-local rank is
+       bounded by its global rank), and each window group holds only
+       that shard's share of the domain;
+    2. re-rank the <= shards*cap survivors per domain and keep
+       rank <= cap.
+
+    Phase 2's groups are bounded by shards*cap rows REGARDLESS of
+    domain skew, so the two-phase output is exactly the single-window
+    output with per-task memory O(cap) — the 100 TB shape.
+    """
+    order = _cap_order(id_col, salt)
+    w = Window.partitionBy(domain).orderBy(*order)
+    if shards is None:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(shards))
+    w1 = Window.partitionBy(F.col(domain), shard).orderBy(*order)
+    pre = (
+        df.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= cap)
+        .drop("__rn1")
+    )
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -167,3 +167,63 @@ def test_dsir_weights_deterministic_under_repartition(spark):
         map(tuple, dsir_weights(df.repartition(13), F.col("lang") == "en").collect())
     )
     assert a == b  # decimal-quantized sums: order-independent exactly
+
+
+# ---------------------------------------------------------------------------
+# domain_cap
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n_hot=500, n_cold=5):
+    rows = [(i, "hot") for i in range(n_hot)] + [
+        (10_000 + i, f"cold{i % 3}") for i in range(n_cold * 3)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_domain_cap_sharded_equals_plain(spark):
+    from tabata_spark.operators.sampling import domain_cap
+
+    df = _skewed(spark)
+    plain = set(
+        (r.doc_id, r.source)
+        for r in domain_cap(df, cap=20, salt="s").select("doc_id", "source").collect()
+    )
+    for shards in (2, 4, 16):
+        sharded = set(
+            (r.doc_id, r.source)
+            for r in domain_cap(df, cap=20, salt="s", shards=shards)
+            .select("doc_id", "source")
+            .collect()
+        )
+        assert sharded == plain, shards
+
+
+def test_domain_cap_counts_and_underfull_domains(spark):
+    from tabata_spark.operators.sampling import domain_cap
+
+    df = _skewed(spark, n_hot=100, n_cold=4)
+    out = (
+        domain_cap(df, cap=10, shards=4)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    by = {r.source: r["count"] for r in out}
+    assert by["hot"] == 10
+    # cold domains have 4 docs each — all kept
+    assert all(by[f"cold{i}"] == 4 for i in range(3))
+
+
+def test_domain_cap_nested_and_stable_under_repartition(spark):
+    from tabata_spark.operators.sampling import domain_cap
+
+    df = _skewed(spark)
+    k10 = set(r.doc_id for r in domain_cap(df, cap=10, salt="s", shards=4).collect())
+    k20 = set(r.doc_id for r in domain_cap(df, cap=20, salt="s", shards=4).collect())
+    assert k10 < k20  # nested: ranks are stable, caps grow monotonically
+    rep = set(
+        r.doc_id
+        for r in domain_cap(df.repartition(13), cap=10, salt="s", shards=4).collect()
+    )
+    assert rep == k10
