@@ -4591,3 +4591,78 @@ def sample_domain_cap(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sim_pq_adc",
+    """
+    WITH cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS e
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    sub AS (SELECT vec_id, embedding::DOUBLE[] AS e, unnest([0,1,2,3]) AS j
+            FROM embeddings WHERE vec_id <> 0),
+    dist AS (
+      SELECT s.vec_id, s.j, cb.cid,
+             list_reduce(list_transform(range(1, 17),
+                 i -> (s.e[s.j*16 + i] - cb.e[s.j*16 + i])
+                    * (s.e[s.j*16 + i] - cb.e[s.j*16 + i])),
+               (a, b) -> a + b) AS d
+      FROM sub s CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code
+      FROM (SELECT vec_id, j, cid, d,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+            FROM dist)
+      WHERE rn = 1
+    ),
+    adc1 AS (
+      SELECT c.vec_id, c.j, c.code,
+             list_reduce(list_transform(range(1, 17),
+                 i -> (q.qe[c.j*16 + i] - cb.e[c.j*16 + i])
+                    * (q.qe[c.j*16 + i] - cb.e[c.j*16 + i])),
+               (a, b) -> a + b) AS t
+      FROM codes c JOIN cb ON cb.cid = c.code CROSS JOIN q
+    ),
+    tot AS (
+      SELECT vec_id,
+             list_reduce(list(t ORDER BY j), (a, b) -> a + b) AS adc,
+             max(CASE WHEN j = 0 THEN code END) AS c0,
+             max(CASE WHEN j = 1 THEN code END) AS c1,
+             max(CASE WHEN j = 2 THEN code END) AS c2,
+             max(CASE WHEN j = 3 THEN code END) AS c3
+      FROM adc1 GROUP BY vec_id
+    )
+    SELECT vec_id, c0, c1, c2, c3, round(adc, 4) AS adc
+    FROM tot ORDER BY tot.adc, vec_id LIMIT 25
+    """,
+)
+def sim_pq_adc(spark, sf_dir):
+    """Product-quantization ANN, end to end: encode every embedding as
+    4 codes (argmin squared-L2 per 16-dim subspace) and rank the corpus
+    by asymmetric distance to the query — m table lookups per row over
+    driver-built literal tables, the float vectors never read at query
+    time. The battery uses the DETERMINISTIC codebook (subvectors of
+    the 16 smallest-id embeddings) so DuckDB reconstructs the exact
+    codebook, codes, and ADC values in SQL — a value-level oracle over
+    the whole compressed-domain pipeline; production fits per-subspace
+    k-means codebooks instead (pq_codebooks). Sequential double
+    arithmetic keeps both engines bit-identical."""
+    from tabata_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_deterministic,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_deterministic(emb, m=4, ksub=16)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), books)
+    out = pq_adc_topk(codes, qvec, books, k=25)
+    return out.select(
+        "vec_id",
+        *[F.col(f"c{j}").cast("long").alias(f"c{j}") for j in range(4)],
+        F.round("adc", 4).alias("adc"),
+    )

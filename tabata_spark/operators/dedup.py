@@ -1168,3 +1168,105 @@ def strip_duplicate_spans(
             F.array_join(kept, " ").alias("kept_text"),
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+    materialize: str | None = "persist",
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round swap-in for :func:`connected_components` when
+    the dup graph has long chains (min-label propagation needs
+    diameter rounds; near-clique LSH clusters don't, adversarial
+    chain graphs do).
+
+    Edge set maintained canonically as (a, b) with a < b. Per round:
+
+    - large-star: m(u) = min(Γ(u) ∪ {u}); connect every bigger
+      neighbor of u to m(u). Computed WITHOUT neighbor-list collects:
+      one map-side-combinable min per node + one equi-join back — a
+      billion-degree hub never materializes its adjacency in one task;
+    - small-star: orient each edge to its larger endpoint b;
+      m(b) = min of b's smaller neighbors; connect b and each smaller
+      neighbor to m(b). Same agg+join shape.
+
+    Convergence = edge set stable (count + order-free xxhash64 sum —
+    one tiny scalar aggregate per round, no set diff join). At the
+    fixed point every component is a star rooted at its min id, so
+    labels read directly off the edges. Rounds are eagerly
+    checkpointed (lineage cut — plan growth, not recompute, is the
+    enemy of iterative algorithms).
+
+    Returns (id, comp), identical to min-label propagation.
+    """
+    ce = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df if materialize in (None, "none") else df.localCheckpoint(eager=True)
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) accumulator: ANSI-safe (no long overflow)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    ce = cut(ce)
+    sig = signature(ce)
+    for _ in range(max_iter):
+        # large-star
+        sym = ce.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            ce.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        m = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least("mn", F.col("src")).alias("m"))
+        large = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("m").alias("a"), F.col("dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        ce = cut(large)
+        # small-star: key = larger endpoint b, m(b) = min smaller neighbor
+        mb = ce.groupBy("b").agg(F.min("a").alias("m"))
+        from_edges = (
+            ce.join(mb, "b")
+            .filter(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+        )
+        from_roots = mb.select(F.col("m").alias("a"), F.col("b").alias("b"))
+        small = (
+            from_edges.unionByName(from_roots)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        ce = cut(small)
+        new_sig = signature(ce)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point: stars (root=a, member=b); min() guards unconverged max_iter exits
+    member = ce.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("comp"))
+    roots = ce.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    labels = member.unionByName(roots).groupBy("id").agg(F.min("comp").alias("comp"))
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).alias("id")).distinct()
+        labels = (
+            base.join(labels, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+        )
+    return labels

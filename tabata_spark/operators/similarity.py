@@ -739,3 +739,170 @@ def semantic_dedup_blocked(
         .withColumn("keep", F.col("__drop").isNull())
         .drop("__drop")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+#
+# The storage-bound ANN tier (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search"): split each vector into m subvectors,
+# quantize each against its own 2^b-entry codebook, store m small
+# codes instead of the float vector (64-dim float32 = 256 B -> m=4
+# codes of 4 bits = 2 B, 128x). Query-time ADC (asymmetric distance):
+# precompute the m x 2^b table of query-subvector-to-centroid
+# distances on the driver, then each candidate costs m table lookups —
+# a pure JVM expression over the compact code column; the float
+# vectors never leave storage. Composes with IVF (probe cells, then
+# ADC-rank the survivors) for the standard IVF-PQ shape.
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks via m seeded MLlib KMeans fits over the
+    subvector slices. Returns m lists of ksub centroids (each of
+    dim/m floats). Train on a sample at scale; the model is
+    O(m · ksub · dim/m) = O(ksub · dim) driver-side floats."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).head()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    base = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+    for j in range(m):
+        data = base.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter).fit(data)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def pq_codebooks_deterministic(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Data-derived codebooks WITHOUT k-means: subvector slices of the
+    ksub smallest-id vectors. Strictly worse quantization than k-means
+    — its purpose is an engine-portable codebook the DuckDB oracle can
+    reconstruct in SQL, making the full encode+ADC pipeline
+    value-checkable. Production uses :func:`pq_codebooks`."""
+    rows = df.orderBy(id_col).select(vec_col).limit(ksub).collect()
+    dim = len(rows[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in r[0][j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_prefix: str = "c",
+) -> DataFrame:
+    """Adds one small-int code column per subspace (`c0`..`c{m-1}`):
+    argmin squared-L2 of the j-th subvector over codebook j, ties to
+    the lowest centroid id — one JVM expression per subspace (array of
+    (dist, idx) structs, array_min's lexicographic order), same shape
+    as :func:`ivf_assign`. No shuffle: encoding is scan-stage."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = df
+    for j in range(m):
+        sv = F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.struct(_l2sq_lit(sv, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(codebooks[j])
+            ]
+        )
+        out = out.withColumn(f"{out_prefix}{j}", F.array_min(dists)["i"])
+    return out
+
+
+def pq_pack(df: DataFrame, m: int, ksub: int, out_col: str = "pq_code", prefix: str = "c") -> DataFrame:
+    """Pack the m code columns into ONE integer column (the storage
+    format: m·ceil(log2 ksub) bits). Round-trips bit-exactly with
+    :func:`pq_unpack`."""
+    bits = max(1, (ksub - 1).bit_length())
+    packed = F.lit(0).cast("long")
+    for j in range(m):
+        packed = packed + (F.col(f"{prefix}{j}").cast("long") * F.lit(1 << (j * bits)))
+    return df.withColumn(out_col, packed)
+
+
+def pq_unpack(df: DataFrame, m: int, ksub: int, code_col: str = "pq_code", prefix: str = "c") -> DataFrame:
+    bits = max(1, (ksub - 1).bit_length())
+    out = df
+    for j in range(m):
+        out = out.withColumn(
+            f"{prefix}{j}",
+            F.pmod(
+                (F.col(code_col) / F.lit(1 << (j * bits))).cast("long"), F.lit(1 << bits)
+            ).cast("int"),
+        )
+    return out
+
+
+def _l2sq_py(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    prefix: str = "c",
+) -> DataFrame:
+    """ADC top-k over PQ codes: the m x ksub distance table is built
+    driver-side from the query (tiny), folded into the plan as array
+    literals, and each row's approximate distance is m element_at
+    lookups summed in subspace order — whole-stage-codegen JVM, then
+    TakeOrdered. The float vectors are never read.
+
+    Sequential double arithmetic start-to-end (Python accumulation
+    mirrors the engine fold), so an external SQL engine replaying the
+    same formula reproduces the distances bit-for-bit."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query) != m * sub:
+        raise ValueError("query dim != m * subdim")
+    tables = [
+        [_l2sq_py(query[j * sub : (j + 1) * sub], c) for c in codebooks[j]]
+        for j in range(m)
+    ]
+    adc = F.lit(0.0)
+    for j in range(m):
+        tbl = F.array(*[F.lit(v) for v in tables[j]])
+        adc = adc + F.element_at(tbl, F.col(f"{prefix}{j}") + 1)
+    return (
+        codes.select(id_col, *[f"{prefix}{j}" for j in range(m)], adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )

@@ -663,3 +663,63 @@ def test_semantic_dedup_blocked_equals_expression_path(spark):
     )
     assert a == b
     assert sum(1 for _, k in a if not k) == 50  # every planted copy dropped
+
+
+def test_star_cc_equals_label_propagation(spark):
+    from tabata_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    import random
+
+    rng = random.Random(7)
+    # random clustered graph: 40 clusters of 2-8 nodes, random intra edges
+    edges = []
+    nid = 0
+    for _ in range(40):
+        size = rng.randint(2, 8)
+        ids = list(range(nid, nid + size))
+        nid += size + rng.randint(0, 2)  # gaps -> singleton ids exist
+        for i in range(1, size):
+            edges.append((ids[i], ids[rng.randrange(i)]))
+        for _ in range(size // 2):
+            edges.append((rng.choice(ids), rng.choice(ids)))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(nid).withColumnRenamed("id", "doc_id")
+    a = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            pairs, nodes=nodes, id_col="doc_id"
+        ).collect()
+    }
+    b = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(
+            pairs, nodes=nodes, id_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_star_cc_converges_on_chain_where_label_prop_cannot(spark):
+    from tabata_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # 200-node chain: diameter 199. Label propagation moves the min
+    # one hop per round — at max_iter=12 it CANNOT have finished.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    star = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(pairs, max_iter=12).collect()
+    }
+    assert star == {(i, 0) for i in range(n)}
+    prop = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert prop != star  # the diameter-bound algorithm is still mid-flight

@@ -1,0 +1,99 @@
+"""Product quantization: encode, pack, ADC ranking, recall.
+
+Battery query sim_pq_adc oracle-checks the deterministic-codebook
+pipeline value-for-value against DuckDB; these tests cover the
+production (k-means) path and the structural invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_codebooks,
+    pq_codebooks_deterministic,
+    pq_encode,
+    pq_pack,
+    pq_unpack,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pack_unpack_roundtrip(spark, emb):
+    books = pq_codebooks_deterministic(emb, m=4, ksub=16)
+    codes = pq_encode(emb, books)
+    packed = pq_pack(codes, m=4, ksub=16)
+    back = pq_unpack(packed.drop("c0", "c1", "c2", "c3"), m=4, ksub=16)
+    diff = (
+        codes.select("vec_id", "c0", "c1", "c2", "c3")
+        .exceptAll(back.select("vec_id", "c0", "c1", "c2", "c3"))
+        .count()
+    )
+    assert diff == 0
+    # 4 codes x 4 bits fit in 16 bits
+    mx = packed.agg(F.max("pq_code")).collect()[0][0]
+    assert mx < (1 << 16)
+
+
+def test_codes_match_numpy(emb):
+    import numpy as np
+
+    books = pq_codebooks_deterministic(emb, m=4, ksub=16)
+    rows = emb.orderBy("vec_id").limit(50).collect()
+    spark_codes = {
+        r["vec_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in pq_encode(emb, books).orderBy("vec_id").limit(50).collect()
+    }
+    for r in rows:
+        v = np.asarray([float(x) for x in r["embedding"]])
+        expect = tuple(
+            int(np.argmin([((v[j * 16 : (j + 1) * 16] - np.asarray(c)) ** 2).sum() for c in books[j]]))
+            for j in range(4)
+        )
+        assert spark_codes[r["vec_id"]] == expect
+
+
+def test_planted_duplicate_is_adc_minimum(spark, emb):
+    # a vector identical to the query encodes to the per-subspace argmin
+    # codes, so its ADC equals the sum of per-subspace table minima —
+    # the global ADC minimum
+    books = pq_codebooks(emb, m=4, ksub=16, seed=7)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]]
+    dup = spark.createDataFrame([(999_999, q, -1)], emb.schema)
+    corpus = emb.filter(F.col("vec_id") != 3).unionByName(dup)
+    codes = pq_encode(corpus, books)
+    top = pq_adc_topk(codes, q, books, k=5).collect()
+    assert top[0]["adc"] == min(r["adc"] for r in top)
+    assert any(r["vec_id"] == 999_999 and r["adc"] == top[0]["adc"] for r in top)
+
+
+def test_adc_recall_vs_brute_force(emb):
+    # k-means codebooks at 48 bits (8 x 6): ADC top-20 recovers most
+    # of the exact L2 top-10 (deterministic: seeded k-means on fixed
+    # data; measured 0.9 — 16-bit codes measured 0.2, the classic
+    # bits-vs-recall tradeoff)
+    books = pq_codebooks(emb, m=8, ksub=64, seed=42)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qlit = F.array(*[F.lit(v) for v in q])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qlit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = [
+        r["vec_id"]
+        for r in corpus.select("vec_id", l2.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+    ]
+    codes = pq_encode(corpus, books)
+    approx = {r["vec_id"] for r in pq_adc_topk(codes, q, books, k=20).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.7, recall
