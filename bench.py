@@ -64,6 +64,10 @@ HEADLINE = [
     "text_gopher",
     "sim_semantic_dedup",
     "sample_dsir",
+    "dedup_span_stats",
+    "sample_domain_cap",
+    "sim_pq_adc",
+    "text_bm25",
 ]
 
 

@@ -4666,3 +4666,63 @@ def sim_pq_adc(spark, sf_dir):
         *[F.col(f"c{j}").cast("long").alias(f"c{j}") for j in range(4)],
         F.round("adc", 4).alias("adc"),
     )
+
+
+@register(
+    "text_bm25",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'join')) AS tf0,
+             len(list_filter(t, x -> x = 'hash')) AS tf1,
+             len(list_filter(t, x -> x = 'vector')) AS tf2
+      FROM toks),
+    st AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM base)
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           round(
+             ln(1 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)),
+           4) AS score
+    FROM base, st
+    ORDER BY round(
+             ln(1 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+           + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)),
+           4) DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 lexical retrieval for the bag {join, hash, vector}:
+    index-free per-term frequencies as scan-stage array expressions,
+    corpus stats (N, avgdl, per-term df) from one scalar aggregation
+    folded back as literals, top-15 by (score desc, doc_id). Both
+    engines evaluate the identical double-arithmetic formula term by
+    term, so the rounded scores are bit-comparable. Rank on the
+    ROUNDED score (both sides) so the top-15 cut is ulp-stable."""
+    from tabata_spark.operators.text import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_rank(docs, ["join", "hash", "vector"], k=None)
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )

@@ -906,3 +906,37 @@ def pq_adc_topk(
         .orderBy("adc", id_col)
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    prefix: str = "c",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale serving shape. The coarse
+    quantizer prunes the corpus to nprobe cells (partition pruning on
+    a `partitionBy(ivf_cell)` store), then ADC ranks ONLY the
+    survivors from their compact codes — at no point are float
+    vectors read or shuffled. `codes` must carry `cell_col` (from
+    :func:`ivf_assign`) and the PQ code columns (from
+    :func:`pq_encode`). ``nprobe = len(centroids)`` degrades to exact
+    whole-corpus ADC — the test-equivalence setting."""
+    qv = np.asarray(query, dtype=float)
+    order = np.argsort(
+        [float(((qv - np.asarray(c)) ** 2).sum()) for c in centroids], kind="stable"
+    )
+    cells = [int(i) for i in order[: max(1, min(nprobe, len(centroids)))]]
+    return pq_adc_topk(
+        codes.filter(F.col(cell_col).isin(cells)),
+        query,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        prefix=prefix,
+    )

@@ -344,3 +344,66 @@ def unigram_logprob(
         "mean_logprob",
         F.exp(-F.col("mean_logprob")).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (bag-of-terms retrieval over the corpus)
+# ---------------------------------------------------------------------------
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus for a small bag of query terms
+    — the lexical-retrieval operator (keyword search, hard-negative
+    mining, retrieval-based decontamination).
+
+    Per-term frequencies are index-free Column expressions
+    (``size(filter(tokens, t == term))`` — scan-stage, no explode, no
+    shuffle). Corpus statistics (N, avgdl, per-term document
+    frequencies) come from ONE scalar aggregation collected to the
+    driver (m+2 numbers) and folded into the scoring expression as
+    literals, BM25's IDF with the standard +1 floor:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``. Scoring is then a
+    second scan — at 100 TB both passes are embarrassingly parallel
+    and the only aggregation is scalar.
+
+    Returns (id, dl, score) — score unrounded; callers quantize.
+    ``k`` limits via TakeOrdered on (score desc, id).
+    """
+    import math
+
+    toks = F.split(F.col(text), " ", -1)
+    tf_cols = [
+        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]
+    n, avgdl = stats["n"], float(stats["avgdl"])
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        dfi = stats[f"__df{i}"]
+        idf = math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
+        tf = F.col(f"__tf{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        score = score + F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
+    out = base.select(id_col, "dl", score.alias("score"))
+    if k is not None:
+        out = out.orderBy(F.desc("score"), id_col).limit(k)
+    return out

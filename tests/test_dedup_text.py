@@ -723,3 +723,24 @@ def test_star_cc_converges_on_chain_where_label_prop_cannot(spark):
         for r in connected_components(pairs, max_iter=12).collect()
     }
     assert prop != star  # the diameter-bound algorithm is still mid-flight
+
+
+def test_bm25_ranking_properties(spark):
+    from tabata_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # no query terms -> 0
+            (1, "join join join filler filler"),    # heavy on one term
+            (2, "join hash filler filler filler"),  # two distinct terms
+            (3, "rare rare rare rare rare"),
+            (4, "join filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_rank(docs, ["join", "hash"]).collect()}
+    assert out[0] == 0.0 and out[3] == 0.0
+    # two distinct terms beat repeats of one (idf additivity + tf saturation)
+    assert out[2] > out[1] > out[4] > 0
+    topk = bm25_rank(docs, ["join", "hash"], k=2).collect()
+    assert [r["doc_id"] for r in topk] == [2, 1]

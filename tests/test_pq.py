@@ -97,3 +97,27 @@ def test_adc_recall_vs_brute_force(emb):
     approx = {r["vec_id"] for r in pq_adc_topk(codes, q, books, k=20).collect()}
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_ivf_pq_composes_and_degrades_to_full_adc(spark, emb):
+    from tabata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        kmeans_centroids,
+    )
+
+    books = pq_codebooks(emb, m=8, ksub=16, seed=11)
+    cents = kmeans_centroids(emb, n_centroids=8, seed=11)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 5)
+    codes = pq_encode(ivf_assign(corpus, cents), books)
+    full = [(r["vec_id"], r["adc"]) for r in pq_adc_topk(codes, q, books, k=10).collect()]
+    allprobe = [
+        (r["vec_id"], r["adc"])
+        for r in ivf_pq_topk(codes, q, cents, books, k=10, nprobe=len(cents)).collect()
+    ]
+    assert allprobe == full
+    # small nprobe returns a subset of cells but still k rows ranked
+    pruned = ivf_pq_topk(codes, q, cents, books, k=10, nprobe=2).collect()
+    assert len(pruned) == 10
+    assert all(pruned[i]["adc"] <= pruned[i + 1]["adc"] for i in range(9))
