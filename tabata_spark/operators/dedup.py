@@ -1066,6 +1066,7 @@ def duplicate_span_stats(
     n: int = 8,
     key: str = "hash",
     min_count: int = 2,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """Per-document exact-duplication coverage: how many tokens sit
     inside a length-n span that occurs >= min_count times corpus-wide.
@@ -1081,8 +1082,15 @@ def duplicate_span_stats(
     shuffle, uniform 8-byte keys, map-side combine) -> equi-join back
     (AQE broadcasts when the duplicated-key set is small) -> per-doc
     lag window -> groupBy doc. Left-join restores zero-coverage docs.
+
+    The occurrence explode feeds both the duplicate-count and the
+    join-back (two consumers — the self-join-recompute trap, SCALE.md
+    lesson 3), so it is materialized per the standard ``materialize``
+    strategy; production pipelines store the occurrence table.
     """
-    occ = ngram_positions(df, text=text, id_col=id_col, n=n, key=key)
+    occ = _materialize(
+        ngram_positions(df, text=text, id_col=id_col, n=n, key=key), materialize
+    )
     dup = (
         occ.groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1122,6 +1130,7 @@ def strip_duplicate_spans(
     n: int = 8,
     key: str = "hash",
     min_count: int = 2,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """Remove duplicated spans, keeping the globally-first occurrence.
 
@@ -1137,8 +1146,12 @@ def strip_duplicate_spans(
     interval explode — bounded by doc length) -> hash-join to the doc
     table -> index-aware array filter (F.filter's (x, i) lambda) keeps
     the surviving tokens without ever exploding the token column.
+    The twice-consumed occurrence explode is materialized (see
+    :func:`duplicate_span_stats`).
     """
-    occ = ngram_positions(df, text=text, id_col=id_col, n=n, key=key)
+    occ = _materialize(
+        ngram_positions(df, text=text, id_col=id_col, n=n, key=key), materialize
+    )
     agg = occ.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("first_occ"),
