@@ -68,6 +68,8 @@ HEADLINE = [
     "sample_domain_cap",
     "sim_pq_adc",
     "text_bm25",
+    "q_session_sequences",
+    "text_inverted",
 ]
 
 

@@ -4726,3 +4726,81 @@ def text_bm25(spark, sf_dir):
         .orderBy(F.desc("score"), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "q_session_sequences",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+               AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM tagged
+    )
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(min(ts)) AS t_start_us,
+           md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_md5
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def q_session_sequences(spark, sf_dir):
+    """Behavior-sequence extraction: gap-rule sessions (30 min) over
+    the raw event log, each session's ordered event-type sequence
+    assembled with a total (ts, event_id) order. The md5 of the joined
+    sequence proves ordering and assembly; epoch-µs BIGINT start keeps
+    the output hash-stable. One user-partition window + one groupBy
+    whose buffer holds a single session."""
+    from tabata_spark.operators.sequences import session_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_sequences(ev, gap_min=30.0)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        epoch_us("t_start").alias("t_start_us"),
+        F.md5(F.col("seq").cast("binary")).alias("seq_md5"),
+    ).orderBy("user_id", "session_id")
+
+
+@register(
+    "text_inverted",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, term FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+    keep AS (SELECT term, df FROM dfc WHERE df BETWEEN 3 AND 50),
+    post AS (
+      SELECT p.term, string_agg(p.doc_id, ',' ORDER BY p.doc_id) AS pl
+      FROM pairs p JOIN keep USING (term) GROUP BY p.term
+    )
+    SELECT k.term, CAST(k.df AS BIGINT) AS df, md5(post.pl) AS postings_md5
+    FROM keep k JOIN post USING (term) ORDER BY term
+    """,
+)
+def text_inverted(spark, sf_dir):
+    """Inverted-index construction with the hot-term precap: terms in
+    more than 50 docs (stop-words — the postings memory bomb) are
+    removed by broadcast anti-join BEFORE any posting buffer builds;
+    df floor 3 prunes the hapax tail. md5 of the sorted posting list
+    proves membership and order."""
+    from tabata_spark.operators.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = inverted_index(docs, min_df=3, max_df=50)
+    return idx.select(
+        "term",
+        "df",
+        F.md5(
+            F.array_join(
+                F.transform("postings", lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("postings_md5"),
+    ).orderBy("term")

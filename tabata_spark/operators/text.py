@@ -407,3 +407,44 @@ def bm25_rank(
     if k is not None:
         out = out.orderBy(F.desc("score"), id_col).limit(k)
     return out
+
+
+def inverted_index(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Posting-list construction — the stored-index twin of
+    :func:`bm25_rank`: (term, df, postings sorted array of doc ids).
+
+    Terms are de-duplicated per doc AT THE SCAN STAGE (array_distinct
+    before explode), so the shuffle carries per-doc vocabulary, not
+    tokens. Hot terms (stop-words) are the collect_list memory bomb at
+    corpus scale: with ``max_df`` set, the over-cap term set is found
+    FIRST by a map-side-combinable count (a tiny set by construction —
+    few terms exceed any meaningful df cap) and removed via broadcast
+    anti-join BEFORE any postings buffer is built, the same precap
+    shape as dedup.bucket_candidate_pairs. ``min_df`` prunes the long
+    hapax tail after aggregation.
+
+    At 100 TB the output is written partitioned/bucketed by term hash;
+    query-time term lookups are then partition-pruned scans."""
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text), " ", -1))).alias("term"),
+    )
+    if max_df is not None:
+        hot = (
+            pairs.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("term")
+        )
+        pairs = pairs.join(F.broadcast(hot), "term", "left_anti")
+    idx = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("id")).alias("postings"),
+    )
+    return idx.filter(F.col("df") >= min_df)

@@ -744,3 +744,53 @@ def test_bm25_ranking_properties(spark):
     assert out[2] > out[1] > out[4] > 0
     topk = bm25_rank(docs, ["join", "hash"], k=2).collect()
     assert [r["doc_id"] for r in topk] == [2, 1]
+
+
+def test_inverted_index_precap_and_postings(spark):
+    from tabata_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common alpha beta"),
+            (1, "common alpha gamma"),
+            (2, "common beta gamma"),
+            (3, "common delta delta"),  # within-doc repeat counts once
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r["term"]: r for r in inverted_index(docs, min_df=2, max_df=3).collect()}
+    assert "common" not in idx  # df=4 > max_df -> precapped out
+    assert "delta" not in idx  # df=1 < min_df
+    assert idx["alpha"]["df"] == 2 and idx["alpha"]["postings"] == [0, 1]
+    assert idx["gamma"]["postings"] == [1, 2]
+
+
+def test_session_sequences_gap_and_order(spark):
+    import datetime as dt
+
+    from tabata_spark.operators.sequences import session_sequences
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 31-min gap; in-session order
+        # must follow (ts, event_id) even when rows arrive shuffled
+        (3, t0 + dt.timedelta(minutes=2), 1, "c"),
+        (1, t0, 1, "a"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (4, t0 + dt.timedelta(minutes=33), 1, "d"),
+        (5, t0 + dt.timedelta(minutes=34), 1, "e"),
+        # user 2: same-ts tie broken by event_id
+        (7, t0, 2, "y"),
+        (6, t0, 2, "x"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, e) for i, ts, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_sequences(ev, gap_min=30.0).collect()
+    }
+    assert out[(1, 1)]["seq"] == "a b c" and out[(1, 1)]["n_events"] == 3
+    assert out[(1, 2)]["seq"] == "d e"
+    assert out[(2, 1)]["seq"] == "x y"
