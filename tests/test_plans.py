@@ -430,3 +430,36 @@ def test_stored_ivf_index_prunes_partitions_and_matches_exact(spark, tmp_path):
         .collect()
     }
     assert len(cells) <= 2
+
+
+def test_pq_adc_is_scan_takeordered_no_shuffle(spark, sf):
+    # the PQ serving path: codes scanned, ADC = literal lookups, top-k
+    # via TakeOrdered — zero exchanges, zero Python
+    df = battery.QUERIES["sim_pq_adc"](spark, sf)
+    c = plan_counts(df)
+    assert c["exchanges"] == 0, c
+    assert c["take_ordered"] >= 1, c
+    assert c["python_evals"] == 0, c
+
+
+def test_bm25_is_scan_takeordered_no_shuffle(spark, sf):
+    # scoring pass: term frequencies + literal stats, TakeOrdered —
+    # the stats aggregation is a separate (already collected) job
+    df = battery.QUERIES["text_bm25"](spark, sf)
+    c = plan_counts(df)
+    assert c["exchanges"] == 0, c
+    assert c["take_ordered"] >= 1, c
+    assert c["python_evals"] == 0, c
+
+
+def test_session_sequences_single_data_shuffle(spark, sf):
+    # one user-partition window; the (user, session) groupBy reuses
+    # hash(user) clustering — the only other exchange is the output sort
+    df = battery.QUERIES["q_session_sequences"](spark, sf)
+    from tabata_spark.plans.inspect import explain_str
+
+    s = explain_str(df, "simple")
+    import re
+
+    hashes = len(re.findall(r"Exchange hashpartitioning", s))
+    assert hashes == 1, s[:2000]
