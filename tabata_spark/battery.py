@@ -4804,3 +4804,76 @@ def text_inverted(spark, sf_dir):
             ).cast("binary")
         ).alias("postings_md5"),
     ).orderBy("term")
+
+
+def _zorder_shift_case(span_col: str, bits: int) -> str:
+    """Machine-generate the exact integer-comparison CASE computing
+    ``max(0, bit_length(span) - bits)`` — no float log2 (which rounds
+    wrong near powers of two at large spans)."""
+    arms = " ".join(
+        f"WHEN {span_col} >= {1 << (bits + s)} THEN {s + 1}"
+        for s in reversed(range(45))
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+def _zorder_oracle_sql(bits: int = 10) -> str:
+    terms = " + ".join(
+        f"(((r{x} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits)
+        for i, x in enumerate(("u", "t"))
+    )
+    return f"""
+    WITH b AS (
+      SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+             min(epoch_us(ts)) AS mnt, max(epoch_us(ts)) AS mxt
+      FROM events
+    ),
+    sp AS (
+      SELECT mnu, mnt,
+             greatest(1, mxu - mnu) AS spu,
+             greatest(1, mxt - mnt) AS spt
+      FROM b
+    ),
+    sh AS (
+      SELECT mnu, mnt,
+             {_zorder_shift_case('spu', bits)} AS shu,
+             {_zorder_shift_case('spt', bits)} AS sht
+      FROM sp
+    ),
+    r AS (
+      SELECT e.event_id,
+             (e.user_id - sh.mnu) >> sh.shu AS ru,
+             (epoch_us(e.ts) - sh.mnt) >> sh.sht AS rt
+      FROM events e CROSS JOIN sh
+    )
+    SELECT event_id, CAST({terms} AS BIGINT) AS zkey
+    FROM r ORDER BY event_id
+    """
+
+
+@register("q_zorder_key", _zorder_oracle_sql(10))
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleave of (user_id, event-time µs) — the
+    clustering key `zorder_write` sorts a store by so that box
+    predicates on EITHER dimension prune parquet row groups. Ranks are
+    exact BIGINT shifts (no float normalization — a multiply-divide
+    overflows the 53-bit mantissa on µs-epoch spans), so both engines
+    derive bit-identical 20-bit keys."""
+    from tabata_spark.core.maintenance import zorder_key, zorder_rank
+    from tabata_spark.operators.timeutil import epoch_us as _eus
+
+    ev = _t(spark, sf_dir, "events").withColumn("__t", _eus("ts"))
+    row = ev.agg(
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+        F.min("__t").alias("mnt"),
+        F.max("__t").alias("mxt"),
+    ).collect()[0]
+    ranked = [
+        zorder_rank("user_id", row["mnu"], row["mxu"], bits=10),
+        zorder_rank("__t", row["mnt"], row["mxt"], bits=10),
+    ]
+    return ev.select(
+        "event_id", zorder_key(ranked, bits=10).alias("zkey")
+    ).orderBy("event_id")

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,66 @@ def store_file_stats(spark: SparkSession, path: str) -> dict[str, int]:
                 if "=" in rel:
                     parts.add(rel)
     return {"n_files": n_files, "n_partitions": len(parts)}
+
+
+def zorder_rank(col: Column | str, vmin: int, vmax: int, bits: int = 10) -> Column:
+    """Integer rank of a column in [0, 2^bits): shift out the low
+    bits, ``(v - min) >> (span_bits - bits)`` — exact BIGINT-only
+    arithmetic (a multiply-divide normalization overflows the double
+    53-bit mantissa for µs-epoch spans), so the key is bit-reproducible
+    in any engine with integer shifts."""
+    c = F.col(col) if isinstance(col, str) else col
+    span = max(1, int(vmax) - int(vmin))
+    shift = max(0, span.bit_length() - bits)
+    return F.shiftright((c.cast("long") - F.lit(int(vmin))), shift)
+
+
+def zorder_key(
+    ranked: list[Column], bits: int = 10
+) -> Column:
+    """Morton (Z-order) interleave of k pre-ranked columns: bit b of
+    rank i lands at position ``b*k + i``. Pure JVM bitwise expression
+    (k·bits terms) — the multi-dimension generalization of the single
+    sort column: sorting by this key makes EVERY participating
+    column's per-file min/max range narrow, so parquet row-group
+    stats prune multi-dimensional box predicates instead of just the
+    leading sort dimension."""
+    k = len(ranked)
+    z = F.lit(0).cast("long")
+    for i, r in enumerate(ranked):
+        for b in range(bits):
+            z = z + F.shiftleft(F.shiftright(r, b).bitwiseAND(F.lit(1)), b * k + i)
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 8,
+) -> dict[str, tuple[int, int]]:
+    """Cluster a store by Z-order over ``cols`` (integer-valued):
+    bounds from ONE scalar aggregation (folded back as literals),
+    range-partition by the interleaved key into ``n_files`` files,
+    rows sorted by key within each file. Returns the bounds used.
+
+    At 100 TB this is the layout step of an ingest/compaction job;
+    scans with box predicates on any subset of ``cols`` then skip
+    files and row groups via ordinary parquet min/max stats — no
+    index structure, no engine extension."""
+    row = df.agg(
+        *[F.min(c).cast("long").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    bounds = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    ranked = [zorder_rank(c, *bounds[c], bits=bits) for c in cols]
+    keyed = df.withColumn("__z", zorder_key(ranked, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return bounds

@@ -5,7 +5,12 @@ aggregate" shape the brief lists among custom operators Spark lacks).
 The store holds MERGEABLE partial aggregates per (bucket, key):
 count, sum, min, max — every one of which merges associatively, so a
 new batch folds in by re-aggregating only the buckets it touches.
-Derived statistics (avg = sum/count) are computed at read time, never
+Distinct counts are NOT algebraic, so they ride as Datasketches HLL
+sketches (``distinct_col``): sketch-of-union == union-of-sketches by
+construction, which is exactly the property a mergeable store needs —
+a 100 TB store keeps a few KB of sketch per (bucket, key) instead of
+the distinct values themselves. Derived statistics (avg = sum/count,
+estimate = hll_sketch_estimate) are computed at read time, never
 stored — storing them would make the state non-mergeable.
 
 Incremental cost model: a batch touches the buckets its event times
@@ -23,29 +28,38 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: mergeable partial-aggregate columns of the stored rollup
+#: algebraic partial-aggregate columns of the stored rollup
 _STATE = ("n", "sum_value", "min_value", "max_value")
 
 
 def rollup_events(
-    events: DataFrame, width: str = "1 hour", key: str = "event_type"
+    events: DataFrame,
+    width: str = "1 hour",
+    key: str = "event_type",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """One-shot time-bucketed rollup in partial-aggregate form —
     also the ground truth an incrementally maintained store must
-    equal."""
+    equal. ``distinct_col`` adds a mergeable HLL sketch column
+    ``{distinct_col}_hll``."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+    state = list(_STATE)
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias(f"{distinct_col}_hll"))
+        state.append(f"{distinct_col}_hll")
     return (
         events.groupBy(F.window("ts", width).alias("win"), key)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("win_start"),
             F.to_date(F.col("win.start")).alias("win_date"),
             key,
-            *_STATE,
+            *state,
         )
     )
 
@@ -56,6 +70,7 @@ def upsert_rollup(
     batch: DataFrame,
     width: str = "1 hour",
     key: str = "event_type",
+    distinct_col: str | None = None,
 ) -> None:
     """Fold a new batch of events into the stored rollup.
 
@@ -64,7 +79,7 @@ def upsert_rollup(
        partition pruning via a broadcast semi-join on the batch's
        date set — a handful of literals for in-order arrival).
     3. Merge: union + re-aggregate with the mergeable state
-       (counts/sums add, min/min, max/max).
+       (counts/sums add, min/min, max/max, HLL sketches union).
     4. Dynamic-partition-overwrite the touched date partitions only.
 
     Replaying a batch is NOT idempotent (counts double) — pair with a
@@ -72,21 +87,26 @@ def upsert_rollup(
     the semantics here are the merge algebra, delivery is the
     caller's contract.
     """
-    part = rollup_events(batch, width, key)
+    part = rollup_events(batch, width, key, distinct_col)
     if os.path.isdir(store_path):
         dates = [r["win_date"] for r in part.select("win_date").distinct().collect()]
         stored = spark.read.parquet(store_path).filter(
             F.col("win_date").isin(dates)
         )
+        merge_aggs = [
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ]
+        if distinct_col is not None:
+            merge_aggs.append(
+                F.hll_union_agg(f"{distinct_col}_hll").alias(f"{distinct_col}_hll")
+            )
         merged = (
             part.unionByName(stored)
             .groupBy("win_start", "win_date", key)
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("sum_value").alias("sum_value"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
-            )
+            .agg(*merge_aggs)
         )
     else:
         merged = part
@@ -98,11 +118,14 @@ def upsert_rollup(
     )
 
 
-def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, store_path: str, distinct_col: str | None = None
+) -> DataFrame:
     """The user-facing view: derived stats computed from the
-    mergeable state at read time."""
+    mergeable state at read time (avg; HLL cardinality estimate when
+    the store carries a sketch column)."""
     df = spark.read.parquet(store_path)
-    return df.select(
+    cols = [
         "win_start",
         "event_type",
         "n",
@@ -110,4 +133,11 @@ def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
         "min_value",
         "max_value",
         (F.col("sum_value") / F.col("n")).alias("avg_value"),
-    )
+    ]
+    if distinct_col is not None:
+        cols.append(
+            F.hll_sketch_estimate(f"{distinct_col}_hll").alias(
+                f"approx_{distinct_col}_distinct"
+            )
+        )
+    return df.select(*cols)

@@ -94,3 +94,60 @@ def test_compact_recovers_from_mid_swap_crash(spark, tmp_path):
     assert sorted(r["seq"] for r in got.collect()) == list(range(100))
     assert not os.path.exists(path + ".__old__")
     assert not os.path.exists(path + ".__compact__")
+
+
+def test_zorder_layout_narrows_every_dimension(spark, tmp_path):
+    """Linear sort gives tight per-file ranges on ONE dimension and
+    full-domain ranges on the rest; Z-order narrows BOTH. Checked on
+    the actual parquet footers (file-level min/max stats) — the stats
+    a scan's row-group pruning consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tabata_spark.core.maintenance import zorder_write
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1024)).alias("y"),
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            mins = {c: None for c in names}
+            maxs = {c: None for c in names}
+            for g in range(md.num_row_groups):
+                for i, c in enumerate(names):
+                    st = md.row_group(g).column(i).statistics
+                    mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                    maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+            out.append({c: (mins[c], maxs[c]) for c in names})
+        return out
+
+    linear = str(tmp_path / "linear")
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(linear)
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, cols=["x", "y"], bits=10, n_files=8)
+
+    def avg_span(ranges, c):
+        return sum((r[c][1] - r[c][0]) / 1023.0 for r in ranges) / len(ranges)
+
+    lin = file_ranges(linear)
+    zo = file_ranges(zpath)
+    # linear: x tight, y full-domain in every file
+    assert avg_span(lin, "x") < 0.3
+    assert avg_span(lin, "y") > 0.9
+    # z-order: BOTH dimensions narrow — box predicates on either prune
+    assert avg_span(zo, "x") < 0.7, avg_span(zo, "x")
+    assert avg_span(zo, "y") < 0.7, avg_span(zo, "y")
+    # and no rows were lost
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{zpath}/part-*.parquet")
+    )
+    assert total == n

@@ -70,3 +70,42 @@ def test_read_rollup_derives_avg(spark, events, tmp_path):
     row = view.orderBy("win_start", "event_type").first()
     assert abs(row["avg_value"] - row["sum_value"] / row["n"]) < 1e-12
     assert view.count() == rollup_events(events).count()
+
+
+def test_hll_distinct_merges_exactly(spark, events, tmp_path):
+    """Sketch merge algebra: incrementally merged HLL sketches give
+    the SAME estimate as the one-shot sketch (union-of-sketches ==
+    sketch-of-union), across late-data upserts; and at the fixture's
+    small per-bucket cardinalities the estimate equals the true
+    distinct count (HLL++ sparse mode is exact there)."""
+    store = str(tmp_path / "rollup_hll")
+    for b in range(3):
+        upsert_rollup(
+            spark,
+            store,
+            events.filter(F.col("event_id") % 3 == b),
+            distinct_col="user_id",
+        )
+    inc = {
+        (str(r["win_start"]), r["event_type"]): r["approx_user_id_distinct"]
+        for r in read_rollup(spark, store, distinct_col="user_id").collect()
+    }
+    batch = rollup_events(events, distinct_col="user_id")
+    one = {
+        (str(r["win_start"]), r["event_type"]): r["est"]
+        for r in batch.select(
+            "win_start",
+            "event_type",
+            F.hll_sketch_estimate("user_id_hll").alias("est"),
+        ).collect()
+    }
+    assert inc == one
+    true = {
+        (str(r["win_start"]), r["event_type"]): r["d"]
+        for r in events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "d")
+        .collect()
+    }
+    exact_hits = sum(1 for k, v in inc.items() if v == true[k])
+    assert exact_hits / len(inc) > 0.95, (exact_hits, len(inc))
