@@ -4771,12 +4771,16 @@ def q_session_sequences(spark, sf_dir):
 @register(
     "text_inverted",
     """
-    WITH pairs AS (
-      SELECT DISTINCT doc_id, term FROM
-        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS term
+      FROM toks
     ),
+    n AS (SELECT count(*) AS nd FROM documents),
     dfc AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
-    keep AS (SELECT term, df FROM dfc WHERE df BETWEEN 3 AND 50),
+    keep AS (SELECT term, df FROM dfc, n WHERE df >= 2 AND df * 10 <= n.nd),
     post AS (
       SELECT p.term, string_agg(p.doc_id, ',' ORDER BY p.doc_id) AS pl
       FROM pairs p JOIN keep USING (term) GROUP BY p.term
@@ -4786,15 +4790,17 @@ def q_session_sequences(spark, sf_dir):
     """,
 )
 def text_inverted(spark, sf_dir):
-    """Inverted-index construction with the hot-term precap: terms in
-    more than 50 docs (stop-words — the postings memory bomb) are
-    removed by broadcast anti-join BEFORE any posting buffer builds;
-    df floor 3 prunes the hapax tail. md5 of the sorted posting list
-    proves membership and order."""
+    """Phrase-index construction (trigram postings — this corpus's
+    31-word vocabulary makes every unigram a stop word) with the
+    hot-term precap: phrases in more than 10% of docs are removed by
+    broadcast anti-join BEFORE any posting buffer builds; df floor 2
+    prunes the hapax tail. The fraction cap is scale-free — the same
+    query is non-degenerate at every sf. md5 of the sorted posting
+    list proves membership and order."""
     from tabata_spark.operators.text import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    idx = inverted_index(docs, min_df=3, max_df=50)
+    idx = inverted_index(docs, min_df=2, max_df_frac=0.1, ngram=3)
     return idx.select(
         "term",
         "df",

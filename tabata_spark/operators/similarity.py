@@ -827,17 +827,25 @@ def pq_encode(
     as :func:`ivf_assign`. No shuffle: encoding is scan-stage."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out = df
+    # each subspace's argmin is ONE SQL string parsed JVM-side: the
+    # Column-by-Column build (m·ksub·sub literals through py4j) cost
+    # ~4 s of driver time per query construction — the savgol lesson
+    # (SCALE.md round-5 root cause) applied here. `{v!r}D` literals
+    # round-trip doubles exactly; x1 + x2 + ... left-assoc matches the
+    # previous fold's (0.0 + x1) + x2 bit-for-bit.
+    out = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
     for j in range(m):
-        sv = F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.struct(_l2sq_lit(sv, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(codebooks[j])
-            ]
+        structs = []
+        for ci, c in enumerate(codebooks[j]):
+            terms = " + ".join(
+                f"(__v[{j * sub + d}] - {c[d]!r}D) * (__v[{j * sub + d}] - {c[d]!r}D)"
+                for d in range(sub)
+            )
+            structs.append(f"named_struct('d', {terms}, 'i', {ci})")
+        out = out.withColumn(
+            f"{out_prefix}{j}", F.expr(f"array_min(array({', '.join(structs)})).i")
         )
-        out = out.withColumn(f"{out_prefix}{j}", F.array_min(dists)["i"])
-    return out
+    return out.drop("__v")
 
 
 def pq_pack(df: DataFrame, m: int, ksub: int, out_col: str = "pq_code", prefix: str = "c") -> DataFrame:
@@ -897,10 +905,15 @@ def pq_adc_topk(
         [_l2sq_py(query[j * sub : (j + 1) * sub], c) for c in codebooks[j]]
         for j in range(m)
     ]
-    adc = F.lit(0.0)
-    for j in range(m):
-        tbl = F.array(*[F.lit(v) for v in tables[j]])
-        adc = adc + F.element_at(tbl, F.col(f"{prefix}{j}") + 1)
+    # single JVM-parsed expression (see pq_encode note); code columns
+    # are referenced by name, so `prefix` must be SQL-identifier-safe
+    adc = F.expr(
+        " + ".join(
+            f"element_at(array({', '.join(f'{v!r}D' for v in tables[j])}), "
+            f"{prefix}{j} + 1)"
+            for j in range(m)
+        )
+    )
     return (
         codes.select(id_col, *[f"{prefix}{j}" for j in range(m)], adc.alias("adc"))
         .orderBy("adc", id_col)

@@ -415,6 +415,8 @@ def inverted_index(
     id_col: str = "doc_id",
     min_df: int = 1,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Posting-list construction — the stored-index twin of
     :func:`bm25_rank`: (term, df, postings sorted array of doc ids).
@@ -429,12 +431,34 @@ def inverted_index(
     shape as dedup.bucket_candidate_pairs. ``min_df`` prunes the long
     hapax tail after aggregation.
 
+    ``ngram > 1`` indexes distinct token n-gram PHRASES instead of
+    unigrams — the right unit when the vocabulary is small enough that
+    every word is a stop word, and the posting shape behind phrase
+    search. ``max_df_frac`` expresses the stop cap as a corpus
+    fraction (one scalar count folded to a literal), scale-free where
+    an absolute ``max_df`` is not.
+
     At 100 TB the output is written partitioned/bucketed by term hash;
     query-time term lookups are then partition-pruned scans."""
-    pairs = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.col(text), " ", -1))).alias("term"),
-    )
+    toks = F.split(F.col(text), " ", -1)
+    if ngram <= 1:
+        terms = F.array_distinct(toks)
+    else:
+        k = F.size(toks) - F.lit(ngram - 1)
+        terms = F.array_distinct(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda p: F.array_join(F.slice(toks, p, ngram), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    pairs = df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
+    if max_df_frac is not None:
+        if max_df is not None:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        max_df = int(df.count() * max_df_frac)
     if max_df is not None:
         hot = (
             pairs.groupBy("term")
