@@ -151,6 +151,11 @@ def zorder_write(
         *[F.min(c).cast("long").alias(f"__mn_{c}") for c in cols],
         *[F.max(c).cast("long").alias(f"__mx_{c}") for c in cols],
     ).collect()[0]
+    if any(row[f"__mn_{c}"] is None for c in cols):
+        # empty input (or all-null key): nothing to cluster — write
+        # the (empty) store so downstream readers still find a table
+        df.write.mode("overwrite").parquet(path)
+        return {}
     bounds = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
     ranked = [zorder_rank(c, *bounds[c], bits=bits) for c in cols]
     keyed = df.withColumn("__z", zorder_key(ranked, bits=bits))

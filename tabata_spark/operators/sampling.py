@@ -298,6 +298,8 @@ def domain_cap(
     """
     order = _cap_order(id_col, salt)
     w = Window.partitionBy(domain).orderBy(*order)
+    if shards is not None and shards <= 1:
+        shards = None  # one shard IS the plain plan
     if shards is None:
         return (
             df.withColumn("__rn", F.row_number().over(w))

@@ -393,6 +393,8 @@ def bm25_rank(
             for i in range(len(query_terms))
         ],
     ).collect()[0]
+    if stats["n"] == 0:
+        return base.select(id_col, "dl", F.lit(0.0).alias("score"))
     n, avgdl = stats["n"], float(stats["avgdl"])
     score = F.lit(0.0)
     for i in range(len(query_terms)):

@@ -794,3 +794,25 @@ def test_session_sequences_gap_and_order(spark):
     assert out[(1, 1)]["seq"] == "a b c" and out[(1, 1)]["n_events"] == 3
     assert out[(1, 2)]["seq"] == "d e"
     assert out[(2, 1)]["seq"] == "x y"
+
+
+def test_new_ops_empty_input_paths(spark, tmp_path):
+    from tabata_spark.core.maintenance import zorder_write
+    from tabata_spark.operators.dedup import connected_components_star
+    from tabata_spark.operators.sampling import domain_cap
+    from tabata_spark.operators.text import bm25_rank, inverted_index
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_rank(empty_docs, ["x"]).count() == 0
+    assert inverted_index(empty_docs, max_df_frac=0.5).count() == 0
+    empty_rows = spark.createDataFrame([], "doc_id long, source string")
+    assert domain_cap(empty_rows, cap=5, shards=4).count() == 0
+    # shards=1 degenerates to the plain plan
+    one = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+    assert domain_cap(one, cap=1, shards=1).count() == 1
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty_pairs).count() == 0
+    zp = str(tmp_path / "z_empty")
+    ze = spark.createDataFrame([], "rid long, x long, y long")
+    assert zorder_write(ze, zp, cols=["x", "y"]) == {}
+    assert spark.read.parquet(zp).count() == 0
