@@ -171,3 +171,36 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def session_sequence_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of
+    :func:`tabata_spark.operators.sequences.session_sequences`:
+    per-session ordered event-type sequences assembled INSIDE the
+    streaming aggregation (sort_array over collected (ts, id, type)
+    structs — the struct prefix makes the order total, so the emitted
+    sequence is deterministic regardless of arrival order). State per
+    open session is that session's events, expired by the watermark
+    once the gap closes the session."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    ev = F.sort_array(
+        F.collect_list(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"),
+                                F.col("event_type").alias("e")))
+    )
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            ev.alias("__ev"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("win_start"),
+            "n_events",
+            "t_start",
+            F.array_join(F.transform("__ev", lambda s: s["e"]), " ").alias("seq"),
+        )
+    )

@@ -175,3 +175,36 @@ def test_stream_dedup_by_key(spark, doc_stream_dir):
     )
     # (text, ts) pairs are all distinct -> nothing dropped
     assert got.count() == 20
+
+
+def test_streaming_session_sequences_match_batch(spark, sf_dir):
+    """availableNow streaming run of the sequence assembly equals both
+    the same expression on the batch frame AND the window-function
+    sessionizer's sequences (operators.sequences) — arrival order and
+    micro-batching cannot change an emitted sequence."""
+    from tabata_spark.operators.sequences import session_sequences
+    from tabata_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_sequence_agg,
+    )
+
+    stream = session_sequence_agg(read_events_stream(spark, sf_dir))
+    got = run_stream_to_memory(stream, "sess_seq", spark)
+    rows_stream = {
+        (r["user_id"], r["seq"]): r["n_events"] for r in got.collect()
+    }
+    batch_events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from tabata_spark.sources.relational import _normalize_ts
+
+    batch_events = _normalize_ts(batch_events)
+    rows_batch = {
+        (r["user_id"], r["seq"]): r["n_events"]
+        for r in session_sequence_agg(batch_events).collect()
+    }
+    assert rows_stream == rows_batch and rows_stream
+    rows_winfn = {
+        (r["user_id"], r["seq"]): r["n_events"]
+        for r in session_sequences(batch_events, gap_min=30.0).collect()
+    }
+    assert rows_stream == rows_winfn
