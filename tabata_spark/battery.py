@@ -4883,3 +4883,52 @@ def q_zorder_key(spark, sf_dir):
     return ev.select(
         "event_id", zorder_key(ranked, bits=10).alias("zkey")
     ).orderBy("event_id")
+
+
+@register(
+    "text_collocations",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tot AS (
+      SELECT sum(greatest(len(t) - 1, 0)) AS nb, sum(len(t)) AS nu FROM toks
+    ),
+    big AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                    i -> struct_pack(a := t[i], b := t[i+1]))) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT g.a AS a, g.b AS b, count(*) AS c_ab
+      FROM big GROUP BY g.a, g.b HAVING count(*) >= 5
+    ),
+    uc AS (
+      SELECT t2 AS tk, count(*) AS c FROM
+        (SELECT unnest(t) AS t2 FROM toks) GROUP BY t2
+    ),
+    scored AS (
+      SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+             round(ln((bc.c_ab::DOUBLE * tot.nu::DOUBLE * tot.nu::DOUBLE)
+                      / (tot.nb::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE)), 4) AS pmi
+      FROM bc
+      JOIN uc ua ON ua.tk = bc.a
+      JOIN uc ub ON ub.tk = bc.b
+      CROSS JOIN tot
+    )
+    SELECT a, b, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, a, b LIMIT 30
+    """,
+)
+def text_collocations(spark, sf_dir):
+    """Top-30 PMI collocations (count floor 5): the phrase-mining /
+    tokenizer-merge-candidate statistic. Rank on the ROUNDED score
+    with a total (a, b) tie-break so the cut is ulp-stable; both
+    engines evaluate the identical fixed-association double formula."""
+    from tabata_spark.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = collocations(docs, min_count=5)
+    return (
+        out.select("a", "b", "c_ab", F.round("pmi", 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(30)
+    )

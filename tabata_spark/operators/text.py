@@ -474,3 +474,59 @@ def inverted_index(
         F.sort_array(F.collect_list("id")).alias("postings"),
     )
     return idx.filter(F.col("df") >= min_df)
+
+
+def collocations(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction: adjacent
+    token pairs scored by ``ln(p(ab) / (p(a) p(b)))`` — the corpus
+    statistic behind phrase mining and tokenizer-merge candidates.
+
+    Plan: one scan-stage bigram explode + one token explode, two
+    map-side-combinable counts, two equi-joins of the bigram counts to
+    the (much smaller, broadcast-able) unigram table, totals folded as
+    literals from one scalar collect. All arithmetic is double with a
+    fixed association order, so an external engine replaying the
+    formula reproduces the scores bit-for-bit.
+
+    Returns (a, b, c_ab, pmi) unrounded; callers quantize/rank.
+    """
+    toks = F.split(F.col(text), " ", -1)
+    k = F.size(toks) - F.lit(1)
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda p: F.struct(
+                F.element_at(toks, p).alias("a"), F.element_at(toks, p + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bc = (
+        df.select(F.explode(bigrams).alias("g"))
+        .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uc = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = df.select(
+        F.sum(F.greatest(F.size(toks) - F.lit(1), F.lit(0))).alias("nb"),
+        F.sum(F.size(toks)).alias("nu"),
+    ).collect()[0]
+    nb, nu = float(totals["nb"]), float(totals["nu"])
+    ua = uc.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    joined = bc.join(ua, "a").join(ub, "b")
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.lit(nu) * F.lit(nu))
+        / (F.lit(nb) * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return joined.select("a", "b", "c_ab", pmi.alias("pmi"))

@@ -816,3 +816,20 @@ def test_new_ops_empty_input_paths(spark, tmp_path):
     ze = spark.createDataFrame([], "rid long, x long, y long")
     assert zorder_write(ze, zp, cols=["x", "y"]) == {}
     assert spark.read.parquet(zp).count() == 0
+
+
+def test_collocations_rank_planted_phrase(spark):
+    from tabata_spark.operators.text import collocations
+
+    # 'aa bb' always adjacent (perfect collocation); 'cc' and 'dd'
+    # frequent but never adjacent to each other
+    docs = spark.createDataFrame(
+        [(i, f"aa bb cc x{i} dd cc x{i} dd") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in collocations(docs, min_count=5).collect()}
+    assert ("aa", "bb") in out
+    best = max(out.values(), key=lambda r: r["pmi"])
+    assert (best["a"], best["b"]) == ("aa", "bb")
+    assert out[("aa", "bb")]["c_ab"] == 10
+    assert ("cc", "dd") not in out  # never adjacent
