@@ -419,6 +419,7 @@ def inverted_index(
     max_df: int | None = None,
     max_df_frac: float | None = None,
     ngram: int = 1,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """Posting-list construction — the stored-index twin of
     :func:`bm25_rank`: (term, df, postings sorted array of doc ids).
@@ -457,6 +458,12 @@ def inverted_index(
             ).otherwise(F.array().cast("array<string>"))
         )
     pairs = df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
+    if max_df is not None or max_df_frac is not None:
+        # the explode feeds both the df-count and the postings agg —
+        # materialize per the standard strategy (SCALE.md lesson 3)
+        from tabata_spark.operators.dedup import _materialize
+
+        pairs = _materialize(pairs, materialize)
     if max_df_frac is not None:
         if max_df is not None:
             raise ValueError("pass max_df or max_df_frac, not both")
