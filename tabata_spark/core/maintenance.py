@@ -124,6 +124,8 @@ def zorder_key(
     stats prune multi-dimensional box predicates instead of just the
     leading sort dimension."""
     k = len(ranked)
+    if k * bits > 62:
+        raise ValueError(f"k*bits = {k * bits} exceeds one signed long key")
     z = F.lit(0).cast("long")
     for i, r in enumerate(ranked):
         for b in range(bits):

@@ -850,9 +850,11 @@ def pq_encode(
 
 def pq_pack(df: DataFrame, m: int, ksub: int, out_col: str = "pq_code", prefix: str = "c") -> DataFrame:
     """Pack the m code columns into ONE integer column (the storage
-    format: m·ceil(log2 ksub) bits). Round-trips bit-exactly with
-    :func:`pq_unpack`."""
+    format: m·ceil(log2 ksub) bits, which must fit a signed long).
+    Round-trips bit-exactly with :func:`pq_unpack`."""
     bits = max(1, (ksub - 1).bit_length())
+    if m * bits > 62:
+        raise ValueError(f"m*bits = {m * bits} exceeds one long; split the code column")
     packed = F.lit(0).cast("long")
     for j in range(m):
         packed = packed + (F.col(f"{prefix}{j}").cast("long") * F.lit(1 << (j * bits)))
@@ -863,11 +865,13 @@ def pq_unpack(df: DataFrame, m: int, ksub: int, code_col: str = "pq_code", prefi
     bits = max(1, (ksub - 1).bit_length())
     out = df
     for j in range(m):
+        # shiftright + mask: exact at any packed width (a double
+        # division loses bits past the 53-bit mantissa)
         out = out.withColumn(
             f"{prefix}{j}",
-            F.pmod(
-                (F.col(code_col) / F.lit(1 << (j * bits))).cast("long"), F.lit(1 << bits)
-            ).cast("int"),
+            F.shiftright(F.col(code_col), j * bits)
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            .cast("int"),
         )
     return out
 
