@@ -4932,3 +4932,76 @@ def text_collocations(spark, sf_dir):
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(30)
     )
+
+
+def _bpe_oracle_sql(n_merges: int, min_count: int) -> str:
+    """Machine-generate an unrolled DuckDB replay of BPE training:
+    each round is pair-count -> argmax (count desc, x, y) -> replace,
+    on the same bracket-wrapped symbol strings, so the oracle re-LEARNS
+    the merges rather than checking a precomputed list."""
+    parts = [
+        """
+    v0 AS MATERIALIZED (
+      SELECT word, count(*) AS wc,
+             '[' || array_to_string(list_transform(generate_series(1, length(word)),
+                    i -> substring(word, i, 1)), '][') || ']' AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND word NOT LIKE '%[%' AND word NOT LIKE '%]%'
+      GROUP BY word
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+      SELECT pr.x AS x, pr.y AS y, sum(wc) AS c
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                 i -> struct_pack(x := sy[i], y := sy[i+1]))) AS pr, wc
+        FROM (SELECT string_split(s[2:length(s)-1], '][') AS sy, wc FROM v{r-1})
+        WHERE len(sy) >= 2
+      )
+      GROUP BY pr.x, pr.y
+    ),
+    b{r} AS MATERIALIZED (SELECT x, y, c FROM p{r} WHERE c >= {min_count}
+             ORDER BY c DESC, x, y LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word, wc,
+             CASE WHEN EXISTS (SELECT 1 FROM b{r})
+                  THEN replace(s,
+                        '[' || (SELECT x FROM b{r}) || '][' || (SELECT y FROM b{r}) || ']',
+                        '[' || (SELECT x FROM b{r}) || (SELECT y FROM b{r}) || ']')
+                  ELSE s END AS s
+      FROM v{r-1}
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, x, y, CAST(c AS BIGINT) AS c FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, x, y, c FROM (
+      {unions}
+    ) ORDER BY rank
+    """
+    )
+
+
+@register("text_bpe_merges", _bpe_oracle_sql(8, 2))
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py): 8 rounds of
+    pair-count -> argmax -> greedy-left merge over the corpus word
+    vocabulary. The oracle doesn't check a stored answer — it RE-RUNS
+    the whole training loop in DuckDB (unrolled rounds over the same
+    bracket-wrapped symbol strings with the same deterministic
+    tie-break), so the learned merge sequence itself is the compared
+    value."""
+    from tabata_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(docs, n_merges=8, min_count=2)
+    rows = [(r + 1, x, y, c) for r, (x, y, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, x string, y string, c long"
+    ).orderBy("rank")
