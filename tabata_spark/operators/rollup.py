@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 _STATE = ("n", "sum_value", "min_value", "max_value")
 
 
+def _store_has_data(path: str) -> bool:
+    """True iff the store directory holds at least one parquet file —
+    a bare directory (crashed or empty-batch writer) must be treated
+    as a fresh store, not read (schema inference would fail)."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def rollup_events(
     events: DataFrame,
     width: str = "1 hour",
@@ -88,7 +100,12 @@ def upsert_rollup(
     caller's contract.
     """
     part = rollup_events(batch, width, key, distinct_col)
-    if os.path.isdir(store_path):
+    if not part.head(1):
+        # empty batch: nothing to merge — and do NOT touch the store
+        # (an overwrite-write of an empty frame creates a schema-less
+        # directory that breaks every later read)
+        return
+    if _store_has_data(store_path):
         dates = [r["win_date"] for r in part.select("win_date").distinct().collect()]
         stored = spark.read.parquet(store_path).filter(
             F.col("win_date").isin(dates)

@@ -100,3 +100,33 @@ def stream_dedup_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rollup_maintain(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    key: str = "event_type",
+    distinct_col: str | None = None,
+):
+    """Continuous-rollup maintenance as a stream sink: every
+    micro-batch folds into the stored mergeable aggregate via
+    ``upsert_rollup`` (counts/sums add, min/max fold, HLL sketches
+    union — work per trigger is O(batch + touched buckets), never
+    O(store)). The checkpointed source gives each batch exactly-once
+    delivery into the merge, which is what makes the non-idempotent
+    count/sum algebra safe here."""
+    from tabata_spark.operators.rollup import upsert_rollup
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_rollup(
+            batch_df.sparkSession, store_path, batch_df, width, key, distinct_col
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,3 +81,57 @@ def test_dedup_append_survives_pre_existing_empty_store(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out)
     assert got.count() == 2  # dedup within the batch still applies
+
+
+def test_stream_rollup_hll_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed micro-batch rollup maintenance (foreachBatch ->
+    upsert_rollup with HLL distinct state) converges to the one-shot
+    batch rollup: algebraic state equal, sketch estimates equal."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.rollup import read_rollup, rollup_events
+    from tabata_spark.streaming.sinks import stream_rollup_maintain
+
+    # split the events into 3 source files so maxFilesPerTrigger=1
+    # produces three real micro-batches, each reopening merged buckets
+    src_dir = str(tmp_path / "src")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as FF
+
+    raw.repartition(3, FF.pmod("event_id", FF.lit(3))).write.parquet(src_dir)
+    store = str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    from tabata_spark.sources.relational import _normalize_ts as _nts
+
+    q = stream_rollup_maintain(_nts(stream), store, ck, distinct_col="user_id")
+    q.awaitTermination()
+
+    got = {
+        (str(r["win_start"]), r["event_type"]): (
+            r["n"],
+            round(r["sum_value"], 6),
+            r["approx_user_id_distinct"],
+        )
+        for r in read_rollup(spark, store, distinct_col="user_id").collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from tabata_spark.sources.relational import _normalize_ts
+
+    batch = rollup_events(_normalize_ts(events), distinct_col="user_id")
+    want = {
+        (str(r["win_start"]), r["event_type"]): (
+            r["n"],
+            round(r["sum_value"], 6),
+            r["est"],
+        )
+        for r in batch.select(
+            "win_start", "event_type", "n", "sum_value",
+            F.hll_sketch_estimate("user_id_hll").alias("est"),
+        ).collect()
+    }
+    assert got == want and got
