@@ -5005,3 +5005,34 @@ def text_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank long, x string, y string, c long"
     ).orderBy("rank")
+
+
+@register(
+    "sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  ::DOUBLE + 1.0) / 1152921504606846977.0)
+               / n_chars::DOUBLE AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS key
+    FROM keyed ORDER BY keyed.k, doc_id LIMIT 25
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    weight = n_chars): the top-25 by the derived -ln(u)/w key. The
+    uniform comes from the salted md5 of the id, so both engines
+    derive bit-identical keys — the ORDER (the sample itself) is
+    compared exactly, the key only after rounding."""
+    from tabata_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, weight="n_chars", k=25)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("__key", 6).alias("key"),
+    )

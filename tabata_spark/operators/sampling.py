@@ -318,3 +318,43 @@ def domain_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row gets key ``-ln(u) / w`` with u uniform in (0,1),
+    and the k smallest keys are the sample — inclusion probability
+    proportional to weight, exactly the quality-weighted data
+    selection a training pipeline needs.
+
+    The uniform is DERIVED, not drawn: u = (salted 60-bit md5 of the
+    id + 1) / (2^60 + 1) ∈ (0, 1) — so the sample is a pure function
+    of (ids, weights, salt): reproducible across engines, re-runs,
+    and partitioning, and the whole operator is one scan + TakeOrdered
+    (no shuffle, no state). Rows with non-positive weight are
+    excluded (their key would be infinite or reversed).
+
+    Adds ``__key`` for auditability; deterministic (key, id) total
+    order breaks exact ties."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    key = -F.log(u) / w.cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("__key", key)
+        .orderBy("__key", id_col)
+        .limit(k)
+    )

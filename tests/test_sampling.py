@@ -227,3 +227,34 @@ def test_domain_cap_nested_and_stable_under_repartition(spark):
         for r in domain_cap(df.repartition(13), cap=10, salt="s", shards=4).collect()
     )
     assert rep == k10
+
+
+def test_weighted_sample_inclusion_tracks_weights(spark):
+    from tabata_spark.operators.sampling import weighted_sample
+
+    # two heavy items among many light ones: across salts, the k=2
+    # sample should contain a heavy item far more often than any
+    # single light one (A-ES inclusion ∝ weight), and every run is
+    # reproducible for a fixed salt
+    rows = [(i, 1.0) for i in range(50)] + [(100, 50.0), (101, 50.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits = 0
+    for s in range(30):
+        got = {r["doc_id"] for r in weighted_sample(df, "w", k=2, salt=str(s)).collect()}
+        heavy_hits += len(got & {100, 101})
+    # E[heavy in sample] ≈ 2 * 2*50/150 ≈ 1.33 per draw; light-only
+    # samples should be rare
+    assert heavy_hits >= 30, heavy_hits
+    a = [r["doc_id"] for r in weighted_sample(df, "w", k=5, salt="x").collect()]
+    b = [r["doc_id"] for r in weighted_sample(df.repartition(7), "w", k=5, salt="x").collect()]
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from tabata_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -4.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "w", k=10).collect()}
+    assert got == {1}
