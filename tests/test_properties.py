@@ -100,3 +100,79 @@ def test_decode_stub_deterministic(vals):
     assert decode_stub(blob, 8) == decode_stub(blob, 8)
     assert len(decode_stub(blob, 8)) == 8
     assert all(0 <= v <= 1 for v in decode_stub(blob, 8))
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-2 operators
+# ---------------------------------------------------------------------------
+
+words_st = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "ee", "ff"]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(words_st, min_size=1, max_size=12), st.integers(2, 4))
+def test_span_stats_invariants(spark, corpora, n):
+    """covered <= n_tokens; dup_starts <= n-gram count; strip removal
+    accounting matches coverage accounting on every random corpus."""
+    from tabata_spark.operators.dedup import duplicate_span_stats, strip_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpora)], "doc_id long, text string"
+    )
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(docs, n=n).collect()}
+    for i, ws in enumerate(corpora):
+        ntok = len(" ".join(ws).split(" "))  # '' splits to ['']
+        r = stats[i]
+        assert r["n_tokens"] == ntok
+        assert 0 <= r["covered_tokens"] <= ntok
+        assert r["dup_starts"] <= max(0, ntok - n + 1)
+        assert (r["covered_tokens"] == 0) == (r["dup_starts"] == 0)
+    stripped = {r["doc_id"]: r for r in strip_duplicate_spans(docs, n=n).collect()}
+    for i in stats:
+        s = stripped[i]
+        assert s["n_removed"] <= stats[i]["covered_tokens"]
+        if s["n_removed"] == s["n_tokens"]:
+            # everything removed: the string encoding of an empty
+            # token list is '' (indistinguishable from one empty
+            # token — the counts disambiguate)
+            assert s["kept_text"] == ""
+        else:
+            # engine convention: '' is one (empty-string) token —
+            # ''.split mirrors split(text, ' ') exactly
+            assert len(s["kept_text"].split(" ")) == s["n_tokens"] - s["n_removed"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 500), st.integers(0, 3)), min_size=1, max_size=60),
+    st.integers(1, 5),
+    st.integers(2, 8),
+)
+def test_domain_cap_sharded_equals_plain_property(spark, rows, cap, shards):
+    from tabata_spark.operators.sampling import domain_cap
+
+    uniq = {i: d for i, d in rows}
+    df = spark.createDataFrame(
+        [(i, f"d{d}") for i, d in uniq.items()], "doc_id long, source string"
+    )
+    plain = {r["doc_id"] for r in domain_cap(df, cap=cap, salt="p").collect()}
+    sharded = {
+        r["doc_id"] for r in domain_cap(df, cap=cap, salt="p", shards=shards).collect()
+    }
+    assert plain == sharded
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 15), min_size=4, max_size=4), st.integers(2, 6))
+def test_pq_pack_roundtrip_property(spark, codes, _unused):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.similarity import pq_pack, pq_unpack
+
+    df = spark.createDataFrame([tuple([0] + codes)], "vec_id long, c0 int, c1 int, c2 int, c3 int")
+    packed = pq_pack(df, m=4, ksub=16)
+    back = pq_unpack(packed.drop("c0", "c1", "c2", "c3"), m=4, ksub=16)
+    got = back.select("c0", "c1", "c2", "c3").collect()[0]
+    assert [got["c0"], got["c1"], got["c2"], got["c3"]] == codes
