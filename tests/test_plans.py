@@ -463,3 +463,13 @@ def test_session_sequences_single_data_shuffle(spark, sf):
 
     hashes = len(re.findall(r"Exchange hashpartitioning", s))
     assert hashes == 1, s[:2000]
+
+
+def test_weighted_sample_is_scan_takeordered(spark, sf):
+    # A-ES weighted sampling: derived keys at the scan, TakeOrdered
+    # top-k — no shuffle, no Python
+    df = battery.QUERIES["sample_weighted"](spark, sf)
+    c = plan_counts(df)
+    assert c["exchanges"] == 0, c
+    assert c["take_ordered"] >= 1, c
+    assert c["python_evals"] == 0, c
