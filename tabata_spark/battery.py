@@ -5036,3 +5036,67 @@ def sample_weighted(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         F.round("__key", 6).alias("key"),
     )
+
+
+@register(
+    "text_index_search",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS term
+      FROM toks
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    dfc AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+    keep AS (SELECT term, df FROM dfc, n WHERE df >= 2 AND df * 10 <= n.nd),
+    ranked AS (SELECT term, df,
+                      row_number() OVER (ORDER BY df DESC, term) AS rk
+               FROM keep),
+    qterms AS (
+      SELECT CAST(CASE WHEN rk IN (1, 3, 5) THEN 1 ELSE 2 END AS BIGINT) AS query_id,
+             term,
+             CAST(ln(n.nd::DOUBLE / df::DOUBLE) AS DECIMAL(18,8)) AS idf
+      FROM ranked, n WHERE rk <= 6
+    ),
+    hits AS (SELECT q.query_id, q.idf, p.doc_id FROM qterms q JOIN pairs p USING (term)),
+    scored AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(idf) AS DECIMAL(18,8)) AS score
+      FROM hits GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_hit, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id
+    """,
+)
+def text_index_search(spark, sf_dir):
+    """Batch retrieval over the stored trigram inverted index: two
+    3-phrase queries (phrases ranked 1/3/5 and 2/4/6 by df within the
+    index band — derived from the data, so the same query works at
+    every sf) resolved index-side: postings explode only for matched
+    terms, boolean-IDF scores summed in DECIMAL (order-independent —
+    hash-stable by construction), per-query top-10."""
+    from tabata_spark.operators.text import index_search, inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    idx = inverted_index(docs, min_df=2, max_df_frac=0.1, ngram=3)
+    top6 = [
+        r["term"]
+        for r in idx.orderBy(F.desc("df"), "term").limit(6).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(1, [top6[0], top6[2], top6[4]]), (2, [top6[1], top6[3], top6[5]])],
+        "query_id long, terms array<string>",
+    )
+    out = index_search(queries, idx, n_docs=n_docs, k=10, idf_decimals=8)
+    return out.select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        "n_hit",
+        "score",
+    ).orderBy("query_id", F.desc("score"), "doc_id")

@@ -7,7 +7,7 @@ the battery.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny stopword profiles per language for the n-gram/stopword-overlap
@@ -537,3 +537,52 @@ def collocations(
         / (F.lit(nb) * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
     )
     return joined.select("a", "b", "c_ab", pmi.alias("pmi"))
+
+
+def index_search(
+    queries: DataFrame,
+    index: DataFrame,
+    n_docs: int,
+    k: int = 10,
+    qid_col: str = "query_id",
+    terms_col: str = "terms",
+    idf_decimals: int | None = None,
+) -> DataFrame:
+    """Batch retrieval OVER a stored inverted index — the serving-side
+    complement of :func:`inverted_index`: many queries resolved in one
+    distributed pass, never scanning the corpus.
+
+    ``queries``: (qid, terms array). Each query term equi-joins its
+    posting list (at 100 TB: a term-bucketed store makes this a
+    partition-pruned lookup), postings explode ONLY for matched terms
+    (candidate-bounded — the stop-cap at index build time bounds the
+    worst posting), and doc scores are summed idf weights
+    ``ln(n_docs / df)`` (boolean-IDF; the index stores no term
+    frequencies by design). Per-query top-k via one window over the
+    matched candidates.
+
+    Returns (qid, doc id, n_hit, score). ``idf_decimals`` quantizes
+    each idf weight to DECIMAL(18, d) BEFORE summing: decimal addition
+    is order-independent, so the score is hash-stable across engines
+    and partitionings (the battery convention); None keeps the double
+    sum (production, where ulp order noise is irrelevant).
+    """
+    qt = queries.select(F.col(qid_col), F.explode(terms_col).alias("term"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    if idf_decimals is not None:
+        idf = idf.cast(f"decimal(18,{idf_decimals})")
+    hits = qt.join(index, "term").select(
+        qid_col, idf.alias("idf"), F.explode("postings").alias("id")
+    )
+    score = F.sum("idf")
+    if idf_decimals is not None:
+        score = score.cast(f"decimal(18,{idf_decimals})")
+    scored = hits.groupBy(qid_col, "id").agg(
+        F.count(F.lit(1)).alias("n_hit"), score.alias("score")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

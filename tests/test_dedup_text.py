@@ -833,3 +833,31 @@ def test_collocations_rank_planted_phrase(spark):
     assert (best["a"], best["b"]) == ("aa", "bb")
     assert out[("aa", "bb")]["c_ab"] == 10
     assert ("cc", "dd") not in out  # never adjacent
+
+
+def test_index_search_scores_and_bounds(spark):
+    from tabata_spark.operators.text import index_search, inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "red fox jumps high"),
+            (1, "red fox sleeps"),
+            (2, "blue fox jumps"),
+            (3, "red wolf jumps"),
+            (4, "green snake sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_index(docs)  # unigram, no caps
+    q = spark.createDataFrame(
+        [(1, ["red", "fox", "jumps"])], "query_id long, terms array<string>"
+    )
+    out = {r["id"]: r for r in index_search(q, idx, n_docs=5, k=10).collect()}
+    assert 4 not in out  # zero matched terms -> never a candidate
+    assert out[0]["n_hit"] == 3  # all three terms
+    # doc0 (3 hits) must outrank every 2-hit doc; rarer terms weigh more
+    assert all(out[0]["score"] > out[i]["score"] for i in (1, 2, 3))
+    import math
+
+    expect = sum(math.log(5 / df) for df in (3, 3, 3))  # red, fox, jumps dfs
+    assert abs(out[0]["score"] - expect) < 1e-9
