@@ -5100,3 +5100,78 @@ def text_index_search(spark, sf_dir):
         "n_hit",
         "score",
     ).orderBy("query_id", F.desc("score"), "doc_id")
+
+
+@register(
+    "pipeline_end_to_end",
+    """
+    WITH q AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','a','in','is','that'))) AS stop_hits
+      FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, text, n_words FROM q
+      WHERE n_words BETWEEN 30 AND 10000 AND stop_hits >= 1
+    ),
+    deduped AS (
+      SELECT doc_id, n_words FROM (
+        SELECT doc_id, n_words,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered) WHERE rn = 1
+    ),
+    split AS (
+      SELECT doc_id, n_words,
+             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_words,
+                   ('0x' || substr(md5('v1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 10000 AS b
+            FROM deduped)
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+    FROM split GROUP BY split ORDER BY split
+    """,
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The composed corpus pipeline a training run actually executes —
+    quality gate (word-count band + stopword presence) → exact dedup
+    keep-first → deterministic 80/10/10 split → per-split totals —
+    stitched from the same operators the battery checks individually
+    (keep_first_exact, hash_split). The per-split membership md5
+    proves every stage's decisions, not just the counts. All stages
+    are scan predicates or one-shuffle windows; the chain at 100 TB
+    costs two shuffles (dedup hash window + final tiny agg)."""
+    from tabata_spark.operators.dedup import keep_first_exact
+    from tabata_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin("the", "and", "of", "to", "a", "in", "is", "that"))
+    )
+    filtered = docs.withColumn("n_words", F.size(toks)).filter(
+        F.col("n_words").between(30, 10_000) & (stop_hits >= 1)
+    )
+    deduped = keep_first_exact(filtered)
+    split = hash_split(deduped)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("ids_md5"),
+        )
+        .orderBy("split")
+    )
