@@ -5175,3 +5175,47 @@ def pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+def _bootstrap_oracle_sql(B: int, salt: str, decimals: int) -> str:
+    """Machine-generate the DuckDB replay of the Poisson bootstrap:
+    the oracle uses the row-explosion formulation (events x replicates)
+    while the engine runs the one-scan 2B-sums plan — same derived
+    uniforms, same truncated inverse CDF, same decimal sums."""
+    from tabata_spark.operators.stats import _DENOM, POISSON1_CDF
+
+    arms = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {B - 1})) AS b),
+    us AS (
+      SELECT r.b, e.value,
+             (('0x' || substring(md5('{salt}:' || CAST(r.b // 2 AS VARCHAR) || ':'
+                 || CAST(e.event_id AS VARCHAR)),
+                 CASE WHEN r.b % 2 = 0 THEN 1 ELSE 17 END, 15))::BIGINT + 1.0)
+               / {_DENOM!r} AS u
+      FROM events e CROSS JOIN reps r
+    ),
+    w AS (SELECT b, value, CASE {arms} ELSE 8 END AS w FROM us),
+    m AS (SELECT b, sum(w * CAST(value AS DECIMAL(18,{decimals}))) AS sx,
+                 sum(w) AS sw
+          FROM w GROUP BY b)
+    SELECT CAST(b AS BIGINT) AS b,
+           round(sx::DOUBLE / sw::DOUBLE, {decimals}) AS mean_b
+    FROM m ORDER BY b
+    """
+
+
+@register("a_bootstrap_ci", _bootstrap_oracle_sql(50, "boot", 6))
+def a_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap replicate means of events.value: 50
+    replicates accumulated in ONE scan as 100 map-side-combinable
+    sums (no resampled data exists anywhere); randomness derived from
+    salted md5s so the replicate set is a pure function of (ids,
+    salt) — the oracle re-derives every weight and mean exactly.
+    Sorting the 50 means gives the corpus metric's bootstrap CI."""
+    from tabata_spark.operators.stats import bootstrap_means
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_means(ev, n_replicates=50, salt="boot", decimals=6)

@@ -1,0 +1,101 @@
+"""Distributed resampling statistics (net-new surface): Poisson
+bootstrap over a corpus metric — uncertainty quantification for the
+numbers a data pipeline reports (mean quality score, mean doc length,
+dedup rate) without collecting the data or a second pass per
+replicate.
+
+The Poisson bootstrap (each row enters replicate b with weight
+W ~ Poisson(1)) is the distributed form of the classic bootstrap: all
+B replicates accumulate in ONE scan as 2·B map-side-combinable sums —
+no resampled copies of the data exist anywhere. The randomness is
+DERIVED, not drawn: replicate b's weight for a row is the Poisson
+inverse-CDF of a uniform built from a salted md5 of (replicate, id) —
+two 60-bit uniforms per hash, so B replicates cost B/2 hashes per
+row. Results are a pure function of (ids, values, salt): bit-stable
+across engines, partitionings, and re-runs; value sums are quantized
+to DECIMAL so the per-replicate sums are order-independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: cumulative Poisson(1) probabilities P(W <= k), k = 0..7; the tail
+#: beyond 8 (< 1.1e-6) truncates to 8 — identical in every engine by
+#: construction since the same literals gate the same uniforms
+POISSON1_CDF: tuple[float, ...] = tuple(
+    sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1)) for k in range(8)
+)
+
+_DENOM = float((1 << 60) + 1)
+
+
+def _uniform_sql(salt: str, b: int, id_col: str) -> str:
+    """SQL for the b-th derived uniform of a row: hex half ``b % 2``
+    of md5('<salt>:<b//2>:<id>') scaled into (0, 1)."""
+    start = 1 if b % 2 == 0 else 17
+    return (
+        f"(conv(substring(md5(concat_ws(':', '{salt}', '{b // 2}', "
+        f"cast({id_col} as string))), {start}, 15), 16, 10) + 1.0) / {_DENOM!r}"
+    )
+
+
+def _poisson_sql(u_ref: str) -> str:
+    """Searched CASE mapping a (pre-projected) uniform to Poisson(1)
+    via the truncated inverse CDF."""
+    arms = " ".join(
+        f"WHEN {u_ref} < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+def bootstrap_means(
+    df: DataFrame,
+    value: str = "value",
+    id_col: str = "event_id",
+    n_replicates: int = 50,
+    salt: str = "boot",
+    decimals: int = 6,
+) -> DataFrame:
+    """B Poisson-bootstrap replicate means of ``value`` in one scan:
+    returns (b, mean_b) with ``mean_b = round(Σ w·x / Σ w, decimals)``
+    — x quantized to DECIMAL(18, decimals) before weighting so the
+    sums are exact and order-independent. Percentiles of the returned
+    frame are the bootstrap CI."""
+    xs = f"cast({value} as decimal(18,{decimals}))"
+    # project each uniform/weight ONCE per row (a weight inlined into
+    # the CASE would re-evaluate its md5 per comparison arm), then
+    # accumulate 2B map-side-combinable sums
+    proj = df
+    for b in range(n_replicates):
+        proj = proj.withColumn(f"__u{b}", F.expr(_uniform_sql(salt, b, id_col)))
+        proj = proj.withColumn(f"__w{b}", F.expr(_poisson_sql(f"__u{b}")))
+    aggs = []
+    for b in range(n_replicates):
+        aggs.append(
+            F.expr(f"sum(__w{b} * {xs})")
+            .cast(f"decimal(28,{decimals})")
+            .alias(f"__sx{b}")
+        )
+        aggs.append(F.expr(f"sum(__w{b})").cast("long").alias(f"__sw{b}"))
+    row = proj.agg(*aggs)
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("b"),
+                F.round(
+                    F.col(f"__sx{b}").cast("double") / F.col(f"__sw{b}").cast("double"),
+                    decimals,
+                ).alias("mean_b"),
+            )
+            for b in range(n_replicates)
+        ]
+    )
+    return (
+        row.select(F.explode(reps).alias("r"))
+        .select("r.b", "r.mean_b")
+        .orderBy("b")
+    )

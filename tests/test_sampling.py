@@ -258,3 +258,32 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = {r["doc_id"] for r in weighted_sample(df, "w", k=10).collect()}
     assert got == {1}
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_covers_true_mean(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.stats import bootstrap_means
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    true_mean = ev.agg(F.avg("value")).collect()[0][0]
+    ms = sorted(r["mean_b"] for r in bootstrap_means(ev, n_replicates=40).collect())
+    assert len(ms) == 40
+    lo, hi = ms[1], ms[-2]  # ~central 95%
+    assert lo < true_mean < hi, (lo, true_mean, hi)
+    # different salt -> different (but overlapping) replicate set
+    ms2 = sorted(
+        r["mean_b"] for r in bootstrap_means(ev, n_replicates=40, salt="other").collect()
+    )
+    assert ms2 != ms
+    # reproducible bit-for-bit across partitionings
+    ms3 = sorted(
+        r["mean_b"]
+        for r in bootstrap_means(ev.repartition(13), n_replicates=40).collect()
+    )
+    assert ms3 == ms
