@@ -70,6 +70,9 @@ HEADLINE = [
     "text_bm25",
     "q_session_sequences",
     "text_inverted",
+    "text_index_search",
+    "pipeline_end_to_end",
+    "a_bootstrap_ci",
 ]
 
 

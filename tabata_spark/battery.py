@@ -5207,6 +5207,41 @@ def _bootstrap_oracle_sql(B: int, salt: str, decimals: int) -> str:
     """
 
 
+def _bootstrap_grouped_oracle_sql(B: int, salt: str, decimals: int) -> str:
+    base = _bootstrap_oracle_sql(B, salt, decimals)
+    return (
+        base.replace(
+            "SELECT r.b, e.value,", "SELECT r.b, e.value, e.event_type,"
+        )
+        .replace(
+            "w AS (SELECT b, value,", "w AS (SELECT b, value, event_type,"
+        )
+        .replace(
+            "m AS (SELECT b, sum", "m AS (SELECT event_type, b, sum"
+        )
+        .replace("FROM w GROUP BY b)", "FROM w GROUP BY event_type, b)")
+        .replace(
+            "SELECT CAST(b AS BIGINT) AS b,",
+            "SELECT event_type, CAST(b AS BIGINT) AS b,",
+        )
+        .replace("FROM m ORDER BY b", "FROM m ORDER BY event_type, b")
+    )
+
+
+@register("a_bootstrap_by_type", _bootstrap_grouped_oracle_sql(20, "boot", 6))
+def a_bootstrap_by_type(spark, sf_dir):
+    """Stratified bootstrap: per-event-type replicate means from the
+    SAME single scan (the grouping key rides the 2B-sums aggregation).
+    Per-stratum uncertainty for the per-domain metrics a pipeline
+    reports."""
+    from tabata_spark.operators.stats import bootstrap_means
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_means(
+        ev, n_replicates=20, salt="boot", decimals=6, group_by=["event_type"]
+    )
+
+
 @register("a_bootstrap_ci", _bootstrap_oracle_sql(50, "boot", 6))
 def a_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap replicate means of events.value: 50

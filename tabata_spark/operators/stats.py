@@ -59,12 +59,15 @@ def bootstrap_means(
     n_replicates: int = 50,
     salt: str = "boot",
     decimals: int = 6,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """B Poisson-bootstrap replicate means of ``value`` in one scan:
     returns (b, mean_b) with ``mean_b = round(Σ w·x / Σ w, decimals)``
     — x quantized to DECIMAL(18, decimals) before weighting so the
     sums are exact and order-independent. Percentiles of the returned
-    frame are the bootstrap CI."""
+    frame are the bootstrap CI. ``group_by`` computes per-stratum
+    replicates instead (one extra grouping key on the same single
+    scan — stratified uncertainty for per-domain/per-type metrics)."""
     xs = f"cast({value} as decimal(18,{decimals}))"
     # project each uniform/weight ONCE per row (a weight inlined into
     # the CASE would re-evaluate its md5 per comparison arm), then
@@ -81,7 +84,7 @@ def bootstrap_means(
             .alias(f"__sx{b}")
         )
         aggs.append(F.expr(f"sum(__w{b})").cast("long").alias(f"__sw{b}"))
-    row = proj.agg(*aggs)
+    row = proj.groupBy(*group_by).agg(*aggs) if group_by else proj.agg(*aggs)
     reps = F.array(
         *[
             F.struct(
@@ -94,8 +97,9 @@ def bootstrap_means(
             for b in range(n_replicates)
         ]
     )
+    keys = list(group_by or [])
     return (
-        row.select(F.explode(reps).alias("r"))
-        .select("r.b", "r.mean_b")
-        .orderBy("b")
+        row.select(*keys, F.explode(reps).alias("r"))
+        .select(*keys, "r.b", "r.mean_b")
+        .orderBy(*keys, "b")
     )
