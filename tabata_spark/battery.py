@@ -5254,3 +5254,41 @@ def a_bootstrap_ci(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return bootstrap_means(ev, n_replicates=50, salt="boot", decimals=6)
+
+
+@register(
+    "w_cusum",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, ts,
+             sum(CAST(value - 50.0 AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rr
+      FROM events),
+    s AS (
+      SELECT user_id, event_id,
+             CAST(rr - least(CAST(0 AS DECIMAL(18,6)),
+                    min(rr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  AS DECIMAL(18,6)) AS s
+      FROM r)
+    SELECT user_id, event_id, s, s > 100.0 AS alarm
+    FROM s ORDER BY user_id, event_id
+    """,
+)
+def w_cusum(spark, sf_dir):
+    """One-sided CUSUM change detection (drift k=50, threshold h=100)
+    over each user's event stream. The recursion max(0, S+x-k) is
+    replayed by its closed prefix form — a running sum and a running
+    min over ONE key partitioning, decimal arithmetic end to end
+    (order-independent, hash-stable). The streaming twin keeps O(1)
+    state per key via transformWithStateInPandas; its availableNow
+    parity with this exact query is pinned in tests."""
+    from tabata_spark.streaming.stateful import batch_cusum
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        batch_cusum(ev, k=50.0, h=100.0)
+        .select("user_id", "event_id", "s", "alarm")
+        .orderBy("user_id", "event_id")
+    )

@@ -65,3 +65,94 @@ def streaming_out_of_tube(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def batch_cusum(
+    df,
+    value: str = "value",
+    key: str = "user_id",
+    order: tuple[str, str] = ("ts", "event_id"),
+    k: float = 0.5,
+    h: float = 5.0,
+):
+    """One-sided CUSUM change detection, batch form. The textbook
+    recursion ``S_t = max(0, S_{t-1} + x_t - k)`` has the closed
+    prefix form ``S_t = R_t - min(0, min_{j<=t} R_j)`` with R the
+    running sum of (x - k) — so the whole detector is two ordered
+    windows over ONE key partitioning (no recursion, no UDF), and a
+    DuckDB oracle replays it with the same two windows. Alarm when
+    S_t > h. Emits (key, order..., s, alarm).
+
+    This is the engine's instant-detection theme (threshold crossings
+    on a derived statistic) in monitoring form; the streaming twin is
+    :func:`streaming_cusum`."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # decimal running sums: order-independent, oracle-exact
+    r = F.sum((F.col(value) - F.lit(k)).cast("decimal(18,6)")).over(w)
+    out = df.withColumn("__r", r).withColumn(
+        "s",
+        (F.col("__r") - F.least(F.lit(0).cast("decimal(18,6)"), F.min("__r").over(w)))
+        .cast("decimal(18,6)"),
+    )
+    return out.withColumn("alarm", F.col("s") > F.lit(h)).drop("__r")
+
+
+def streaming_cusum(
+    events,
+    value: str = "value",
+    key: str = "user_id",
+    ts: str = "ts",
+    k: float = 0.5,
+    h: float = 5.0,
+    watermark: str = "2 hours",
+):
+    """Streaming CUSUM as a custom stateful operator
+    (``applyInPandasWithState``; the newer transformWithStateInPandas
+    API expresses the same thing but its state-server protocol needs
+    protobuf, which this environment does not ship): per-key state
+    carries (running_sum, running_min) — O(1) per key regardless of
+    history. Rows are processed in event-time order WITHIN each
+    micro-batch (sorted in the handler); cross-batch order follows
+    arrival, the standard practical contract for monitoring streams
+    (an availableNow replay of an ordered source is deterministic,
+    which is what the parity test pins). Emits the same
+    (key, ts, s, alarm) rows as :func:`batch_cusum`."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, ts timestamp, s double, alarm boolean"
+    state_schema = "r double, rmin double"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        r, rmin = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            out_s = []
+            for x in pdf[value]:
+                r += float(x) - k
+                rmin = min(rmin, r)
+                out_s.append(r - min(0.0, rmin))
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf[key].astype("int64"),
+                    "ts": pdf[ts],
+                    "s": out_s,
+                    "alarm": [v > h for v in out_s],
+                }
+            )
+        state.update((r, rmin))
+
+    src = events.withWatermark(ts, watermark) if events.isStreaming else events
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -208,3 +208,40 @@ def test_streaming_session_sequences_match_batch(spark, sf_dir):
         for r in session_sequences(batch_events, gap_min=30.0).collect()
     }
     assert rows_stream == rows_winfn
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas CUSUM over an ordered availableNow
+    replay equals the batch two-window closed form, row for row —
+    O(1) state per key carrying (running_sum, running_min) across
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.sources.relational import _normalize_ts
+    from tabata_spark.streaming.stateful import batch_cusum, streaming_cusum
+
+    events = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # ordered single-file source -> deterministic replay; 3 users keep
+    # the handler's per-key path multi-row
+    src_dir = str(tmp_path / "src")
+    sub = events.filter(F.col("user_id") < 3).orderBy("ts", "event_id")
+    sub.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(sub.schema).parquet(src_dir)
+    got = (
+        streaming_cusum(stream, k=50.0, h=100.0)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got.awaitTermination()
+    stream_rows = {
+        (r["user_id"], str(r["ts"])): (round(r["s"], 6), r["alarm"])
+        for r in spark.sql("SELECT * FROM cusum_stream").collect()
+    }
+    batch_rows = {
+        (r["user_id"], str(r["ts"])): (round(float(r["s"]), 6), r["alarm"])
+        for r in batch_cusum(sub, k=50.0, h=100.0).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
