@@ -5292,3 +5292,57 @@ def w_cusum(spark, sf_dir):
         .select("user_id", "event_id", "s", "alarm")
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "a_robust_zscore",
+    """
+    WITH med AS (
+      SELECT user_id,
+             median(value) AS med
+      FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id, med.med,
+             median(abs(e.value - med.med)) AS mad
+      FROM events e JOIN med USING (user_id)
+      GROUP BY e.user_id, med.med
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(round(med.med, 6) AS DECIMAL(18,6)) AS med,
+           CAST(round(mad.mad, 6) AS DECIMAL(18,6)) AS mad,
+           abs(e.value - med.med) > 3.0 * 1.4826 * mad.mad AS outlier
+    FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
+    ORDER BY e.event_id
+    """,
+)
+def a_robust_zscore(spark, sf_dir):
+    """Robust per-user outlier flags: exact median and MAD (median
+    absolute deviation) per key — the heavy-tail-safe z-score
+    (|x - med| > 3·1.4826·MAD). Two grouped exact percentiles (one
+    shuffle each, map-side partial sort) + a broadcast-able stats
+    join back; the stats are DECIMAL-quantized for the hash while the
+    flag compares unrounded doubles identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(mad.select("user_id", "med", "mad"), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("med", 6).cast("decimal(18,6)").alias("med"),
+            F.round("mad", 6).cast("decimal(18,6)").alias("mad"),
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+            ).alias("outlier"),
+        )
+        .orderBy("event_id")
+    )
