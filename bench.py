@@ -73,6 +73,8 @@ HEADLINE = [
     "text_index_search",
     "pipeline_end_to_end",
     "a_bootstrap_ci",
+    "w_cusum",
+    "a_robust_zscore",
 ]
 
 
