@@ -586,3 +586,79 @@ def index_search(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    **index_kwargs,
+) -> None:
+    """Write the inverted index as a term-hash-PARTITIONED store:
+    ``partitionBy(term_bucket)`` with ``term_bucket =
+    pmod(xxhash64(term), n_buckets)``. A query-time term lookup
+    filters on the recomputed bucket — ordinary partition pruning
+    turns every term probe into a 1-of-n_buckets directory read, the
+    same stored-index discipline as the IVF store. A `_meta` sidecar
+    records n_docs (the IDF numerator) and the build parameters."""
+    import json
+    import os
+
+    n_docs = df.count()
+    idx = inverted_index(df, **index_kwargs)
+    (
+        idx.withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "n_buckets": n_buckets}, f)
+
+
+def load_inverted_index(spark, path: str):
+    """(index frame, n_docs, n_buckets) from a stored index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta["n_docs"], meta["n_buckets"]
+
+
+def stored_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "query_id",
+    terms_col: str = "terms",
+    idf_decimals: int | None = None,
+) -> DataFrame:
+    """Batch retrieval against a STORED index: the query terms'
+    buckets are computed driver-side (a handful of literals) and
+    pushed as a partition filter, so the scan reads only the touched
+    1-of-n_buckets directories before the term equi-join."""
+    idx, n_docs, n_buckets = load_inverted_index(spark, path)
+    terms = {
+        t
+        for r in queries.select(F.explode(terms_col).alias("t")).distinct().collect()
+        for t in [r["t"]]
+    }
+    bucket_of = (
+        spark.createDataFrame([(t,) for t in sorted(terms)], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r["b"] for r in bucket_of)
+    pruned = idx.filter(F.col("term_bucket").isin(buckets))
+    return index_search(
+        queries,
+        pruned,
+        n_docs=n_docs,
+        k=k,
+        qid_col=qid_col,
+        terms_col=terms_col,
+        idf_decimals=idf_decimals,
+    )

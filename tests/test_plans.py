@@ -473,3 +473,32 @@ def test_weighted_sample_is_scan_takeordered(spark, sf):
     assert c["exchanges"] == 0, c
     assert c["take_ordered"] >= 1, c
     assert c["python_evals"] == 0, c
+
+
+def test_stored_inverted_index_prunes_partitions(spark, sf, tmp_path_factory):
+    """Term lookups against the stored index read only the queried
+    terms' hash-bucket directories (PartitionFilters on term_bucket),
+    and the pruned search returns exactly the unpruned results."""
+    import re
+
+    from tabata_spark.operators.text import (
+        build_inverted_index,
+        index_search,
+        load_inverted_index,
+        stored_index_search,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    path = str(tmp_path_factory.mktemp("invidx") / "idx")
+    build_inverted_index(docs, path, n_buckets=16, min_df=2, max_df_frac=0.5, ngram=3)
+    idx, n_docs, _ = load_inverted_index(spark, path)
+    top2 = [r["term"] for r in idx.orderBy(F.desc("df"), "term").limit(2).collect()]
+    queries = spark.createDataFrame(
+        [(1, top2)], "query_id long, terms array<string>"
+    )
+    pruned = stored_index_search(spark, path, queries, k=5)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:900]
+    full = index_search(queries, idx, n_docs=n_docs, k=5)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
