@@ -5346,3 +5346,42 @@ def a_robust_zscore(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id NOT IN (0, 1, 2) AND e.label <> q.ql
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= 5 ORDER BY query_id, cosine DESC, vec_id
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for 3 query embeddings, the 5
+    most-similar corpus vectors with a DIFFERENT label (the
+    near-misses). Broadcast query batch, one corpus scan, label
+    inequality applied before ranking, per-query window top-k on the
+    unrounded cosine."""
+    from tabata_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(0, 1, 2))
+    out = hard_negatives(q, corpus, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")

@@ -957,3 +957,49 @@ def ivf_pq_topk(
         id_col=id_col,
         prefix=prefix,
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the best negatives. Same broadcast-batch
+    shape as :func:`knn_join` with the label inequality applied
+    before ranking (the scored set shrinks, never grows); for large
+    batches chain after an IVF pre-filter exactly like the k-NN join.
+    Returns (query_id, id, cosine) ranked per query on the unrounded
+    cosine with id tie-break."""
+    if query_id == id_col:
+        raise ValueError("query_id and id_col must differ")
+    ix = corpus.select(
+        F.col(id_col).alias("__ix_id"),
+        F.col(vec_col).alias("__ix_v"),
+        F.col(label_col).alias("__ix_l"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__q_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__q_l"),
+    )
+    scored = (
+        ix.join(F.broadcast(q))
+        .filter(F.col("__ix_l") != F.col("__q_l"))
+        .select(
+            F.col("__q_id").alias(query_id),
+            F.col("__ix_id").alias(id_col),
+            cosine_cols(F.col("__ix_v"), F.col("__qv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id, id_col, F.col("__cos").alias("cosine"))
+    )

@@ -861,3 +861,29 @@ def test_index_search_scores_and_bounds(spark):
 
     expect = sum(math.log(5 / df) for df in (3, 3, 3))  # red, fox, jumps dfs
     assert abs(out[0]["score"] - expect) < 1e-9
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).withColumnRenamed("vec_id", "query_id")
+    q_label = q.select("label").head()[0]
+    # plant a same-label EXACT copy — the closest possible vector must
+    # still be excluded
+    dup = q.select(
+        F.lit(999_999).alias("vec_id"), "embedding", F.lit(q_label).alias("label")
+    )
+    corpus = emb.filter(F.col("vec_id") != 7).unionByName(dup)
+    out = hard_negatives(q, corpus, k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    got_ids = {r["vec_id"] for r in rows}
+    assert 999_999 not in got_ids
+    labels = {
+        r["label"]
+        for r in corpus.join(out.select("vec_id"), "vec_id", "left_semi").collect()
+    }
+    assert q_label not in labels
