@@ -5385,3 +5385,39 @@ def sim_hard_negatives(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
     ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+@register(
+    "sample_domain_cap_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             -ln((('0x' || substring(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  ::DOUBLE + 1.0) / 1152921504606846977.0) / n_chars::DOUBLE AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      FROM keyed)
+    WHERE rn <= 8 ORDER BY doc_id
+    """,
+)
+def sample_domain_cap_weighted(spark, sf_dir):
+    """Per-domain WEIGHTED quota: at most 8 docs per source chosen by
+    the Efraimidis–Spirakis key with weight n_chars — longer docs more
+    likely within each domain's quota. Runs the exact two-phase
+    sharded plan against the oracle's plain window (the skew-safety
+    proof only needs a deterministic total order, which the A-ES key
+    plus id tie-break is)."""
+    from tabata_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        domain_cap(
+            docs, domain="source", id_col="doc_id", cap=8, salt="w1",
+            shards=4, weight="n_chars",
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

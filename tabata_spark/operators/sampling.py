@@ -272,6 +272,7 @@ def domain_cap(
     cap: int = 100,
     salt: str = "",
     shards: int | None = None,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per domain, chosen by deterministic
     salted-hash order — the per-domain quota step of web-corpus
@@ -294,9 +295,29 @@ def domain_cap(
 
     Phase 2's groups are bounded by shards*cap rows REGARDLESS of
     domain skew, so the two-phase output is exactly the single-window
-    output with per-task memory O(cap) — the 100 TB shape.
+    output with per-task memory O(cap) — the 100 TB shape. (The
+    exactness argument needs only a deterministic row-wise total
+    order, so it holds for the weighted order too.)
+
+    ``weight``: rank by the Efraimidis–Spirakis key ``-ln(u)/w``
+    instead of the plain hash — per-domain WEIGHTED quotas (inclusion
+    within each domain proportional to weight). Non-positive weights
+    are excluded.
     """
-    order = _cap_order(id_col, salt)
+    if weight is not None:
+        wcol = F.col(weight) if isinstance(weight, str) else weight
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+        df = df.filter(wcol > 0)
+        order = [(-F.log(u) / wcol.cast("double")), F.col(id_col)]
+    else:
+        order = _cap_order(id_col, salt)
     w = Window.partitionBy(domain).orderBy(*order)
     if shards is not None and shards <= 1:
         shards = None  # one shard IS the plain plan
