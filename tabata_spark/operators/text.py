@@ -595,19 +595,23 @@ def build_inverted_index(
     **index_kwargs,
 ) -> None:
     """Write the inverted index as a term-hash-PARTITIONED store:
-    ``partitionBy(term_bucket)`` with ``term_bucket =
-    pmod(xxhash64(term), n_buckets)``. A query-time term lookup
-    filters on the recomputed bucket — ordinary partition pruning
-    turns every term probe into a 1-of-n_buckets directory read, the
-    same stored-index discipline as the IVF store. A `_meta` sidecar
-    records n_docs (the IDF numerator) and the build parameters."""
+    ``partitionBy(term_bucket)`` with the salted-md5 bucket of
+    :func:`tabata_spark.operators.sampling.hash_bucket` — chosen over
+    xxhash64 because a CLIENT can recompute it in pure Python
+    (hashlib), so query-time bucket pruning costs ZERO Spark jobs. A
+    term lookup then reads 1-of-n_buckets directories via ordinary
+    partition pruning, the same stored-index discipline as the IVF
+    store. A `_meta` sidecar records n_docs (the IDF numerator) and
+    the bucket count."""
     import json
     import os
+
+    from tabata_spark.operators.sampling import hash_bucket
 
     n_docs = df.count()
     idx = inverted_index(df, **index_kwargs)
     (
-        idx.withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        idx.withColumn("term_bucket", hash_bucket("term", buckets=n_buckets))
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(path)
@@ -626,6 +630,16 @@ def load_inverted_index(spark, path: str):
     return spark.read.parquet(path), meta["n_docs"], meta["n_buckets"]
 
 
+def py_hash_bucket(value: str, buckets: int, salt: str = "") -> int:
+    """Pure-Python twin of ``sampling.hash_bucket`` (same md5-prefix
+    construction) — lets clients compute partition buckets without a
+    Spark job."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}:{value}".encode()).hexdigest()[:15]
+    return int(h, 16) % buckets
+
+
 def stored_index_search(
     spark,
     path: str,
@@ -634,24 +648,22 @@ def stored_index_search(
     qid_col: str = "query_id",
     terms_col: str = "terms",
     idf_decimals: int | None = None,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """Batch retrieval against a STORED index: the query terms'
-    buckets are computed driver-side (a handful of literals) and
-    pushed as a partition filter, so the scan reads only the touched
-    1-of-n_buckets directories before the term equi-join."""
+    buckets are computed in PURE PYTHON (md5 twin of the build-time
+    bucketing — no Spark job) and pushed as a partition filter, so the
+    scan reads only the touched 1-of-n_buckets directories before the
+    term equi-join. Pass ``terms`` when the caller already knows the
+    query vocabulary (the common serving case) to skip the one
+    distinct-collect over ``queries``."""
     idx, n_docs, n_buckets = load_inverted_index(spark, path)
-    terms = {
-        t
-        for r in queries.select(F.explode(terms_col).alias("t")).distinct().collect()
-        for t in [r["t"]]
-    }
-    bucket_of = (
-        spark.createDataFrame([(t,) for t in sorted(terms)], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
-        .distinct()
-        .collect()
-    )
-    buckets = sorted(r["b"] for r in bucket_of)
+    if terms is None:
+        terms = [
+            r["t"]
+            for r in queries.select(F.explode(terms_col).alias("t")).distinct().collect()
+        ]
+    buckets = sorted({py_hash_bucket(t, n_buckets) for t in terms})
     pruned = idx.filter(F.col("term_bucket").isin(buckets))
     return index_search(
         queries,
@@ -662,3 +674,29 @@ def stored_index_search(
         terms_col=terms_col,
         idf_decimals=idf_decimals,
     )
+
+
+def make_index_searcher(spark, path: str):
+    """Load-once serving handle: returns ``search(queries, k=...,
+    terms=None, idf_decimals=None)`` closing over the loaded index
+    frame and metadata — repeated probes pay only the pruned scan +
+    join, not the store listing/metadata read."""
+    idx, n_docs, n_buckets = load_inverted_index(spark, path)
+
+    def search(queries, k=10, qid_col="query_id", terms_col="terms",
+               idf_decimals=None, terms=None):
+        if terms is None:
+            terms = [
+                r["t"]
+                for r in queries.select(
+                    F.explode(terms_col).alias("t")
+                ).distinct().collect()
+            ]
+        buckets = sorted({py_hash_bucket(t, n_buckets) for t in terms})
+        pruned = idx.filter(F.col("term_bucket").isin(buckets))
+        return index_search(
+            queries, pruned, n_docs=n_docs, k=k,
+            qid_col=qid_col, terms_col=terms_col, idf_decimals=idf_decimals,
+        )
+
+    return search

@@ -887,3 +887,26 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
         for r in corpus.join(out.select("vec_id"), "vec_id", "left_semi").collect()
     }
     assert q_label not in labels
+
+
+def test_index_searcher_handle_matches_stored_search(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.text import (
+        build_inverted_index,
+        make_index_searcher,
+        stored_index_search,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path, n_buckets=8, min_df=2, max_df_frac=0.5, ngram=3)
+    search = make_index_searcher(spark, path)
+    from tabata_spark.operators.text import load_inverted_index
+
+    idx, _, _ = load_inverted_index(spark, path)
+    terms = [r["term"] for r in idx.orderBy(F.desc("df"), "term").limit(2).collect()]
+    q = spark.createDataFrame([(1, terms)], "query_id long, terms array<string>")
+    a = sorted(map(tuple, search(q, k=5, terms=terms).collect()))
+    b = sorted(map(tuple, stored_index_search(spark, path, q, k=5).collect()))
+    assert a == b and a
