@@ -119,7 +119,9 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply learned merges (in order) to unseen words: the chained
     replace is ONE zero-shuffle projection. Adds ``out_col`` as the
-    array of subword symbols."""
+    array of subword symbols. Words must be free of the bracket
+    metacharacters (the same contract word_vocab enforces at train
+    time — pre-normalize otherwise)."""
     s = _sym_init(word_col)
     for x, y, _c in merges:
         s = F.replace(s, F.lit(f"[{x}][{y}]"), F.lit(f"[{x}{y}]"))

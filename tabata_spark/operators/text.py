@@ -567,7 +567,11 @@ def index_search(
     and partitionings (the battery convention); None keeps the double
     sum (production, where ulp order noise is irrelevant).
     """
-    qt = queries.select(F.col(qid_col), F.explode(terms_col).alias("term"))
+    # set semantics: a term repeated in one query's bag must not
+    # double its idf contribution
+    qt = queries.select(
+        F.col(qid_col), F.explode(F.array_distinct(terms_col)).alias("term")
+    )
     idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
     if idf_decimals is not None:
         idf = idf.cast(f"decimal(18,{idf_decimals})")

@@ -910,3 +910,17 @@ def test_index_searcher_handle_matches_stored_search(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, search(q, k=5, terms=terms).collect()))
     b = sorted(map(tuple, stored_index_search(spark, path, q, k=5).collect()))
     assert a == b and a
+
+
+def test_index_search_set_semantics_for_repeated_terms(spark):
+    from tabata_spark.operators.text import index_search, inverted_index
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x z"), (2, "w v")], "doc_id long, text string"
+    )
+    idx = inverted_index(docs)
+    once = spark.createDataFrame([(1, ["x"])], "query_id long, terms array<string>")
+    twice = spark.createDataFrame([(1, ["x", "x"])], "query_id long, terms array<string>")
+    a = sorted(map(tuple, index_search(once, idx, n_docs=3).collect()))
+    b = sorted(map(tuple, index_search(twice, idx, n_docs=3).collect()))
+    assert a == b
