@@ -23,6 +23,8 @@ store size growth per batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -119,10 +121,25 @@ def stream_rollup_maintain(
     count/sum algebra safe here."""
     from tabata_spark.operators.rollup import upsert_rollup
 
+    ledger = os.path.join(store_path + ".__batches__")
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence ledger: foreachBatch is at-least-once (a batch
+        # can re-run after a failure) and the count/sum merge algebra
+        # is not idempotent — a committed marker per batch id makes
+        # replays no-ops. The marker is written AFTER the upsert, so a
+        # crash inside the gap still double-counts that one batch (the
+        # honest limit of filesystem stores; a transactional table
+        # format closes it).
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
         upsert_rollup(
             batch_df.sparkSession, store_path, batch_df, width, key, distinct_col
         )
+        with open(marker, "w") as f:
+            f.write("committed")
 
     return (
         sdf.writeStream.foreachBatch(_write)

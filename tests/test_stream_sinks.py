@@ -135,3 +135,34 @@ def test_stream_rollup_hll_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the stream from a FRESH checkpoint (so every batch
+    replays) must not double the rollup: the batch ledger makes
+    replayed batch ids no-ops."""
+    from tabata_spark.operators.rollup import read_rollup
+    from tabata_spark.sources.relational import _normalize_ts
+    from tabata_spark.streaming.sinks import stream_rollup_maintain
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = str(tmp_path / "src")
+    raw.coalesce(1).write.parquet(src_dir)
+    store = str(tmp_path / "roll")
+
+    def run(ck):
+        stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+        q = stream_rollup_maintain(_normalize_ts(stream), store, ck)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    first = sorted(
+        (str(r["win_start"]), r["event_type"], r["n"])
+        for r in read_rollup(spark, store).collect()
+    )
+    run(str(tmp_path / "ck2"))  # fresh checkpoint -> batch 0 replays
+    second = sorted(
+        (str(r["win_start"]), r["event_type"], r["n"])
+        for r in read_rollup(spark, store).collect()
+    )
+    assert second == first
