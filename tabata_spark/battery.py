@@ -5421,3 +5421,57 @@ def sample_domain_cap_weighted(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_domain_similarity",
+    """
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT DISTINCT source AS d, g FROM (
+        SELECT source, unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+        FROM toks)
+    ),
+    sizes AS (SELECT d, count(*) AS n FROM pairs GROUP BY d),
+    common AS (
+      SELECT a.d AS domain_a, b.d AS domain_b, count(*) AS n_common
+      FROM pairs a JOIN pairs b USING (g)
+      WHERE a.d < b.d GROUP BY a.d, b.d
+    )
+    SELECT c.domain_a, c.domain_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)
+                AS DECIMAL(18,6)) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.d = c.domain_a
+    JOIN sizes sb ON sb.d = c.domain_b
+    ORDER BY domain_a, domain_b
+    """,
+)
+def q_domain_similarity(spark, sf_dir):
+    """Pairwise trigram-vocabulary Jaccard between sources — domain
+    drift / mixture-design statistic. The intersection is a gram-keyed
+    self-join of DEDUPED (domain, gram) pairs (C(domains,2)-bounded,
+    never corpus²); set sizes are per-domain counts; Jaccard quantized
+    to DECIMAL from the exact integer triple."""
+    from tabata_spark.operators.text import domain_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_similarity(docs, ngram=3)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        out.select(
+            "domain_a",
+            "domain_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            jac.cast("decimal(18,6)").alias("jaccard"),
+        )
+        .orderBy("domain_a", "domain_b")
+    )

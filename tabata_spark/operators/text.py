@@ -704,3 +704,57 @@ def make_index_searcher(spark, path: str):
         )
 
     return search
+
+
+def domain_similarity(
+    df: DataFrame,
+    domain: str = "source",
+    text: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between DOMAIN vocabularies (their
+    distinct token n-gram sets) — the corpus-comparison statistic
+    behind domain-drift detection and mixture design ("how much does
+    source A's content overlap source B's?").
+
+    Shape: per-domain distinct gram sets are never materialized as
+    arrays — grams explode at the scan, (domain, gram) pairs dedupe in
+    one aggregation, set sizes are a tiny per-domain count, and the
+    intersection comes from joining the deduped pairs with themselves
+    ON THE GRAM (a gram appearing in d domains contributes C(d,2)
+    pairs — bounded by domains², never corpus²). Zero-overlap pairs
+    emit no row (their Jaccard is 0 by absence). Returns
+    (domain_a, domain_b, n_a, n_b, n_common) with a < b; Jaccard =
+    n_common / (n_a + n_b - n_common) left to the caller's precision
+    convention."""
+    toks = F.split(F.col(text), " ", -1)
+    if ngram <= 1:
+        grams = F.array_distinct(toks)
+    else:
+        k = F.size(toks) - F.lit(ngram - 1)
+        grams = F.array_distinct(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda p: F.array_join(F.slice(toks, p, ngram), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    pairs = (
+        df.select(F.col(domain).alias("d"), F.explode(grams).alias("g"))
+        .distinct()
+    )
+    sizes = pairs.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "g")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .groupBy(F.col("a.d").alias("domain_a"), F.col("b.d").alias("domain_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("d").alias("domain_a"), F.col("n").alias("n_a")), "domain_a")
+        .join(sizes.select(F.col("d").alias("domain_b"), F.col("n").alias("n_b")), "domain_b")
+        .select("domain_a", "domain_b", "n_a", "n_b", "n_common")
+    )

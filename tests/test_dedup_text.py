@@ -924,3 +924,25 @@ def test_index_search_set_semantics_for_repeated_terms(spark):
     a = sorted(map(tuple, index_search(once, idx, n_docs=3).collect()))
     b = sorted(map(tuple, index_search(twice, idx, n_docs=3).collect()))
     assert a == b
+
+
+def test_domain_similarity_counts(spark):
+    from tabata_spark.operators.text import domain_similarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A", "x y z w"),      # grams: {x,y,z,w} (unigram mode)
+            (1, "A", "x q"),          # A = {x,y,z,w,q}
+            (2, "B", "x y r"),        # B = {x,y,r}
+            (3, "C", "s t"),          # C disjoint from A,B
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["domain_a"], r["domain_b"]): r
+        for r in domain_similarity(docs, ngram=1).collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (5, 3, 2)
+    # disjoint pairs simply don't appear (no common gram -> no row)
+    assert ("A", "C") not in out and ("B", "C") not in out
