@@ -5475,3 +5475,46 @@ def q_domain_similarity(spark, sf_dir):
         )
         .orderBy("domain_a", "domain_b")
     )
+
+
+@register(
+    "text_bigram_ppl",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+    v AS (SELECT count(*) AS V FROM uc),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> struct_pack(a := t[i], b := t[i+1]))) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT g.a AS a, g.b AS b, count(*) AS cab FROM big GROUP BY g.a, g.b),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(ln((bc.cab::DOUBLE + 1.0) / (uc.cw::DOUBLE + 1.0 * v.V::DOUBLE))
+                  AS DECIMAL(18,8)) AS lp
+      FROM (SELECT doc_id, g.a AS a, g.b AS b FROM big) d
+      JOIN bc USING (a, b)
+      JOIN uc ON uc.w = d.a
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(lp) AS DECIMAL(28,8))::DOUBLE / count(*), 6) AS mean_lp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_ppl(spark, sf_dir):
+    """Bigram-LM perplexity proxy: per-doc mean conditional log-prob
+    under the corpus' own add-1 bigram model — word-order-sensitive
+    quality scoring (the unigram score can't see shuffled text).
+    Per-token log-probs decimal-quantized before the per-doc sum, so
+    the result is order-independent and hash-stable."""
+    from tabata_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("mean_logprob", 6).alias("mean_lp")
+    ).orderBy("doc_id")

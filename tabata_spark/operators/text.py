@@ -758,3 +758,69 @@ def domain_similarity(
         .join(sizes.select(F.col("d").alias("domain_b"), F.col("n").alias("n_b")), "domain_b")
         .select("domain_a", "domain_b", "n_a", "n_b", "n_common")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    lp_decimals: int = 8,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-likelihood under the corpus'
+    own add-alpha bigram model — the stronger perplexity proxy
+    (word-order sensitivity the unigram score cannot see):
+    ``p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + a) / (c(w_{i-1}) + a*V)``.
+
+    Per-token log-probs are quantized to DECIMAL before the per-doc
+    sum (order-independent — the battery hash-stability convention),
+    then the mean divides by the bigram count. Docs with fewer than 2
+    tokens emit no row (no conditional positions exist).
+
+    Plan: one bigram explode feeds both the model counts and the
+    scoring join (materialize if reused at scale); joins are on
+    uniform token/bigram keys; the scalars fold in via one broadcast.
+    """
+    toks = F.split(F.col(text), " ", -1)
+    k = F.size(toks) - F.lit(1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda p: F.struct(
+                F.element_at(toks, p).alias("a"), F.element_at(toks, p + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("g")).select(
+        "__id", F.col("g.a").alias("a"), F.col("g.b").alias("b")
+    )
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    uc = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    v = uc.agg(F.count(F.lit(1)).alias("V"))
+    lp = F.log(
+        (F.col("cab").cast("double") + F.lit(alpha))
+        / (F.col("cw").cast("double") + F.lit(alpha) * F.col("V").cast("double"))
+    ).cast(f"decimal(18,{lp_decimals})")
+    scored = (
+        big.join(bc, ["a", "b"])
+        .join(uc.select(F.col("w").alias("a"), "cw"), "a")
+        .join(F.broadcast(v))
+        .select("__id", lp.alias("lp"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast(f"decimal(28,{lp_decimals})").alias("slp"),
+        )
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (F.col("slp").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "mean_logprob"
+        ),
+    )

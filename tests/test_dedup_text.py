@@ -946,3 +946,18 @@ def test_domain_similarity_counts(spark):
     assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (5, 3, 2)
     # disjoint pairs simply don't appear (no common gram -> no row)
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_bigram_ppl_detects_shuffled_text(spark):
+    # word-order sensitivity: a doc whose bigrams follow the corpus
+    # pattern scores higher than the same tokens shuffled
+    from tabata_spark.operators.text import bigram_logprob
+
+    base = [(i, "the cat sat on the mat today") for i in range(20)]
+    docs = spark.createDataFrame(
+        base + [(100, "the cat sat on the mat today"),
+                (101, "mat the today cat on sat the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(docs).collect()}
+    assert out[100] > out[101]
