@@ -5518,3 +5518,93 @@ def text_bigram_ppl(spark, sf_dir):
     return out.select(
         "doc_id", "n_bigrams", F.round("mean_logprob", 6).alias("mean_lp")
     ).orderBy("doc_id")
+
+
+@register(
+    "a_label_dispersion",
+    """
+    WITH sc AS (
+      SELECT label,
+             count(*) AS n,
+             CAST(sum(CAST(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS s2
+      FROM embeddings GROUP BY label
+    ),
+    dims AS (
+      SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS s
+      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT d.label,
+             list_reduce(list_transform(list(d.s::DOUBLE / sc.n ORDER BY d.pos),
+                                        z -> z * z),
+                         (a, b) -> a + b) AS c2
+      FROM dims d JOIN sc ON sc.label = d.label
+      GROUP BY d.label, sc.n
+    )
+    SELECT sc.label, CAST(sc.n AS BIGINT) AS n,
+           round(sc.s2::DOUBLE / sc.n - cent.c2, 6) AS dispersion
+    FROM sc JOIN cent USING (label) ORDER BY label
+    """,
+)
+def a_label_dispersion(spark, sf_dir):
+    """Per-label embedding dispersion (mean squared distance to the
+    label centroid) WITHOUT a second pass or a distance join — the
+    variance decomposition E||x||² − ||E x||²: one scalar aggregate
+    for Σ||x||² (JVM fold per row), one (label, pos) partial-sum
+    shuffle for the centroid, and an ORDERED fold over the 64
+    per-dimension means so both engines square-and-sum in the same
+    sequence. Cluster-compactness / diversity signal for embedding
+    corpora."""
+    emb = _t(spark, sf_dir, "embeddings")
+    row_s2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    # decimal-quantized sums: double accumulation across partitions is
+    # order-dependent — the one hash-instability class the battery bans
+    sc = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(row_s2.cast("decimal(18,8)")).cast("decimal(28,8)").alias("s2"),
+    )
+    dims = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("col").cast("decimal(18,8)")).cast("decimal(28,8)").alias("s"))
+    )
+    cent = (
+        dims.join(sc.select("label", "n"), "label")
+        .groupBy("label")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                (F.col("s").cast("double") / F.col("n")).alias("m"),
+                            )
+                        )
+                    ),
+                    lambda st: st["m"] * st["m"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("c2")
+        )
+    )
+    return (
+        sc.join(cent, "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("s2").cast("double") / F.col("n") - F.col("c2"), 6
+            ).alias("dispersion"),
+        )
+        .orderBy("label")
+    )
