@@ -5608,3 +5608,70 @@ def a_label_dispersion(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "a_conversion_latency",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT epoch_us(t_buy) - epoch_us(t_view) AS lat_us
+      FROM firsts WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    ),
+    ranked AS (
+      SELECT lat_us,
+             row_number() OVER (ORDER BY lat_us) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN lat_us END) AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                    THEN lat_us END) AS BIGINT) AS p90_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM ranked
+    """,
+)
+def a_conversion_latency(spark, sf_dir):
+    """Conversion-latency distribution: first 'view' to first
+    'purchase' per user, DISCRETE order-statistic percentiles over the
+    converted set (rank = ceil(q·n) — pure integer logic; an
+    interpolated percentile's double arithmetic truncated to µs flips
+    by one ulp between engines, measured). One conditional-min
+    aggregation per user, then the rank window over the per-user
+    aggregate — O(converted users), not O(events); a 100 TB run with
+    billions of converters would pre-bucket by an approx quantile
+    before exact-ranking the boundary bucket."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select((epoch_us("t_buy") - epoch_us("t_view")).alias("lat_us"))
+    w = Window.orderBy("lat_us")
+    ranked = conv.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+
+    def disc(q):
+        k = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long"))
+        return F.max(F.when(F.col("rn") == k, F.col("lat_us")))
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        disc(0.5).cast("long").alias("p50_us"),
+        disc(0.9).cast("long").alias("p90_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
