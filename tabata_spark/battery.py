@@ -5675,3 +5675,90 @@ def a_conversion_latency(spark, sf_dir):
         disc(0.9).cast("long").alias("p90_us"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
+
+
+def _acf_oracle_sql(max_lag: int) -> str:
+    """Machine-generate the ACF oracle: integer micro-unit sums per
+    (record, lag) from lead() windows, Pearson assembled in double."""
+    lag_cols = []
+    for k in range(1, max_lag + 1):
+        lag_cols.append(
+            f"""
+    s{k} AS (
+      SELECT record_id,
+             count(y) AS n,
+             sum(CASE WHEN y IS NOT NULL THEN x END) AS sx,
+             sum(CASE WHEN y IS NOT NULL THEN x * x END) AS sxx,
+             sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM (SELECT record_id, x,
+                   lead(x, {k}) OVER (PARTITION BY record_id ORDER BY seq) AS y
+            FROM q)
+      GROUP BY record_id
+    )"""
+        )
+    r_exprs = ",\n           ".join(
+        f"round((s{k}.n * s{k}.sxy - s{k}.sx * s{k}.sy) /"
+        f" (sqrt(CAST(s{k}.n * s{k}.sxx - s{k}.sx * s{k}.sx AS DOUBLE))"
+        f" * sqrt(CAST(s{k}.n * s{k}.syy - s{k}.sy * s{k}.sy AS DOUBLE))), 6)"
+        f" AS acf{k}"
+        for k in range(1, max_lag + 1)
+    )
+    joins = " ".join(
+        f"JOIN s{k} ON s{k}.record_id = s1.record_id" for k in range(2, max_lag + 1)
+    )
+    return (
+        SIGNALS_CTE
+        + """
+    , q AS (SELECT record_id, seq,
+                   CAST(round(value * 10000) AS BIGINT) AS x
+            FROM signals)"""
+        + ","
+        + ",".join(lag_cols)
+        + f"""
+    SELECT s1.record_id,
+           {r_exprs}
+    FROM s1 {joins}
+    ORDER BY s1.record_id
+    """
+    )
+
+
+@register("w_acf", _acf_oracle_sql(5))
+def w_acf(spark, sf_dir):
+    """Per-record autocorrelation at lags 1..5 — the
+    periodicity/seasonality signal statistic. Values are quantized to
+    integer micro-units FIRST, so every sum (Σx, Σx², Σxy per lag) is
+    exact BIGINT arithmetic in both engines; the Pearson assembly is
+    the only double step (deterministic from identical integers). One
+    record-partition window pass carrying 5 lead columns + one
+    aggregation: a single shuffle for all lags."""
+    sig = _signals(spark, sf_dir)
+    w = Window.partitionBy("record_id").orderBy("seq")
+    x = F.round(F.col("value") * 10000).cast("long")
+    df = sig.select("record_id", "seq", x.alias("x"))
+    for k in range(1, 6):
+        df = df.withColumn(f"y{k}", F.lead("x", k).over(w))
+    aggs = []
+    for k in range(1, 6):
+        y = F.col(f"y{k}")
+        has = y.isNotNull()
+        aggs += [
+            F.count(y).alias(f"n{k}"),
+            F.sum(F.when(has, F.col("x"))).alias(f"sx{k}"),
+            F.sum(F.when(has, F.col("x") * F.col("x"))).alias(f"sxx{k}"),
+            F.sum(y).alias(f"sy{k}"),
+            F.sum(y * y).alias(f"syy{k}"),
+            F.sum(F.col("x") * y).alias(f"sxy{k}"),
+        ]
+    sums = df.groupBy("record_id").agg(*aggs)
+    cols = [F.col("record_id")]
+    for k in range(1, 6):
+        n, sx, sxx, sy, syy, sxy = [
+            F.col(f"{p}{k}") for p in ("n", "sx", "sxx", "sy", "syy", "sxy")
+        ]
+        num = (n * sxy - sx * sy).cast("double")
+        den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+            (n * syy - sy * sy).cast("double")
+        )
+        cols.append(F.round(num / den, 6).alias(f"acf{k}"))
+    return sums.select(*cols).orderBy("record_id")
