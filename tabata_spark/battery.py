@@ -5762,3 +5762,109 @@ def w_acf(spark, sf_dir):
         )
         cols.append(F.round(num / den, 6).alias(f"acf{k}"))
     return sums.select(*cols).orderBy("record_id")
+
+
+def _crosscorr_oracle_sql(max_lag: int) -> str:
+    """Machine-generated lagged cross-correlation oracle over DENSE
+    hourly view/purchase count series (missing hours are true zeros —
+    a sparse series would misalign the lead)."""
+    arms = []
+    for k in range(max_lag + 1):
+        arms.append(
+            f"""
+    s{k} AS (
+      SELECT count(y) AS n,
+             sum(CASE WHEN y IS NOT NULL THEN x END) AS sx,
+             sum(CASE WHEN y IS NOT NULL THEN x * x END) AS sxx,
+             sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM (SELECT x, lead(y, {k}) OVER (ORDER BY h) AS y FROM dense)
+    )"""
+        )
+    selects = "\n      UNION ALL ".join(
+        f"SELECT {k} AS lag, n, sx, sxx, sy, syy, sxy FROM s{k}"
+        for k in range(max_lag + 1)
+    )
+    return (
+        """
+    WITH hours AS (
+      SELECT unnest(generate_series(date_trunc('hour', (SELECT min(ts) FROM events)),
+                                    date_trunc('hour', (SELECT max(ts) FROM events)),
+                                    INTERVAL 1 HOUR)) AS h
+    ),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT hours.h, CAST(coalesce(c.v, 0) AS BIGINT) AS x,
+             CAST(coalesce(c.p, 0) AS BIGINT) AS y
+      FROM hours LEFT JOIN counts c ON c.h = hours.h
+    ),"""
+        + ",".join(arms)
+        + f"""
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+    FROM ({selects}) ORDER BY lag
+    """
+    )
+
+
+@register("q_type_crosscorr", _crosscorr_oracle_sql(6))
+def q_type_crosscorr(spark, sf_dir):
+    """Lagged cross-correlation between the hourly 'view' and
+    'purchase' count series (lags 0..6 hours): lead-lag analytics over
+    a DENSE hour spine (missing hours are true zeros — sparse series
+    would silently misalign the lead). Counts are integers, so every
+    sum is exact BIGINT; Pearson per lag assembled in double from
+    identical integers. The series is one global ordered window —
+    O(hours), not O(events)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    dense = (
+        spine.join(counts, "h", "left")
+        .select(
+            "h",
+            F.coalesce("v", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("p", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    w = Window.orderBy("h")
+    rows = []
+    for k in range(7):
+        led = dense.withColumn("yk", F.lead("y", k).over(w))
+        has = F.col("yk").isNotNull()
+        s = led.agg(
+            F.count("yk").alias("n"),
+            F.sum(F.when(has, F.col("x"))).alias("sx"),
+            F.sum(F.when(has, F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum("yk").alias("sy"),
+            F.sum(F.col("yk") * F.col("yk")).alias("syy"),
+            F.sum(F.col("x") * F.col("yk")).alias("sxy"),
+        ).withColumn("lag", F.lit(k).cast("long"))
+        rows.append(s)
+    from functools import reduce
+
+    allk = reduce(lambda a, b: a.unionByName(b), rows)
+    n, sx, sxx, sy, syy, sxy = [F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")]
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return allk.select(
+        "lag", n.cast("long").alias("n"), F.round(num / den, 6).alias("r")
+    ).orderBy("lag")
