@@ -75,6 +75,12 @@ HEADLINE = [
     "a_bootstrap_ci",
     "w_cusum",
     "a_robust_zscore",
+    "text_bigram_ppl",
+    "a_label_dispersion",
+    "q_domain_similarity",
+    "a_conversion_latency",
+    "w_acf",
+    "q_type_crosscorr",
 ]
 
 

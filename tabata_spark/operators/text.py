@@ -777,10 +777,12 @@ def bigram_logprob(
     then the mean divides by the bigram count. Docs with fewer than 2
     tokens emit no row (no conditional positions exist).
 
-    Plan: one bigram explode feeds both the model counts and the
-    scoring join (materialize if reused at scale); joins are on
-    uniform token/bigram keys; the scalars fold in via one broadcast.
+    Plan: ONE bigram explode feeds both the model counts and the
+    scoring join — persisted (SCALE.md lesson 3: a twice-consumed
+    subtree recomputes otherwise); joins are on uniform token/bigram
+    keys; the scalars fold in via one broadcast.
     """
+    from tabata_spark.operators.dedup import _materialize
     toks = F.split(F.col(text), " ", -1)
     k = F.size(toks) - F.lit(1)
     grams = F.when(
@@ -792,8 +794,11 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    big = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("g")).select(
-        "__id", F.col("g.a").alias("a"), F.col("g.b").alias("b")
+    big = _materialize(
+        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("g")).select(
+            "__id", F.col("g.a").alias("a"), F.col("g.b").alias("b")
+        ),
+        "persist",
     )
     bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
     uc = (
