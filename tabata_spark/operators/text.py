@@ -741,9 +741,12 @@ def domain_similarity(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
-    pairs = (
-        df.select(F.col(domain).alias("d"), F.explode(grams).alias("g"))
-        .distinct()
+    from tabata_spark.operators.dedup import _materialize
+
+    # consumed three times (sizes + both self-join sides) — persist
+    pairs = _materialize(
+        df.select(F.col(domain).alias("d"), F.explode(grams).alias("g")).distinct(),
+        "persist",
     )
     sizes = pairs.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     common = (
