@@ -5842,6 +5842,7 @@ def q_type_crosscorr(spark, sf_dir):
             F.coalesce("v", F.lit(0)).cast("long").alias("x"),
             F.coalesce("p", F.lit(0)).cast("long").alias("y"),
         )
+        .persist()  # seven per-lag consumers; O(hours) rows
     )
     w = Window.orderBy("h")
     rows = []

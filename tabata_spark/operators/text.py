@@ -519,10 +519,15 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
-    uc = (
+    from tabata_spark.operators.dedup import _materialize
+
+    # the unigram table joins BOTH bigram sides — persist, or the
+    # token explode + count runs twice
+    uc = _materialize(
         df.select(F.explode(toks).alias("t"))
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        "persist",
     )
     totals = df.select(
         F.sum(F.greatest(F.size(toks) - F.lit(1), F.lit(0))).alias("nb"),
