@@ -98,13 +98,15 @@ def _signals(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                       AS sum_qty,
-           round(sum(l_extendedprice), 4)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 6)                                       AS avg_qty,
-           round(avg(l_extendedprice), 6)                                  AS avg_price,
-           round(avg(l_discount), 6)                                       AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -120,22 +122,49 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
+            # exact decimal sums: per-row double values quantized ONCE to
+            # DECIMAL(18,6) (loss-free — TPC-H money/qty columns carry at
+            # most 2 decimals), summed in order-independent decimal
+            # arithmetic. round(sum(double)) is partition-order-dependent
+            # and only matched the oracle while single-row-group testdata
+            # made both engines sum in file order (TESTDATA.md rule 2).
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
-                4,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                ).cast("decimal(18,6)")
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -146,7 +175,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -177,9 +206,13 @@ def q3_shipping_priority(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -195,7 +228,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_region_revenue",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -236,9 +269,13 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -248,7 +285,7 @@ def q5_region_revenue(spark, sf_dir):
     "q_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 4) AS total,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total,
            count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -260,7 +297,9 @@ def q_cube_orders(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -270,7 +309,7 @@ def q_cube_orders(spark, sf_dir):
     "q_rollup_nation",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 4) AS total_acctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -287,7 +326,9 @@ def q_rollup_nation(spark, sf_dir):
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .alias("total_acctbal"),
         )
     )
 
@@ -379,7 +420,7 @@ def q_except_customers(spark, sf_dir):
     "q_month_revenue",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mon,
-           round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue, count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers
     FROM orders
     GROUP BY 1, 2
@@ -395,7 +436,9 @@ def q_month_revenue(spark, sf_dir):
             F.month("o_orderdate").cast("int").alias("mon"),
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -498,7 +541,8 @@ def w_running(spark, sf_dir):
     + """
     SELECT record_id,
            count(*) AS n,
-           round(avg(value), 6)    AS value_mean,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS value_mean,
            round(median(value), 6) AS value_median,
            round(max(value), 6)    AS value_max,
            round(min(value), 6)    AS value_min,
@@ -516,7 +560,13 @@ def a_user_summary(spark, sf_dir):
         sig.groupBy("record_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("value_mean"),
+            # decimal-quantized mean: a double avg's accumulation order is
+            # partition-dependent (TESTDATA.md rule 2)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("value_mean"),
             F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_median"),
             F.round(F.max("value"), 6).alias("value_max"),
             F.round(F.min("value"), 6).alias("value_min"),
@@ -898,7 +948,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.groupBy("record_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("value_mean"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("value_mean"),
             F.round(F.max("value"), 6).alias("value_max"),
             F.round(
                 duration_h(F.max("ts"), F.min("ts")), 6
@@ -2059,7 +2113,7 @@ def a_detect_error(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -2077,7 +2131,11 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+        )
+        .cast("decimal(18,2)")
+        .alias(
             "revenue"
         )
     )
@@ -2167,7 +2225,7 @@ def q_pivot_orders(spark, sf_dir):
     "q_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -2181,7 +2239,7 @@ def q_grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -3082,7 +3140,9 @@ def q_string_funcs(spark, sf_dir):
 @register(
     "a_salted_agg",
     """
-    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS avg_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -3095,10 +3155,15 @@ def a_salted_agg(spark, sf_dir):
     out = salted_agg(
         ev,
         ["event_type"],
-        partials={"__s": F.sum("value"), "__c": F.count(F.lit(1))},
+        partials={
+            "__s": F.sum(F.col("value").cast("decimal(18,6)")),
+            "__c": F.count(F.lit(1)),
+        },
         merges={
             "n": F.sum("__c"),
-            "avg_value": F.round(F.sum("__s") / F.sum("__c"), 6),
+            "avg_value": F.round(
+                F.sum("__s").cast("double") / F.sum("__c"), 6
+            ),
         },
     )
     return out.select("event_type", "n", "avg_value").orderBy("event_type")
@@ -3392,7 +3457,7 @@ def q4_priority_check(spark, sf_dir):
 @register(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -3452,7 +3517,11 @@ def q7_volume_shipping(spark, sf_dir):
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(
+            F.sum(F.col("volume").cast("decimal(18,6)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -3460,8 +3529,8 @@ def q7_volume_shipping(spark, sf_dir):
 @register(
     "q10_returned_items",
     """
-    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
-             AS revenue,
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -3495,9 +3564,13 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -3508,10 +3581,11 @@ def q10_returned_items(spark, sf_dir):
 @register(
     "q14_promo_revenue",
     """
-    SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT round(100 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                                 THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+                                ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
     """,
@@ -3532,8 +3606,12 @@ def q14_promo_revenue(spark, sf_dir):
         .agg(
             F.round(
                 100
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0))
-                / F.sum(vol),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -3543,7 +3621,7 @@ def q14_promo_revenue(spark, sf_dir):
 @register(
     "q19_discounted_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -3587,9 +3665,13 @@ def q19_discounted_revenue(spark, sf_dir):
         .join(p.filter(pre_p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(disj)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
         )
     )
 
@@ -3598,8 +3680,10 @@ def q19_discounted_revenue(spark, sf_dir):
     "q8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume
+                               ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -3661,8 +3745,12 @@ def q8_market_share(spark, sf_dir):
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume"))
+                    .otherwise(0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(F.col("volume").cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -3792,7 +3880,7 @@ def quality_topfrac(spark, sf_dir):
 @register(
     "q17_small_quantity",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -3820,7 +3908,13 @@ def q17_small_quantity(spark, sf_dir):
         li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("q_cut", 0.2 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("q_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -3899,7 +3993,7 @@ def q21_waiting_supplier(spark, sf_dir):
     "q22_global_sales",
     """
     SELECT substr(c_name, 10, 1) AS cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
         SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -3929,7 +4023,9 @@ def q22_global_sales(spark, sf_dir):
         .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("decimal(18,2)")
+            .alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -4025,7 +4121,8 @@ def dedup_incremental(spark, sf_dir):
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
@@ -4050,9 +4147,13 @@ def q15_top_supplier(spark, sf_dir):
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(18,2)")
+            .alias("total_revenue")
         )
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
