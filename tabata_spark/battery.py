@@ -2281,30 +2281,67 @@ def q_quantiles(spark, sf_dir):
 @register(
     "q_corr_stats",
     """
+    WITH sums AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sdd
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-           round(stddev_samp(l_discount), 6)                 AS sd_discount
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS cov_qty_price,
+           round(sqrt((n * sdd - sd * sd) / (n * CAST(n - 1 AS DOUBLE))), 6)
+             AS sd_discount
+    FROM sums ORDER BY l_returnflag
     """,
 )
 def q_corr_stats(spark, sf_dir):
-    """Bivariate statistics aggregates (corr/covar/stddev — SURVEY
-    §2.4 'free in Spark'; single-pass algebraic, map-side partials)."""
+    """Bivariate statistics (corr / sample covariance / sample stddev)
+    assembled from EXACT decimal power sums instead of the built-in
+    streaming-moment aggregates — the built-ins' merge order is
+    partition-dependent and their internals differ between engines;
+    the power-sum identities evaluated in a fixed double order are
+    bit-reproducible from identical exact sums (same construction as
+    w_acf). Per-row products of 2-decimal money values are exact in
+    double, so the one-time decimal quantization is loss-free."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "corr_qty_price"
-            ),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-                "cov_qty_price"
-            ),
-            F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
-        )
-        .orderBy("l_returnflag")
+
+    def dsum(expr, typ="decimal(18,6)"):
+        return F.sum(expr.cast(typ)).cast("double")
+
+    q, pr, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"),
+        dsum(pr).alias("sy"),
+        dsum(q * q).alias("sxx"),
+        dsum(pr * pr, "decimal(24,6)").alias("syy"),
+        dsum(q * pr).alias("sxy"),
+        dsum(d).alias("sd"),
+        dsum(d * d).alias("sdd"),
     )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    sd = F.sqrt(
+        (n * F.col("sdd") - F.col("sd") * F.col("sd")) / (n * (n - 1).cast("double"))
+    )
+    return sums.select(
+        "l_returnflag",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(cov, 4).alias("cov_qty_price"),
+        F.round(sd, 6).alias("sd_discount"),
+    ).orderBy("l_returnflag")
 
 
 @register(
