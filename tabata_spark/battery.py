@@ -6007,3 +6007,59 @@ def q_type_crosscorr(spark, sf_dir):
     return allk.select(
         "lag", n.cast("long").alias("n"), F.round(num / den, 6).alias("r")
     ).orderBy("lag")
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT f.user_id, f.cohort,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE date_diff('day', f.cohort, CAST(e.ts AS DATE)) BETWEEN 0 AND 6
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY cohort)
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort,
+           CAST(a.day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort
+    FROM activity a JOIN sizes s ON s.cohort = a.cohort
+    GROUP BY a.cohort, a.day_offset, s.n_cohort
+    ORDER BY cohort, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen date, a
+    row per (cohort, day-offset 0..6) counting distinct returning
+    users plus the cohort size — the classic product-analytics grid,
+    all integer counts (hash-stable trivially). One user aggregation
+    for cohorts + one distinct over (user, offset): two shuffles on
+    user-uniform keys; cohort sizes broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset").between(0, 6))
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        activity.groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+        )
+        .orderBy("cohort", "day_offset")
+    )
