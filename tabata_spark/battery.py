@@ -6063,3 +6063,58 @@ def q_cohort_retention(spark, sf_dir):
         )
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "q_dau_wau",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    cover AS (
+      SELECT DISTINCT user_id, cd FROM (
+        SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS cd
+        FROM ud)
+    ),
+    wau AS (SELECT CAST(cd AS DATE) AS d, count(*) AS wau FROM cover GROUP BY cd)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(CAST(dau.dau AS DOUBLE) / wau.wau AS DECIMAL(18,6)) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+)
+def q_dau_wau(spark, sf_dir):
+    """Engagement metrics with an EXACT trailing-7-day distinct-user
+    count: rolling COUNT(DISTINCT) has no algebraic window form, so
+    each (user, day) activity row explodes into the 7 future days it
+    covers — a bounded ×7 scan-stage explode + one distinct — and WAU
+    for day d is a plain count. DAU/WAU stickiness quantized to
+    DECIMAL from the exact integer pair. (The HLL-sketch rollup is
+    the approximate/mergeable alternative for wider windows.)"""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+            ).alias("cd"),
+        )
+        .distinct()
+    )
+    wau = cover.groupBy(F.col("cd").alias("d")).agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau"))
+            .cast("decimal(18,6)")
+            .alias("stickiness"),
+        )
+        .orderBy("day")
+    )
