@@ -81,6 +81,8 @@ HEADLINE = [
     "a_conversion_latency",
     "w_acf",
     "q_type_crosscorr",
+    "q_cohort_retention",
+    "q_dau_wau",
 ]
 
 
