@@ -6118,3 +6118,107 @@ def q_dau_wau(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_ks_sources",
+    """
+    WITH pool AS (
+      SELECT n_chars,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY n_chars
+    ),
+    tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM pool),
+    cum AS (
+      SELECT n_chars,
+             sum(a) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(b) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM pool
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+           CAST(max(abs(c1 * tot.n2 - c2 * tot.n1)) AS BIGINT) AS d_num,
+           CAST(CAST(max(abs(c1 * tot.n2 - c2 * tot.n1)) AS DOUBLE)
+                / (tot.n1 * tot.n2) AS DECIMAL(18,6)) AS ks
+    FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
+    """,
+)
+def q_ks_sources(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance between two sources'
+    doc-length distributions — distribution-drift testing with EXACT
+    integer arithmetic: D = max|c1·n2 − c2·n1| / (n1·n2) over the
+    cumulative counts at distinct values (grouping by value first
+    handles ties correctly — both CDFs step together). One small
+    aggregation + one ordered window over DISTINCT lengths; the KS
+    statistic quantizes to DECIMAL from the exact integer triple."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    pool = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pool.select(
+        F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
+    )
+    tot = pool.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    d = cum.join(F.broadcast(tot)).agg(
+        F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias(
+            "d_num"
+        ),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_num").cast("long").alias("d_num"),
+        (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")))
+        .cast("decimal(18,6)")
+        .alias("ks"),
+    )
+
+
+@register(
+    "q_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DECIMAL(18,2)) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           CAST(CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                           / lag(revenue) OVER (ORDER BY month), 4) END
+                AS DECIMAL(18,4)) AS growth_pct
+    FROM monthly ORDER BY month
+    """,
+)
+def q_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue growth: exact decimal monthly sums,
+    then a lag window over the (tiny) monthly aggregate; the growth
+    ratio quantizes to DECIMAL from the exact decimal pair."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    growth = F.when(
+        prev.isNull(), F.lit(None).cast("decimal(18,4)")
+    ).otherwise(
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).cast("decimal(18,4)")
+    )
+    return monthly.select("month", "revenue", growth.alias("growth_pct")).orderBy(
+        "month"
+    )
