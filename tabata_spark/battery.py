@@ -6222,3 +6222,79 @@ def q_revenue_growth(spark, sf_dir):
     return monthly.select("month", "revenue", growth.alias("growth_pct")).orderBy(
         "month"
     )
+
+
+@register(
+    "q_mannwhitney_sources",
+    """
+    WITH pool AS (
+      SELECT n_chars,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY n_chars
+    ),
+    ranked AS (
+      SELECT a, b,
+             sum(a + b) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chi,
+             a + b AS t
+      FROM pool
+    ),
+    -- doubled midrank of a value group = (rank before group) + (rank
+    -- after group) + 1 summed form: 2*mid = 2*chi - t + 1, an INTEGER
+    contrib AS (
+      SELECT sum(a * (2 * chi - t + 1)) AS two_r1,
+             sum(a) AS n1, sum(b) AS n2
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST((two_r1 - n1 * (n1 + 1)) / 2 AS BIGINT) AS u1,
+           CAST(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n2)
+                AS DECIMAL(18,6)) AS auc
+    FROM contrib
+    """,
+)
+def q_mannwhitney_sources(spark, sf_dir):
+    """Mann–Whitney U between two sources' doc-length distributions —
+    the rank-based drift test (its normalized form U/(n1·n2) is the
+    probability a random src0 doc is longer than a random src1 doc,
+    i.e. the AUC). Tie handling via DOUBLED midranks keeps every
+    intermediate an exact integer: 2·midrank of a value group =
+    2·(cumulative count) − (group size) + 1. One distinct-value
+    aggregation + one ordered window — the same tiny-series shape as
+    the KS test."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    pool = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pool.select(
+        "a",
+        "b",
+        F.sum(F.col("a") + F.col("b")).over(w).alias("chi"),
+        (F.col("a") + F.col("b")).alias("t"),
+    )
+    contrib = ranked.agg(
+        F.sum(F.col("a") * (2 * F.col("chi") - F.col("t") + 1)).alias("two_r1"),
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+    )
+    return contrib.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        ((F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)) / 2)
+        .cast("long")
+        .alias("u1"),
+        (
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2.0 * F.col("n1") * F.col("n2"))
+        )
+        .cast("decimal(18,6)")
+        .alias("auc"),
+    )
