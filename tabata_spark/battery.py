@@ -6298,3 +6298,52 @@ def q_mannwhitney_sources(spark, sf_dir):
         .cast("decimal(18,6)")
         .alias("auc"),
     )
+
+
+@register(
+    "q_gini_sources",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    sums AS (
+      SELECT source, count(*) AS n, sum(n_chars) AS sx,
+             sum(i * n_chars) AS six
+      FROM ranked GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total_chars,
+           CAST(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx)
+                AS DECIMAL(18,6)) AS gini
+    FROM sums ORDER BY source
+    """,
+)
+def q_gini_sources(spark, sf_dir):
+    """Per-source Gini coefficient of doc-length concentration —
+    the inequality statistic behind 'is this domain a few huge pages
+    or many small ones'. Computed from the rank identity
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over per-source sorted
+    lengths: every term is an exact integer (lengths and ranks), the
+    single division happens once in double. One per-source rank
+    window + one aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("six"),
+    )
+    gini = (
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx"))
+    ).cast("decimal(18,6)")
+    return sums.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("total_chars"),
+        gini.alias("gini"),
+    ).orderBy("source")
