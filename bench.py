@@ -83,6 +83,9 @@ HEADLINE = [
     "q_type_crosscorr",
     "q_cohort_retention",
     "q_dau_wau",
+    # bench-only (battery.BENCH_EXTRA): production xxhash64 simhash —
+    # the md5 variant above is the oracle-parity twin
+    "dedup_simhash_prod",
 ]
 
 
@@ -117,7 +120,7 @@ def main():
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = battery.QUERIES[name]
+        fn = battery.QUERIES.get(name) or battery.BENCH_EXTRA[name]
         try:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

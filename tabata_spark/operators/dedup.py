@@ -1239,6 +1239,7 @@ def connected_components_star(
 
     ce = cut(ce)
     sig = signature(ce)
+    converged = False
     for _ in range(max_iter):
         # large-star
         sym = ce.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
@@ -1270,9 +1271,19 @@ def connected_components_star(
         ce = cut(small)
         new_sig = signature(ce)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
-    # fixed point: stars (root=a, member=b); min() guards unconverged max_iter exits
+    if not converged:
+        # An unconverged edge set is not guaranteed to be a star forest;
+        # the min() fold below would return silently-wrong labels.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter (star contraction needs O(log n) "
+            "rounds — 50 covers any realistic graph, so a miss here "
+            "usually means the edge input is unstable between scans)"
+        )
+    # fixed point: stars (root=a, member=b)
     member = ce.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("comp"))
     roots = ce.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = member.unionByName(roots).groupBy("id").agg(F.min("comp").alias("comp"))

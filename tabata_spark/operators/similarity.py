@@ -827,6 +827,10 @@ def pq_encode(
     as :func:`ivf_assign`. No shuffle: encoding is scan-stage."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    _check_sql_ident(out_prefix)
+    for j in range(m):
+        for c in codebooks[j]:
+            _check_finite(c, f"codebook {j}")
     # each subspace's argmin is ONE SQL string parsed JVM-side: the
     # Column-by-Column build (m·ksub·sub literals through py4j) cost
     # ~4 s of driver time per query construction — the savgol lesson
@@ -876,6 +880,28 @@ def pq_unpack(df: DataFrame, m: int, ksub: int, code_col: str = "pq_code", prefi
     return out
 
 
+def _check_sql_ident(name: str) -> str:
+    """Column-name fragments spliced into F.expr strings must be plain
+    identifiers — a metacharacter-bearing prefix would fail to parse or
+    inject arbitrary expression text into the plan."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"prefix {name!r} is not a plain SQL identifier")
+    return name
+
+
+def _check_finite(values, what: str) -> None:
+    """Codebook/query floats become SQL double literals; NaN/inf (a
+    degenerate k-means fit can produce them) would not round-trip
+    through `{v!r}D`."""
+    import math
+
+    for v in values:
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite value {v!r} in {what}")
+
+
 def _l2sq_py(a, b) -> float:
     acc = 0.0
     for x, y in zip(a, b):
@@ -905,6 +931,11 @@ def pq_adc_topk(
     sub = len(codebooks[0][0])
     if len(query) != m * sub:
         raise ValueError("query dim != m * subdim")
+    _check_sql_ident(prefix)
+    _check_finite(query, "query")
+    for j in range(m):
+        for c in codebooks[j]:
+            _check_finite(c, f"codebook {j}")
     tables = [
         [_l2sq_py(query[j * sub : (j + 1) * sub], c) for c in codebooks[j]]
         for j in range(m)

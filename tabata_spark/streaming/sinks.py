@@ -118,7 +118,16 @@ def stream_rollup_maintain(
     union — work per trigger is O(batch + touched buckets), never
     O(store)). The checkpointed source gives each batch exactly-once
     delivery into the merge, which is what makes the non-idempotent
-    count/sum algebra safe here."""
+    count/sum algebra safe here.
+
+    Known double-count window: the per-batch idempotence marker is
+    written AFTER the upsert commits, so a crash between the upsert and
+    the marker write replays that one batch into the store on restart.
+    This is the honest limit of a filesystem store — closing it needs a
+    transactional table format (Delta/Iceberg) where the merge and the
+    batch-id record commit atomically. The marker itself is written
+    atomically (temp file + os.replace), so a torn write never counts
+    as committed."""
     from tabata_spark.operators.rollup import upsert_rollup
 
     ledger = os.path.join(store_path + ".__batches__")
@@ -138,8 +147,10 @@ def stream_rollup_maintain(
         upsert_rollup(
             batch_df.sparkSession, store_path, batch_df, width, key, distinct_col
         )
-        with open(marker, "w") as f:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write("committed")
+        os.replace(tmp, marker)
 
     return (
         sdf.writeStream.foreachBatch(_write)

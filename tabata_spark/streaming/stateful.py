@@ -124,7 +124,13 @@ def streaming_cusum(
     (key, ts, s, alarm) rows as :func:`batch_cusum`."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id long, ts timestamp, s double, alarm boolean"
+    # Output schema derived from the INPUT column names and types, so a
+    # non-default key name or a string/int key round-trips correctly
+    # (a literal 'user_id long' schema mislabeled or broke any other
+    # keying).
+    key_type = events.schema[key].dataType.simpleString()
+    ts_type = events.schema[ts].dataType.simpleString()
+    out_schema = f"`{key}` {key_type}, `{ts}` {ts_type}, s double, alarm boolean"
     state_schema = "r double, rmin double"
 
     def fn(key_tuple, pdfs, state: GroupState):
@@ -140,8 +146,8 @@ def streaming_cusum(
                 out_s.append(r - min(0.0, rmin))
             yield pd.DataFrame(
                 {
-                    "user_id": pdf[key].astype("int64"),
-                    "ts": pdf[ts],
+                    key: pdf[key],
+                    ts: pdf[ts],
                     "s": out_s,
                     "alarm": [v > h for v in out_s],
                 }

@@ -10,6 +10,7 @@ one line per query. Run:
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -40,6 +41,16 @@ def normalize(rows, cols):
                     # round-4 w_sessionize red was invisible locally).
                     # -0.0 normalized: engines disagree on its sign.
                     vals.append(repr(v + 0.0 if v == 0.0 else v))
+            elif isinstance(v, decimal.Decimal):
+                # Decimal canonicalized through float: both engines hand
+                # back Python Decimal locally, so a plain str() compare
+                # is blind to the scale/trailing-zero/type divergence
+                # that made the driver's hasher disagree on the r5
+                # decimal outputs (VERDICT r5 item 4). The float repr is
+                # what the driver reliably hashes — compare in that
+                # space. (Battery outputs should not be decimal at all;
+                # see the decimal-output FAIL below.)
+                vals.append(repr(float(v)))
             elif isinstance(v, bool):
                 vals.append(str(bool(v)))
             elif v is None:
@@ -73,8 +84,21 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            from pyspark.sql.types import DecimalType
+
+            dec_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, DecimalType)
+            ]
             srows = [tuple(r) for r in sdf.collect()]
-            if name in battery.ORACLES:
+            if dec_cols:
+                # Driver-risky: the per-round hasher canonicalizes
+                # DOUBLE/int reliably and DECIMAL unreliably (all nine
+                # r5 hash-reds were decimal outputs). Battery outputs
+                # must encode exact decimals as DOUBLE at the boundary.
+                status, detail = "FAIL", f"decimal output columns {dec_cols}"
+            elif name in battery.ORACLES:
                 ores = con.sql(battery.ORACLES[name])
                 ocols = ores.columns
                 orows = ores.fetchall()
