@@ -1072,7 +1072,8 @@ def q_semi_customers(spark, sf_dir):
 def w_tumbling(spark, sf_dir):
     """Tumbling event-time window agg (streaming twin — identical
     expression runs under a watermark in streaming/windows.py).
-    Hash-stable outputs: BIGINT µs window start, exact decimal sum."""
+    Hash-stable outputs: BIGINT µs window start + the exact decimal
+    sum encoded as DOUBLE at the boundary."""
     from tabata_spark.streaming.windows import tumbling_agg
 
     ev = _t(spark, sf_dir, "events")
@@ -1109,8 +1110,9 @@ def w_sliding(spark, sf_dir):
     slide — streaming twin of streaming.windows.sliding_agg (identical
     expression under a watermark). The oracle enumerates each event's
     two containing windows via a cross join on the slide index.
-    Hash-stable outputs: BIGINT µs bounds + exact decimal sum (mean is
-    derivable as sum_value / n)."""
+    Hash-stable outputs: BIGINT µs bounds + the exact decimal sum
+    encoded as DOUBLE at the boundary (mean derivable as
+    sum_value / n)."""
     from tabata_spark.streaming.windows import sliding_agg
 
     ev = _t(spark, sf_dir, "events")
@@ -1756,7 +1758,8 @@ def sample_dsir(spark, sf_dir):
     """DSIR importance weights toward the English subset: hashed
     unigram buckets (salted md5, engine-portable), add-1 smoothed
     target/raw bucket distributions, per-doc sum of DECIMAL-quantized
-    log-ratios (order-independent, hash-stable by construction)."""
+    log-ratios (order-independent), encoded as DOUBLE at the output
+    boundary (register() lint)."""
     from tabata_spark.operators.sampling import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
@@ -2543,8 +2546,9 @@ def text_fertility(spark, sf_dir):
     docs, chars, UTF-8 bytes, whitespace words, BPE-ish pretokens, and
     tokens-per-byte fertility — the numbers a pretraining data report
     leads with (token budget per domain, byte efficiency per
-    language). Integer sums + one DECIMAL ratio: hash-stable; a single
-    map-side-combinable aggregation, linear at any corpus size."""
+    language). Integer sums + one DECIMAL-quantized ratio encoded as
+    DOUBLE at the output; a single map-side-combinable aggregation,
+    linear at any corpus size."""
     from tabata_spark.operators.text import bpe_token_count, token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -6453,3 +6457,40 @@ def dedup_simhash_prod(spark, sf_dir):
     )
     fp = simhash(corpus)  # default token_hash = seeded xxhash64
     return simhash_near_pairs(fp, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "mixture_temp",
+    """
+    WITH obs AS (SELECT lang, count(*) AS w FROM documents GROUP BY lang),
+    tq AS (SELECT lang, w,
+                  CAST(round(pow(w::DOUBLE, 0.7), 6) AS DECIMAL(18,6)) AS tn
+           FROM obs),
+    z AS (SELECT CAST(sum(tn) AS DECIMAL(28,6)) AS z FROM tq),
+    s AS (SELECT lang, w, tn::DOUBLE / z::DOUBLE AS t FROM tq, z),
+    c AS (SELECT min(w / t) AS cap FROM s),
+    frac AS (SELECT lang, least(1.0, t * cap / w) AS keep FROM s, c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN frac USING (lang)
+    WHERE ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 10000 < keep * 10000
+    ORDER BY d.doc_id
+    """,
+)
+def mixture_temp(spark, sf_dir):
+    """Temperature-scaled mixture sampling (mT5/XLM-R rule, alpha=0.7):
+    target share ∝ count^alpha — flattens the language distribution
+    without going fully uniform. Same derived-fraction machinery as
+    mixture_uniform (most-underrepresented stratum kept whole, others
+    downsampled by the deterministic salted hash); the pow weights are
+    DECIMAL-quantized before the normalizing sum so both engines derive
+    bit-identical fractions. One tiny strata agg broadcast back + a
+    scan-stage predicate — no fact-table shuffle at any scale."""
+    from tabata_spark.operators.sampling import mixture_temperature
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_temperature(docs, "lang", alpha=0.7, salt="temp")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

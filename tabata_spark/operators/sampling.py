@@ -141,6 +141,61 @@ def mixture_rebalance(
     )
 
 
+def mixture_temperature(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    weight_col: str | Column = None,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/XLM-R multilingual
+    rebalancing rule): target share t_s ∝ w_s^alpha. alpha=1 keeps the
+    natural mixture, alpha=0 is uniform (:func:`mixture_rebalance`'s
+    default), 0<alpha<1 upsamples the tail RELATIVELY by downsampling
+    heads less than proportionally.
+
+    Keep-fraction derivation mirrors mixture_rebalance: the
+    most-underrepresented stratum (max w_s/t_s deficit... i.e. min
+    w_s/t_s capacity) is kept whole, everything else downsampled to
+    ``min(1, t_s · C / w_s)`` with C = min_s w_s/t_s. Engine
+    portability: pow(w, alpha) is quantized to DECIMAL(18,6) per
+    stratum BEFORE the normalizing sum, so the normalizer is an exact
+    decimal sum (order-independent) and the keep fraction is a fixed
+    per-row double expression — deterministic in both engines.
+
+    Plan shape: one tiny strata aggregation broadcast back + the
+    scan-stage salted-hash predicate; the fact table never shuffles.
+    """
+    w = F.lit(1) if weight_col is None else (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    )
+    obs = df.groupBy(strata_col).agg(F.sum(w).alias("__w"))
+    tnum = (
+        F.round(F.pow(F.col("__w").cast("double"), F.lit(float(alpha))), 6)
+        .cast("decimal(18,6)")
+    )
+    obs = obs.withColumn("__tn", tnum)
+    z = obs.agg(F.sum("__tn").cast("decimal(28,6)").alias("__z"))
+    scored = obs.join(F.broadcast(z)).withColumn(
+        "__t", F.col("__tn").cast("double") / F.col("__z").cast("double")
+    )
+    cap_df = scored.agg(F.min(F.col("__w") / F.col("__t")).alias("__cap"))
+    frac = scored.join(F.broadcast(cap_df)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.col("__t") * F.col("__cap") / F.col("__w")
+        ).alias("__keep"),
+    )
+    b = hash_bucket(id_col, buckets=buckets, salt=salt)
+    return (
+        df.join(F.broadcast(frac), strata_col)
+        .filter(b < F.col("__keep") * buckets)
+        .drop("__keep")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,
