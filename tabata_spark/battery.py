@@ -6494,3 +6494,40 @@ def mixture_temp(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_pareto",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             least(1.0, 5.0 * round(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','a','in','is','that')))
+                 * 1.0 / len(string_split(text, ' ')), 6)) AS score
+      FROM documents
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM q
+    WHERE score > 1.0 - (pow(1.0 - ((('0x' || substr(md5('pareto:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                                     % 10000) + 0.5) / 10000.0, -1.0 / 9.0) - 1.0)
+    ORDER BY doc_id
+    """,
+)
+def sample_pareto(spark, sf_dir):
+    """GPT-3-style Pareto quality gate over a stopword-density score:
+    keep iff score > 1 - X, X ~ Pareto(9) drawn deterministically from
+    the salted-hash uniform — most high-score docs survive, a long
+    tail of low-score docs still gets through (diversity). Scan-stage
+    predicate, no shuffle; the oracle replays the identical inverse-CDF
+    arithmetic."""
+    from tabata_spark.operators.sampling import pareto_quality_sample
+    from tabata_spark.operators.text import quality_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    score = F.least(F.lit(1.0), 5.0 * quality_columns("text")["stopword_ratio"])
+    scored = docs.select("doc_id", score.alias("__score"))
+    return (
+        pareto_quality_sample(scored, "__score", alpha=9.0, salt="pareto")
+        .select("doc_id", F.round("__score", 6).alias("score"))
+        .orderBy("doc_id")
+    )

@@ -196,6 +196,35 @@ def mixture_temperature(
     )
 
 
+def pareto_quality_sample(
+    df: DataFrame,
+    score_col: str | Column,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    salt: str = "pareto",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """GPT-3's stochastic quality gate: keep a document iff
+    ``score > 1 - X`` with ``X ~ Pareto(alpha)`` — a soft threshold
+    that keeps most high-score docs while letting a long tail of
+    low-score docs through (diversity preservation; hard cutoffs
+    overfit the quality model's biases).
+
+    Deterministic twist: the Pareto draw comes from the salted-hash
+    uniform ``u = (bucket + 0.5) / buckets`` through the inverse CDF
+    ``X = (1 - u)^(-1/alpha) - 1`` — reproducible under repartitioning
+    and engine-portable (the DuckDB oracle replays the identical
+    arithmetic). Scan-stage predicate; no shuffle at any scale.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    u = (
+        hash_bucket(id_col, buckets=buckets, salt=salt).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(buckets))
+    x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return df.filter(s > F.lit(1.0) - x)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,
