@@ -287,3 +287,66 @@ def test_bootstrap_ci_covers_true_mean(spark, sf_dir):
         for r in bootstrap_means(ev.repartition(13), n_replicates=40).collect()
     )
     assert ms3 == ms
+
+
+def test_mixture_temperature_alpha_one_keeps_everything(ids):
+    # alpha=1: target share == natural share -> every keep fraction is
+    # exactly 1 (cap = total weight), nothing is dropped.
+    from tabata_spark.operators.sampling import mixture_temperature
+
+    out = mixture_temperature(ids, "lang", alpha=1.0)
+    assert out.count() == ids.count()
+
+
+def test_mixture_temperature_flattens_between_natural_and_uniform(ids):
+    from tabata_spark.operators.sampling import (
+        mixture_rebalance,
+        mixture_temperature,
+    )
+
+    def share_en(df):
+        n = df.count()
+        return df.filter(F.col("lang") == "en").count() / n
+
+    natural = share_en(ids)  # ~1/3
+    uniform = share_en(mixture_rebalance(ids, "lang"))  # ~1/2
+    temp = share_en(mixture_temperature(ids, "lang", alpha=0.5))
+    # temperature in (0,1) lands strictly between natural and uniform
+    assert natural + 0.02 < temp < uniform - 0.02
+
+
+def test_mixture_temperature_stable_under_repartition(ids):
+    from tabata_spark.operators.sampling import mixture_temperature
+
+    a = sorted(r["doc_id"] for r in mixture_temperature(ids, "lang", alpha=0.7).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_temperature(ids.repartition(13), "lang", alpha=0.7).collect()
+    )
+    assert a == b
+
+
+def test_pareto_gate_keeps_all_top_score_and_few_zero_score(ids):
+    from tabata_spark.operators.sampling import pareto_quality_sample
+
+    scored = ids.withColumn(
+        "score", F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0)
+    )
+    kept = pareto_quality_sample(scored, "score", alpha=9.0)
+    n_top = scored.filter(F.col("score") == 1.0).count()
+    kept_top = kept.filter(F.col("score") == 1.0).count()
+    kept_zero = kept.filter(F.col("score") == 0.0).count()
+    # score 1 > 1 - X always (X > 0 strictly) -> all kept
+    assert kept_top == n_top
+    # score 0 survives only when X > 1, i.e. u > 1 - 2^-9 (~0.2%)
+    assert kept_zero < 0.01 * n_top
+
+
+def test_pareto_gate_keep_rate_increases_with_score(ids):
+    from tabata_spark.operators.sampling import pareto_quality_sample
+
+    rates = []
+    for s in (0.2, 0.6, 0.9):
+        scored = ids.withColumn("score", F.lit(s))
+        rates.append(pareto_quality_sample(scored, "score").count() / ids.count())
+    assert rates[0] < rates[1] < rates[2]
