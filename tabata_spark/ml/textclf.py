@@ -98,9 +98,14 @@ def keep_top_quality(
 
     The cutoff is an approximate quantile of the score distribution
     (approxQuantile — one pass, mergeable sketch), then a scan-stage
-    predicate: two linear passes total, no sort. Ties at the cutoff
-    are kept (the conservative side for a quality gate)."""
-    scores = score_quality(model, docs, id_col=id_col)
+    predicate: the (id, score) frame is persisted so the corpus is
+    scored ONCE, not once for the quantile and again for the filter.
+    Ties at the cutoff are kept (the conservative side for a quality
+    gate)."""
+    # persisted through the quantile action so the returned plan's
+    # filter reads the cache instead of re-scoring; the 2-column frame
+    # is small relative to the corpus and LRU-evicts when cold
+    scores = score_quality(model, docs, id_col=id_col).persist()
     cut = scores.approxQuantile("quality_prob", [1.0 - fraction], 1e-3)[0]
     keep = scores.filter(F.col("quality_prob") >= cut).select(id_col, "quality_prob")
     return docs.join(keep, id_col)
