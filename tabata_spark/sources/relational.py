@@ -33,10 +33,13 @@ TEMPORAL_COLS = frozenset({"ts", "o_orderdate", "l_shipdate"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # runtime-settable SQL conf: required even when the caller's session
+    # runtime-settable SQL confs: required even when the caller's session
     # wasn't built by tabata_spark.session.get_spark (e.g. the driver's
-    # own SparkSession in the verify harness)
+    # own bare SparkSession in the verify harness). The UTC pin keeps
+    # NTZ-reinterpretation and date_format/epoch arithmetic identical to
+    # the DuckDB oracles even on a host whose JVM default zone isn't UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _normalize_ts(df)
 

@@ -69,7 +69,26 @@ def main():
     from tabata_spark import battery
     from tabata_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_BARE"):
+        # driver replica: a BARE session (none of session.py's configs)
+        # — the per-call confs in sources.relational.load_table must
+        # carry the whole correctness story, exactly as in the driver's
+        # own harness
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName(
+            "oracle-check-bare"
+        ).getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
+    split = os.environ.get("SPARK_GRAFT_SPLIT_BYTES")
+    if split:
+        # adversarial scan splitting: shatter the parquet inputs into
+        # many tiny partitions so partial-aggregation order diverges
+        # maximally from file order — any output that only matched the
+        # oracle via accidental accumulation order fails this sweep
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
