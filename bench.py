@@ -83,6 +83,8 @@ HEADLINE = [
     "q_type_crosscorr",
     "q_cohort_retention",
     "q_dau_wau",
+    "mixture_temp",
+    "sample_pareto",
     # bench-only (battery.BENCH_EXTRA): production xxhash64 simhash —
     # the md5 variant above is the oracle-parity twin
     "dedup_simhash_prod",
