@@ -6531,3 +6531,75 @@ def sample_pareto(spark, sf_dir):
         .select("doc_id", F.round("__score", 6).alias("score"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_chi2_source_lang",
+    """
+    WITH cells AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, sum(o) AS rt FROM cells GROUP BY source),
+    ct AS (SELECT lang, sum(o) AS ct FROM cells GROUP BY lang),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT source) AS nr,
+                   count(DISTINCT lang) AS nc
+            FROM cells)
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           CAST(any_value(nr) AS BIGINT) AS n_rows,
+           CAST(any_value(nc) AS BIGINT) AS n_cols,
+           CAST((any_value(nr) - 1) * (any_value(nc) - 1) AS BIGINT) AS dof,
+           CAST(CAST(sum(CAST(round(pow(o - (rt::DOUBLE * ct / n), 2)
+                                    / (rt::DOUBLE * ct / n), 6)
+                              AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS chi2
+    FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot
+    """,
+)
+def q_chi2_source_lang(spark, sf_dir):
+    """Pearson chi-squared independence over the source × lang
+    contingency table — categorical composition drift. Exact integer
+    marginals, fixed-order double cell terms DECIMAL-quantized before
+    the (order-independent) sum, DOUBLE at the boundary. One cell
+    aggregation + two broadcast marginals — never large."""
+    from tabata_spark.operators.stats import chi_squared_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_squared_independence(docs, "source", "lang")
+
+
+@register(
+    "q_psi_sources",
+    """
+    WITH pool AS (
+      SELECT n_chars // 100 AS bkt,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k FROM pool)
+    SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b,
+           CAST(any_value(k) AS BIGINT) AS n_buckets,
+           CAST(CAST(sum(CAST(round(
+                 ((ca + 0.5) / (na + 0.5 * k) - (cb + 0.5) / (nb + 0.5 * k))
+                 * ln(((ca + 0.5) / (na + 0.5 * k))
+                      / ((cb + 0.5) / (nb + 0.5 * k))), 6)
+               AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS psi
+    FROM pool CROSS JOIN tot
+    """,
+)
+def q_psi_sources(spark, sf_dir):
+    """Population Stability Index between two sources' doc-length
+    distributions (fixed-width 100-char integer bins — engine-portable,
+    unlike quantile bins), add-0.5 smoothing over the union bucket set.
+    The drift score every feature-monitoring pipeline reports; same
+    tiny-aggregation shape as the KS/Mann-Whitney tests."""
+    from tabata_spark.operators.stats import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi_drift(
+        docs,
+        (F.col("n_chars") / 100).cast("long"),
+        "source",
+        ("src0", "src1"),
+    )

@@ -103,3 +103,100 @@ def bootstrap_means(
         .select(*keys, "r.b", "r.mean_b")
         .orderBy(*keys, "b")
     )
+
+
+def chi_squared_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared test of independence over the (row_col,
+    col_col) contingency table — the categorical drift check ("did the
+    source × language composition shift?"). Returns one row
+    (n, n_rows, n_cols, dof, chi2).
+
+    Engine-portable determinism: observed counts and marginals are
+    exact integers; each cell's (O-E)^2/E term is a fixed-order double
+    expression from those integers, quantized to DECIMAL before the
+    cell sum (order-independent), encoded as DOUBLE at the boundary.
+    Plan shape: one count aggregation over cells + two tiny marginal
+    aggregations broadcast back — a contingency table is never large.
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("__o"))
+    rt = cells.groupBy(row_col).agg(F.sum("__o").alias("__rt"))
+    ct = cells.groupBy(col_col).agg(F.sum("__o").alias("__ct"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct(row_col).alias("__nr"),
+        F.countDistinct(col_col).alias("__nc"),
+    )
+    e = F.col("__rt").cast("double") * F.col("__ct") / F.col("__n")
+    term = F.pow(F.col("__o") - e, F.lit(2.0)) / e
+    dec = f"decimal(28,{decimals})"
+    return (
+        cells.join(F.broadcast(rt), row_col)
+        .join(F.broadcast(ct), col_col)
+        .join(F.broadcast(tot))
+        .agg(
+            F.first("__n").alias("n"),
+            F.first("__nr").cast("long").alias("n_rows"),
+            F.first("__nc").cast("long").alias("n_cols"),
+            ((F.first("__nr") - 1) * (F.first("__nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.sum(F.round(term, decimals).cast(dec))
+            .cast(dec)
+            .cast("double")
+            .alias("chi2"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    bucket_col,
+    group_col: str,
+    groups: tuple[str, str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two groups' distributions
+    over a pre-binned column — the industry-standard "has this feature
+    drifted" score (rule of thumb: <0.1 stable, >0.25 action).
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i) with add-0.5 smoothing
+    over the UNION of observed buckets (both engines see the same
+    bucket set, so smoothing is symmetric). Pass an integer-valued
+    bucket expression (e.g. ``F.col("n_chars") / 100`` floored) —
+    quantile binning is engine-divergent, fixed-width integer bins are
+    not. Per-bucket terms are DECIMAL-quantized before the sum;
+    output encodes as DOUBLE. One aggregation over buckets.
+    """
+    a, b = groups
+    bc = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
+    pool = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(bc.alias("__bkt"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col(group_col) == b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    tot = pool.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    p = (F.col("__ca") + 0.5) / (F.col("__na") + 0.5 * F.col("__k"))
+    q = (F.col("__cb") + 0.5) / (F.col("__nb") + 0.5 * F.col("__k"))
+    term = (p - q) * F.log(p / q)
+    dec = f"decimal(28,{decimals})"
+    return pool.join(F.broadcast(tot)).agg(
+        F.first("__na").cast("long").alias("n_a"),
+        F.first("__nb").cast("long").alias("n_b"),
+        F.first("__k").cast("long").alias("n_buckets"),
+        F.sum(F.round(term, decimals).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("psi"),
+    )
