@@ -1,0 +1,88 @@
+"""Drift statistics (stats.chi_squared_independence / stats.psi_drift):
+pandas-reference parity on driver testdata, plus shape invariants.
+(The DuckDB oracles in battery.py are the second independent check;
+this is the third path, computed row-at-a-time in pandas.)"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.stats import chi_squared_independence, psi_drift
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, source, lang, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_chi2_matches_pandas_reference(docs, pdf):
+    row = chi_squared_independence(docs, "source", "lang").collect()[0]
+    tab = pd.crosstab(pdf["source"], pdf["lang"])
+    n = tab.values.sum()
+    chi2 = 0.0
+    for r in tab.index:
+        for c in tab.columns:
+            o = tab.loc[r, c]
+            if o == 0:
+                continue  # operator aggregates observed cells only
+            e = tab.loc[r].sum() * tab[c].sum() / n
+            chi2 += round((o - e) ** 2 / e, 6)
+    assert row["n"] == n
+    assert row["dof"] == (len(tab.index) - 1) * (len(tab.columns) - 1)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-9)
+
+
+def test_chi2_zero_for_independent_construction(spark):
+    # A perfectly balanced table has chi2 == 0 exactly.
+    rows = [(f"r{i % 4}", f"c{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_squared_independence(df, "a", "b").collect()[0]
+    assert out["chi2"] == 0.0
+    assert out["dof"] == 6
+
+
+def test_psi_matches_pandas_reference(docs, pdf):
+    row = psi_drift(
+        docs,
+        (F.col("n_chars") / 100).cast("long"),
+        "source",
+        ("src0", "src1"),
+    ).collect()[0]
+    sub = pdf[pdf["source"].isin(["src0", "src1"])].copy()
+    sub["bkt"] = sub["n_chars"] // 100
+    pool = (
+        sub.groupby("bkt")["source"]
+        .agg(ca=lambda s: (s == "src0").sum(), cb=lambda s: (s == "src1").sum())
+        .reset_index()
+    )
+    na, nb, k = pool["ca"].sum(), pool["cb"].sum(), len(pool)
+    psi = 0.0
+    for _, r in pool.iterrows():
+        p = (r["ca"] + 0.5) / (na + 0.5 * k)
+        q = (r["cb"] + 0.5) / (nb + 0.5 * k)
+        psi += round((p - q) * math.log(p / q), 6)
+    assert (row["n_a"], row["n_b"], row["n_buckets"]) == (na, nb, k)
+    assert row["psi"] == pytest.approx(psi, abs=1e-9)
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    rows = [(i % 7, g) for i in range(700) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "bkt long, grp string")
+    out = psi_drift(df, "bkt", "grp", ("a", "b")).collect()[0]
+    assert out["psi"] == 0.0
+    assert out["n_buckets"] == 7
