@@ -6603,3 +6603,116 @@ def q_psi_sources(spark, sf_dir):
         "source",
         ("src0", "src1"),
     )
+
+
+@register(
+    "q_dataset_card",
+    r"""
+    SELECT source,
+           count(*)                               AS n_docs,
+           count(DISTINCT md5(text))              AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(strlen(text)) AS BIGINT)      AS n_bytes,
+           CAST(min(n_chars) AS BIGINT)           AS len_min,
+           CAST(max(n_chars) AS BIGINT)           AS len_max,
+           round(sum(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','a','in','is','that'))))
+                 * 1.0 / sum(len(string_split(text, ' '))), 6) AS stopword_ratio,
+           count(DISTINCT lang)                   AS n_langs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dataset_card(spark, sf_dir):
+    """The per-source dataset-card row every corpus release publishes:
+    volume (docs/words/bytes), exact-dup rate (distinct content hash),
+    length extremes, corpus-level stopword density, language spread —
+    ONE map-side-combinable aggregation over the corpus (the distinct
+    counts are the only shuffled state, keyed by source). At 100 TB
+    this is the single-pass report job."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin(
+                "the", "and", "of", "to", "a", "in", "is", "that"
+            ),
+        )
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            .cast("long")
+            .alias("n_exact_dups"),
+            F.sum(F.size(toks)).cast("long").alias("n_words"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+            F.min("n_chars").cast("long").alias("len_min"),
+            F.max("n_chars").cast("long").alias("len_max"),
+            F.round(F.sum(stop) / F.sum(F.size(toks)), 6).alias(
+                "stopword_ratio"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sample_cluster_cap",
+    """
+    WITH cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS e
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    d AS (
+      SELECT v.vec_id, cb.cid,
+             list_reduce(list_transform(range(1, 65),
+                 i -> (v.e[i] - cb.e[i]) * (v.e[i] - cb.e[i])),
+               (a, b) -> a + b) AS d
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+      CROSS JOIN cb
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d)
+      WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+                 ORDER BY md5('ccap:' || vec_id::VARCHAR), vec_id) AS rk
+      FROM asg)
+    WHERE rk <= 25
+    ORDER BY vec_id
+    """,
+)
+def sample_cluster_cap(spark, sf_dir):
+    """Cluster-balanced corpus sampling: assign every embedding to its
+    nearest coarse centroid (deterministic codebook = the 8 smallest-id
+    vectors, same engine-portable convention as the PQ oracle), then
+    cap each cluster at 25 by the salted-hash order — topic rebalancing
+    for embedding-curated corpora (SemDeDup's sibling: cap clusters
+    instead of deduping inside them). Composition of two verified
+    operators (ivf_assign + domain_cap); the cap's two-phase sharded
+    variant bounds per-task memory under cluster skew at 100 TB."""
+    from tabata_spark.operators.sampling import domain_cap
+    from tabata_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    asg = ivf_assign(emb, cents)
+    out = domain_cap(asg, domain="ivf_cell", id_col="vec_id", cap=25, salt="ccap")
+    return out.select(
+        "vec_id", F.col("ivf_cell").cast("long").alias("cell")
+    ).orderBy("vec_id")
