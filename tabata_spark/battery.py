@@ -6716,3 +6716,47 @@ def sample_cluster_cap(spark, sf_dir):
     return out.select(
         "vec_id", F.col("ivf_cell").cast("long").alias("cell")
     ).orderBy("vec_id")
+
+
+def _srp_oracle_sql(in_dim: int, out_dim: int, seed: str) -> str:
+    """Machine-generate the DuckDB replay of the Rademacher projection
+    (the savgol pattern: derive the constant matrix in Python, embed
+    the identical literals in both engines)."""
+    import math
+
+    from tabata_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(in_dim, out_dim, seed)
+    factor = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for j, row in enumerate(signs):
+        slit = "[" + ", ".join(repr(s) for s in row) + "]"
+        cols.append(
+            f"round(list_reduce(list_transform(range(1, {in_dim + 1}), "
+            f"i -> e[i] * ({slit})[i]), (a, b) -> a + b) * {factor!r}, 6) AS p{j}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT vec_id,
+           {sel}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ORDER BY vec_id
+    """
+
+
+@register("sim_srp_project", _srp_oracle_sql(64, 8, "srp"))
+def sim_srp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction 64 -> 8 dims by a deterministic
+    Rademacher projection (Achlioptas ±1 entries; md5-derived sign
+    matrix, so the oracle replays it bit-for-bit). Each output dim is
+    one codegen fold over the embedding array — scan-stage, no
+    shuffle; the cheap shrink before ANN indexing when the full
+    dimension is overkill."""
+    from tabata_spark.operators.similarity import srp_project, srp_signs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = srp_signs(64, 8, "srp")
+    out = srp_project(emb, signs)
+    return out.select(
+        "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(8)]
+    ).orderBy("vec_id")

@@ -1034,3 +1034,60 @@ def hard_negatives(
         .filter(F.col("__rk") <= k)
         .select(query_id, id_col, F.col("__cos").alias("cosine"))
     )
+
+
+def srp_signs(in_dim: int, out_dim: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix for
+    :func:`srp_project`, derived from md5 so ANY engine (or the DuckDB
+    oracle) can reproduce it: sign(j, i) = +1 if the first hex nibble
+    of md5(f"{seed}:{j}:{i}") is even else -1. Returns out_dim rows of
+    in_dim signs."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def srp_project(
+    df: DataFrame,
+    signs: list[list[float]],
+    vec_col: str = "embedding",
+    prefix: str = "p",
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a Rademacher
+    random projection: out_j = (1/sqrt(k)) * sum_i sign(j,i) * x_i —
+    the cheap pre-ANN shrink (JL: pairwise distances preserved within
+    1±eps for k = O(log n / eps^2); Achlioptas 2001 shows ±1 entries
+    suffice, no Gaussians needed).
+
+    Each output dimension is ONE whole-stage-codegen JVM fold over the
+    input array (zip_with + aggregate with the sign row as literals) —
+    scan-stage, no shuffle, no Python. Emits scalar DOUBLE columns
+    ``{prefix}0..{prefix}{k-1}`` (driver-hash-safe encoding; an array
+    column's cross-engine rendering is untested at the driver).
+    """
+    import math
+
+    k = len(signs)
+    factor = 1.0 / math.sqrt(k) if scale else 1.0
+    cols = []
+    for j, row in enumerate(signs):
+        slit = F.array(*[F.lit(s) for s in row])
+        acc = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), slit, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append((acc * F.lit(factor)).alias(f"{prefix}{j}"))
+    return df.select("*", *cols)
