@@ -6760,3 +6760,45 @@ def sim_srp_project(spark, sf_dir):
     return out.select(
         "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(8)]
     ).orderBy("vec_id")
+
+
+@register(
+    "q_fuzzy_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q_fuzzy_parts(spark, sf_dir):
+    """Entity-resolution fuzzy join over part names: candidates blocked
+    by the last name token (the noun), verified by Levenshtein <= 1 —
+    the record-linkage shape (same-key shuffle join, block-bounded pair
+    expansion, JVM-builtin edit distance; DuckDB's levenshtein has
+    identical unit-cost semantics, so the whole pipeline value-checks)."""
+    from tabata_spark.operators.text import fuzzy_pairs
+
+    p = _t(spark, sf_dir, "part")
+    blk = F.element_at(F.split(F.col("p_name"), " ", -1), -1)
+    out = fuzzy_pairs(
+        p.select("p_partkey", "p_name"),
+        text_col="p_name",
+        id_col="p_partkey",
+        block_col=blk,
+        max_dist=1,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("id_a", "id_b")

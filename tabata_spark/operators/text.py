@@ -837,3 +837,41 @@ def bigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy-match pairs (entity resolution / record linkage):
+    candidate pairs share a blocking key (pass any Column — last token,
+    prefix, soundex…), verified by Levenshtein distance <= max_dist.
+    Returns (id_a, id_b, text_a, text_b, dist) with id_a < id_b.
+
+    The self-join is BLOCK-bounded, never corpus²: at 100 TB the block
+    key is the shuffle key and each block's pair expansion is local to
+    its partition; choose blocks so the hottest key stays task-sized
+    (the same discipline as the LSH bucket caps). Levenshtein is a JVM
+    builtin (unit costs) with identical semantics in DuckDB — fully
+    oracle-checkable."""
+    bc = block_col if not isinstance(block_col, str) else F.col(block_col)
+    a = df.select(
+        bc.alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = df.select(
+        bc.alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= max_dist)
+        .drop("__blk")
+    )
