@@ -6802,3 +6802,43 @@ def q_fuzzy_parts(spark, sf_dir):
         "text_b",
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("id_a", "id_b")
+
+
+def _ewma_oracle_sql(alpha: float, lookback: int) -> str:
+    """Machine-generate the DuckDB lag-chain replay of the truncated
+    EWMA kernel (the savgol pattern: same weights, same left-assoc
+    fold, both engines)."""
+    from tabata_spark.operators.ewma import ewma_weights
+
+    num_terms, den_terms = [], []
+    for k, wk in enumerate(ewma_weights(alpha, lookback)):
+        ref = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        num_terms.append(
+            f"(CASE WHEN {ref} IS NOT NULL THEN ({ref}) * {wk!r} ELSE 0.0 END)"
+        )
+        den_terms.append(f"(CASE WHEN {ref} IS NOT NULL THEN {wk!r} ELSE 0.0 END)")
+    num = " + ".join(["0.0"] + num_terms)
+    den = " + ".join(["0.0"] + den_terms)
+    return (
+        SIGNALS_CTE
+        + f"""
+    SELECT record_id, seq, round(({num}) / ({den}), 6) AS ewma
+    FROM signals WINDOW w AS (PARTITION BY record_id ORDER BY seq)
+    ORDER BY record_id, seq
+    """
+    )
+
+
+@register("w_ewma", _ewma_oracle_sql(0.2, 32))
+def w_ewma(spark, sf_dir):
+    """Truncated-kernel EWMA (alpha=0.2, 32-row lookback; pandas
+    ewm(adjust=True) edge semantics) over each record's value channel —
+    the recursive smoother made distributed: a fixed linear filter in
+    ONE record-partitioned window, sharing the signal pipeline's single
+    exchange. Oracle replays the identical weight chain."""
+    from tabata_spark.operators.ewma import ewma
+
+    sig = _signals(spark, sf_dir)
+    return ewma(sig, alpha=0.2, lookback=32).select(
+        "record_id", "seq", "ewma"
+    ).orderBy("record_id", "seq")
