@@ -6842,3 +6842,50 @@ def w_ewma(spark, sf_dir):
     return ewma(sig, alpha=0.2, lookback=32).select(
         "record_id", "seq", "ewma"
     ).orderBy("record_id", "seq")
+
+
+@register(
+    "w_gapfill",
+    SIGNALS_CTE
+    + """
+    , holes AS (
+      SELECT record_id, seq,
+             CASE WHEN (CAST(record_id AS BIGINT) * 37 + seq) % 5 = 0 THEN NULL
+                  ELSE value END AS v
+      FROM signals
+    )
+    SELECT record_id, seq,
+           round(coalesce(
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY record_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY record_id ORDER BY seq
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ), 6) AS filled
+    FROM holes ORDER BY record_id, seq
+    """,
+)
+def w_gapfill(spark, sf_dir):
+    """LOCF gap filling: every 5th sample (deterministic hole pattern)
+    nulled, then forward-filled with a leading-edge backfill — the
+    missing-sample repair every signal pipeline runs before windowed
+    math. Two frames over the ONE shared record partitioning; the
+    oracle replays the identical hole pattern and fills."""
+    from tabata_spark.operators.asof import fill_forward
+
+    sig = _signals(spark, sf_dir)
+    holed = sig.select(
+        "record_id",
+        "seq",
+        F.when(
+            (F.col("record_id").cast("long") * 37 + F.col("seq")) % 5 == 0, None
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return (
+        fill_forward(holed, ["v"], back=True)
+        .select("record_id", "seq", F.round("v", 6).alias("filled"))
+        .orderBy("record_id", "seq")
+    )

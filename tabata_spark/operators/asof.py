@@ -219,3 +219,35 @@ def resample_linear(
     return (
         u.select(*cols).filter(F.col("__is_grid") == 1).drop("__is_grid")
     )
+
+
+def fill_forward(
+    df: DataFrame,
+    cols: list[str],
+    key: str = "record_id",
+    order: str = "seq",
+    back: bool = False,
+) -> DataFrame:
+    """LOCF gap filling: replace nulls in ``cols`` with the most recent
+    non-null value within the record (``back=True`` additionally
+    backfills any leading nulls from the first following non-null —
+    pandas ffill().bfill()). One record-partitioned window per
+    direction, sharing the signal pipeline's partitioning; linear
+    interpolation lives in :func:`resample_linear`."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if back:
+        wb = (
+            Window.partitionBy(key)
+            .orderBy(order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for c in cols:
+            out = out.withColumn(c, F.first(c, ignorenulls=True).over(wb))
+    return out
