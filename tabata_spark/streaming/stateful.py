@@ -162,3 +162,57 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(
+    events,
+    value: str = "value",
+    key: str = "user_id",
+    ts: str = "ts",
+    alpha: float = 0.2,
+    watermark: str = "2 hours",
+):
+    """Streaming EWMA as a custom stateful operator — the EXACT
+    recursive form the batch truncated kernel approximates
+    (operators/ewma.py): per-key state is the adjust=True pair
+    (num, den) with num_t = x_t + (1-a)·num_{t-1},
+    den_t = 1 + (1-a)·den_{t-1}; y_t = num_t/den_t. O(1) state per key
+    regardless of history — the recursion that forces a sequential
+    scan in batch is exactly what a stateful stream gives for free.
+
+    Rows are processed in event-time order WITHIN each micro-batch;
+    cross-batch order follows arrival (the CUSUM contract — an
+    availableNow replay of an ordered source is deterministic, pinned
+    by the parity test). Emits (key, ts, ewma) per input row.
+    On series shorter than the batch kernel's lookback the two agree
+    exactly (truncation is a no-op there)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key].dataType.simpleString()
+    ts_type = events.schema[ts].dataType.simpleString()
+    out_schema = f"`{key}` {key_type}, `{ts}` {ts_type}, ewma double"
+    state_schema = "num double, den double"
+    decay = 1.0 - alpha
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        num, den = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            out = []
+            for x in pdf[value]:
+                num = float(x) + decay * num
+                den = 1.0 + decay * den
+                out.append(num / den)
+            yield pd.DataFrame({key: pdf[key], ts: pdf[ts], "ewma": out})
+        state.update((num, den))
+
+    src = events.withWatermark(ts, watermark) if events.isStreaming else events
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -245,3 +245,60 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
         for r in batch_cusum(sub, k=50.0, h=100.0).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_streaming_ewma_matches_batch_kernel(spark, sf_dir, tmp_path):
+    """Streaming exact-recursive EWMA over an ordered availableNow
+    replay equals the batch truncated kernel row-for-row on series
+    shorter than the lookback (where truncation is a no-op), and both
+    equal pandas ewm(adjust=True)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.ewma import ewma
+    from tabata_spark.sources.relational import _normalize_ts
+    from tabata_spark.streaming.stateful import streaming_ewma
+
+    events = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # <= 30 rows per user (< lookback 32): truncated == exact recursion
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    sub = (
+        events.filter(F.col("user_id") < 3)
+        .withColumn("__rn", w)
+        .filter(F.col("__rn") <= 30)
+        .drop("__rn")
+        .orderBy("ts", "event_id")
+    )
+    src_dir = str(tmp_path / "src")
+    sub.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(sub.schema).parquet(src_dir)
+    got = (
+        streaming_ewma(stream, alpha=0.2)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got.awaitTermination()
+    stream_rows = {
+        (r["user_id"], str(r["ts"])): round(r["ewma"], 9)
+        for r in spark.sql("SELECT * FROM ewma_stream").collect()
+    }
+    batch = ewma(
+        sub.withColumn("seq", F.monotonically_increasing_id()),
+        value="value",
+        key="user_id",
+        order="ts",
+        alpha=0.2,
+        lookback=32,
+        decimals=None,
+    )
+    batch_rows = {
+        (r["user_id"], str(r["ts"])): round(r["ewma"], 9)
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == sub.count()
