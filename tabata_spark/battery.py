@@ -6889,3 +6889,48 @@ def w_gapfill(spark, sf_dir):
         .select("record_id", "seq", F.round("v", 6).alias("filled"))
         .orderBy("record_id", "seq")
     )
+
+
+@register(
+    "q_histogram_value",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 5.0) AS BIGINT), 19) AS bin,
+             value
+      FROM events WHERE value >= 0 AND value < 1000
+    )
+    SELECT bin,
+           CAST(bin * 5.0 AS DOUBLE) AS lo,
+           CAST((bin + 1) * 5.0 AS DOUBLE) AS hi,
+           count(*) AS n,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q_histogram_value(spark, sf_dir):
+    """Equi-width histogram of the event value channel (20 bins of
+    width 5, last bin open) — the profiling primitive behind every
+    distribution dashboard. Fixed-width integer binning (engine-exact,
+    unlike quantile bins); one map-side-combinable aggregation."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 1000)
+    )
+    bin_ = F.least(F.floor(F.col("value") / 5.0).cast("long"), F.lit(19))
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 5.0).cast("double").alias("lo"),
+            ((F.col("bin") + 1) * 5.0).cast("double").alias("hi"),
+            "n",
+            "v_min",
+            "v_max",
+        )
+        .orderBy("bin")
+    )

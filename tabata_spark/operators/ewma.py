@@ -58,7 +58,10 @@ def ewma(
         xk = F.col(value).cast("double") if k == 0 else F.lag(value, k).over(w).cast("double")
         num = num + F.when(xk.isNotNull(), xk * F.lit(wk)).otherwise(F.lit(0.0))
         den = den + F.when(xk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
-    out = num / den
+    # all-null lookback (possible on gappy channels) → NULL, not a
+    # divide-by-zero under ANSI mode; null samples carry no weight
+    # (pandas ignore_na=True semantics)
+    out = F.when(den > F.lit(0.0), num / den)
     if decimals is not None:
         out = F.round(out, decimals)
     return df.withColumn(out_col, out)

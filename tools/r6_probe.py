@@ -96,6 +96,33 @@ def main():
     out["clf_keep_rows"] = keep_top_quality(model, docs, fraction=0.3).count()
     out["clf_gate_s"] = round(time.perf_counter() - t0, 2)
 
+    # -------- signal ops at 10M samples across 10k records
+    from tabata_spark.operators.asof import fill_forward
+    from tabata_spark.operators.ewma import ewma
+
+    n_sig = 10_000_000
+    sig = spark.range(n_sig).select(
+        F.pmod(F.col("id"), F.lit(10_000)).alias("record_id"),
+        (F.col("id") / 10_000).cast("long").alias("seq"),
+        F.when(
+            F.pmod(F.xxhash64("id"), F.lit(7)) == 0, F.lit(None)
+        )
+        .otherwise((F.pmod(F.xxhash64("id", F.lit("v")), F.lit(1000)) / 10.0))
+        .alias("value"),
+    )
+    spath = os.path.join(tmp, "sig")
+    sig.write.mode("overwrite").parquet(spath)
+    sig = spark.read.parquet(spath)
+    out["n_sig"] = n_sig
+
+    t0 = time.perf_counter()
+    force(ewma(sig, alpha=0.2, lookback=32).select("record_id", "seq", "ewma"))
+    out["ewma_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    force(fill_forward(sig, ["value"], back=True).select("record_id", "seq", "value"))
+    out["gapfill_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 
