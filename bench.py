@@ -85,6 +85,15 @@ HEADLINE = [
     "q_dau_wau",
     "mixture_temp",
     "sample_pareto",
+    "q_chi2_source_lang",
+    "q_psi_sources",
+    "q_dataset_card",
+    "sample_cluster_cap",
+    "sim_srp_project",
+    "q_fuzzy_parts",
+    "w_ewma",
+    "w_gapfill",
+    "q_histogram_value",
     # bench-only (battery.BENCH_EXTRA): production xxhash64 simhash —
     # the md5 variant above is the oracle-parity twin
     "dedup_simhash_prod",

@@ -6765,43 +6765,65 @@ def sim_srp_project(spark, sf_dir):
 @register(
     "q_fuzzy_parts",
     """
-    WITH p AS (
-      SELECT p_partkey, p_name,
+    WITH names AS (
+      SELECT p_name, count(*) AS n,
              string_split(p_name, ' ')[-1] AS blk
-      FROM part
+      FROM part GROUP BY p_name
     )
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           a.p_name AS text_a, b.p_name AS text_b,
+    SELECT a.p_name AS text_a, b.p_name AS text_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 1
-    ORDER BY id_a, id_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY text_a, text_b
     """,
 )
 def q_fuzzy_parts(spark, sf_dir):
-    """Entity-resolution fuzzy join over part names: candidates blocked
-    by the last name token (the noun), verified by Levenshtein <= 1 —
-    the record-linkage shape (same-key shuffle join, block-bounded pair
-    expansion, JVM-builtin edit distance; DuckDB's levenshtein has
-    identical unit-cost semantics, so the whole pipeline value-checks)."""
+    """Entity-resolution fuzzy join over DISTINCT part names —
+    resolving distinct VALUES (then mapping row counts back) is the
+    scalable record-linkage shape: the pair set is value²-bounded, not
+    rows²-bounded (an all-rows pair emit is quadratic in every
+    duplicate group — the naive form produced 3.9M pairs at sf0.1 from
+    ~100 distinct names). Candidates blocked by the last name token,
+    length-band prefiltered, verified by JVM-builtin Levenshtein <= 2;
+    DuckDB's levenshtein has identical unit-cost semantics, so the
+    whole pipeline value-checks."""
     from tabata_spark.operators.text import fuzzy_pairs
 
-    p = _t(spark, sf_dir, "part")
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     blk = F.element_at(F.split(F.col("p_name"), " ", -1), -1)
     out = fuzzy_pairs(
-        p.select("p_partkey", "p_name"),
+        names,
         text_col="p_name",
-        id_col="p_partkey",
+        id_col="p_name",
         block_col=blk,
-        max_dist=1,
+        max_dist=2,
+        shards=8,  # few noun blocks: spread each block's pair work
     )
-    return out.select(
-        "id_a",
-        "id_b",
-        "text_a",
-        "text_b",
-        F.col("dist").cast("int").alias("dist"),
-    ).orderBy("id_a", "id_b")
+    counts = names.select(
+        F.col("p_name").alias("text_a"), F.col("n").alias("n_a")
+    )
+    counts_b = names.select(
+        F.col("p_name").alias("text_b"), F.col("n").alias("n_b")
+    )
+    return (
+        out.select("text_a", "text_b", F.col("dist").cast("int").alias("dist"))
+        .join(F.broadcast(counts), "text_a")
+        .join(F.broadcast(counts_b), "text_b")
+        .select(
+            "text_a",
+            "text_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "dist",
+        )
+        .orderBy("text_a", "text_b")
+    )
 
 
 def _ewma_oracle_sql(alpha: float, lookback: int) -> str:

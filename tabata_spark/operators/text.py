@@ -845,18 +845,24 @@ def fuzzy_pairs(
     id_col: str,
     block_col,
     max_dist: int = 2,
+    shards: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy-match pairs (entity resolution / record linkage):
     candidate pairs share a blocking key (pass any Column — last token,
     prefix, soundex…), verified by Levenshtein distance <= max_dist.
     Returns (id_a, id_b, text_a, text_b, dist) with id_a < id_b.
 
-    The self-join is BLOCK-bounded, never corpus²: at 100 TB the block
-    key is the shuffle key and each block's pair expansion is local to
-    its partition; choose blocks so the hottest key stays task-sized
-    (the same discipline as the LSH bucket caps). Levenshtein is a JVM
-    builtin (unit costs) with identical semantics in DuckDB — fully
-    oracle-checkable."""
+    The self-join is BLOCK-bounded, never corpus². With few/huge
+    blocks the expansion is SKEW-bound (one task per block):
+    ``shards=k`` salt-shards it — side A takes a deterministic salt in
+    [0, k), side B replicates k ways, the join key becomes (block,
+    salt). Every pair still forms exactly once (at A's salt), but a
+    block's work spreads over k tasks — the hot-bucket discipline from
+    the LSH caps, applied to pair verification. A length-band
+    prefilter (|len_a − len_b| <= max_dist, a Levenshtein lower
+    bound) skips hopeless pairs before the edit distance runs.
+    Levenshtein is a JVM builtin (unit costs) with identical semantics
+    in DuckDB — fully oracle-checkable."""
     bc = block_col if not isinstance(block_col, str) else F.col(block_col)
     a = df.select(
         bc.alias("__blk"),
@@ -868,10 +874,27 @@ def fuzzy_pairs(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
     )
+    keys = ["__blk"]
+    if shards:
+        a = a.withColumn(
+            "__salt", F.pmod(F.xxhash64("id_a"), F.lit(shards))
+        )
+        b = b.withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(shards - 1).cast("long")
+                )
+            ),
+        )
+        keys.append("__salt")
     return (
-        a.join(b, "__blk")
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
+        )
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
-        .drop("__blk")
+        .drop(*keys)
     )
