@@ -6956,3 +6956,102 @@ def q_histogram_value(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "text_novelty",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS g
+      FROM documents
+    ),
+    dfreq AS (SELECT g, count(*) AS df FROM pairs GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS novelty
+    FROM pairs JOIN dfreq USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_novelty(spark, sf_dir):
+    """Per-document trigram novelty (fraction of the doc's distinct
+    grams appearing in no other doc) — the boilerplate/templating
+    quality signal. Gram-keyed df aggregation + join back; uniform
+    shuffle keys, no pairwise comparison at any corpus size."""
+    from tabata_spark.operators.text import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_scores(docs, ngram=3).orderBy("doc_id")
+
+
+@register(
+    "q_seasonal_anomaly",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hr, n,
+             sx / n AS mu,
+             sqrt((n * sxx - sx * sx) / (n * CAST(n - 1 AS DOUBLE))) AS sd
+      FROM base WHERE n >= 30
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(hour(CAST(e.ts AS TIMESTAMP)) AS INT) AS hr,
+           round(e.value, 6) AS value,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e
+    JOIN stats s
+      ON s.event_type = e.event_type
+     AND s.hr = CAST(hour(CAST(e.ts AS TIMESTAMP)) AS INT)
+    WHERE abs((e.value - s.mu) / s.sd) > 3.0
+    ORDER BY e.event_id
+    """,
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: per (event_type,
+    hour-of-day) mean/stddev from EXACT decimal power sums (n >= 30
+    cells only), then every event more than 3 sigma from its cell's
+    baseline — the monitoring recipe behind 'this metric is weird for
+    3am'. One tiny baseline aggregation broadcast back onto the
+    stream; the fact table is scanned once."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("int")
+    vdec = F.col("value").cast("decimal(18,6)")
+    v2dec = (F.col("value") * F.col("value")).cast("decimal(24,6)")
+    base = ev.groupBy(F.col("event_type"), hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("sx"),
+        F.sum(v2dec).cast("double").alias("sxx"),
+    )
+    stats = base.filter(F.col("n") >= 30).select(
+        "event_type",
+        "hr",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * (F.col("n") - 1).cast("double"))
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.withColumn("hr", hr)
+        .join(F.broadcast(stats), ["event_type", "hr"])
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )

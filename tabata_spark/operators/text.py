@@ -898,3 +898,43 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .drop(*keys)
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT n-grams that appear in NO other document — the
+    "how much of this page is new text" quality signal (boilerplate
+    and templated pages score near 0, fresh prose near 1).
+
+    Shape: one (gram -> doc-frequency) aggregation over deduped
+    (doc, gram) pairs, joined back gram-keyed — both stages shuffle on
+    the uniform gram key; the corpus is never pairwise-compared.
+    Returns (id_col, n_grams, n_novel, novelty)."""
+    from tabata_spark.operators.dedup import token_shingles
+
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(token_shingles(F.col(text_col), ngram))
+        ).alias("__g"),
+    )
+    dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        pairs.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )
