@@ -7055,3 +7055,35 @@ def q_seasonal_anomaly(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "w_rolling_median",
+    SIGNALS_CTE
+    + """
+    SELECT record_id, seq,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY record_id ORDER BY seq
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med11
+    FROM signals ORDER BY record_id, seq
+    """,
+)
+def w_rolling_median(spark, sf_dir):
+    """Rolling median (trailing 11-sample window) per record — the
+    robust despiking smoother (median filters kill impulse noise that
+    linear kernels like SG/EWMA smear). Exact linear-interpolation
+    percentile over an ordered row frame; one record-window, the shared
+    signal partitioning. At 100 TB swap percentile for
+    approx_percentile if windows grow beyond memory — these are 11-row
+    frames, exact is right."""
+    sig = _signals(spark, sf_dir)
+    w = (
+        Window.partitionBy("record_id")
+        .orderBy("seq")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    return sig.select(
+        "record_id",
+        "seq",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med11"),
+    ).orderBy("record_id", "seq")
