@@ -7087,3 +7087,50 @@ def w_rolling_median(spark, sf_dir):
         "seq",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med11"),
     ).orderBy("record_id", "seq")
+
+
+@register(
+    "a_record_trend",
+    SIGNALS_CTE
+    + """
+    SELECT record_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round((count(*) * CAST(sum(CAST(seq * value AS DECIMAL(24,6))) AS DOUBLE)
+                  - sum(seq) * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE))
+                 / (count(*) * sum(seq * seq) - sum(seq) * sum(seq)), 8) AS slope,
+           round((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  - ((count(*) * CAST(sum(CAST(seq * value AS DECIMAL(24,6))) AS DOUBLE)
+                      - sum(seq) * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE))
+                     / (count(*) * sum(seq * seq) - sum(seq) * sum(seq))) * sum(seq))
+                 / count(*), 6) AS intercept
+    FROM signals GROUP BY record_id HAVING count(*) >= 2
+    ORDER BY record_id
+    """,
+)
+def a_record_trend(spark, sf_dir):
+    """Per-record linear trend: OLS slope/intercept over (seq, value)
+    from EXACT sums — seq sums are integers, value sums decimal-
+    quantized, the two divisions happen once in double (the ml/ols.py
+    diagnostics' driver-checkable sibling). One map-side-combinable
+    aggregation per record; the trend screen behind 'which channels
+    drift over a flight'."""
+    sig = _signals(spark, sf_dir)
+    n = F.count(F.lit(1))
+    sx = F.sum("seq")
+    sxx = F.sum(F.col("seq") * F.col("seq"))
+    sy = F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+    sxy = F.sum((F.col("seq") * F.col("value")).cast("decimal(24,6)")).cast(
+        "double"
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return (
+        sig.groupBy("record_id")
+        .agg(
+            n.cast("long").alias("n"),
+            F.round(slope, 8).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+        .filter(F.col("n") >= 2)
+        .orderBy("record_id")
+    )
