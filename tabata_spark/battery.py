@@ -7134,3 +7134,44 @@ def a_record_trend(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .orderBy("record_id")
     )
+
+
+@register(
+    "text_decontaminate",
+    """
+    WITH ev AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' ')))) AS g
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    pairs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' ')))) AS g
+      FROM documents WHERE doc_id % 23 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN e.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+           (sum(CASE WHEN e.g IS NULL THEN 0 ELSE 1 END) > 0) AS contaminated,
+           round(sum(CASE WHEN e.g IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+             AS hit_frac
+    FROM pairs p LEFT JOIN ev e ON p.g = e.g
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3 appendix-C rule, 4-grams at
+    this corpus size): the held-out benchmark is the doc_id % 23 == 0
+    slice; every remaining training document is scored by how many of
+    its distinct 4-grams appear anywhere in the benchmark. Eval grams
+    dedupe small and BROADCAST; the training corpus is scanned once
+    and re-aggregated on its own uniform id — no corpus-side gram
+    shuffle, no pairwise work, at any corpus size."""
+    from tabata_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(train, ev, ngram=4).orderBy("doc_id")

@@ -938,3 +938,53 @@ def novelty_scores(
         F.col("n_novel").cast("long").alias("n_novel"),
         F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct token n-grams appear anywhere in an evaluation set —
+    the GPT-3 appendix-C rule (there with 13-grams) that removes
+    train/test leakage before pretraining.
+
+    Shape for 100 TB: the eval side dedupes to a small gram set
+    (benchmarks are ~1e6-1e8 grams) and is BROADCAST; the corpus is
+    scanned exactly once, exploded at the scan stage, membership-tested
+    by the broadcast hash join, and re-aggregated on its own id (a
+    uniform key, map-side combinable). The corpus is never shuffled on
+    gram and never compared pairwise.
+
+    Returns (id_col, n_grams, n_hit, contaminated, hit_frac)."""
+    from tabata_spark.operators.dedup import token_shingles
+
+    eval_grams = (
+        eval_docs.select(
+            F.explode(token_shingles(F.col(text_col), ngram)).alias("__g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode_outer(token_shingles(F.col(text_col), ngram)).alias("__g"),
+    )
+    scored = (
+        pairs.join(F.broadcast(eval_grams), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (F.col("n_hit") > 0).alias("contaminated"),
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_frac"),
+    )
