@@ -7175,3 +7175,81 @@ def text_decontaminate(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 23 == 0)
     train = docs.filter(F.col("doc_id") % 23 != 0)
     return decontaminate(train, ev, ngram=4).orderBy("doc_id")
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Machine-generate an unrolled DuckDB replay of the fixed-point
+    PageRank power iteration (operators/graph.py): ranks are BIGINTs
+    in units of 1e-12, each edge contributes rank // out_degree
+    (integer floor division), damping is the exact rational 17/20,
+    and the teleport base is an integer — the loop is integer
+    arithmetic end to end, so the oracle re-RUNS the iteration and
+    must agree bit-for-bit. (A double/decimal formulation diverged
+    cross-engine: terminating quotients land exactly on half
+    boundaries at the quantization digit, where double->decimal
+    tie-breaking differs between engines.)"""
+    parts = [
+        """
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+               'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+        UNION ALL
+        SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+               'o:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+      )
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    bb AS MATERIALIZED (
+      SELECT CAST((3 * 1000000000000) // (20 * n) AS BIGINT) AS b FROM nn
+    ),
+    r0 AS MATERIALIZED (
+      SELECT src AS node,
+             CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_fp
+      FROM deg
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""
+    r{r} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST((SELECT b FROM bb)
+                  + (17 * sum(r.rank_fp // dg.deg)) // 20 AS BIGINT) AS rank_fp
+      FROM e JOIN r{r-1} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT node, rank_fp,
+           CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+    FROM r{iters} ORDER BY node
+    """
+    )
+
+
+@register("q_pagerank", _pagerank_oracle_sql(5))
+def q_pagerank(spark, sf_dir):
+    """PageRank over the order<->part bipartite graph (symmetrized
+    lineitem edges) — the CommonCrawl-style link-centrality weight an
+    LLM corpus pipeline hangs on every host. 5 damped power-iteration
+    rounds in FIXED-POINT INTEGER arithmetic (units of 1e-12, damping
+    = the exact rational 17/20): each round is one edge-side join of
+    the small rank vector + one exact integer aggregation (map-side
+    partials absorb hub skew); the edge list is persisted once and the
+    vector lineage checkpointed per round. The oracle replays all 5
+    rounds in DuckDB bit-for-bit."""
+    from tabata_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select("node", "rank_fp", "rank").orderBy("node")

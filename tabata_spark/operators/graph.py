@@ -1,0 +1,93 @@
+"""Link-graph centrality: deterministic distributed PageRank.
+
+The LLM-data use case: CommonCrawl-scale corpora weight documents by
+the centrality of their host in the web link graph (CCNet / RefinedWeb
+use exactly this signal), so "rank the graph" is a first-class
+pretraining-pipeline operator, not an afterthought.
+
+Shape for 100 TB: classic power iteration as join-aggregate rounds —
+the edge list is persisted ONCE (it never changes); each round joins
+the small rank vector (O(nodes), typically 100-1000x smaller than the
+edge list) onto edges by src, sums contributions per dst (map-side
+partial — hub skew collapses before the shuffle), and rebuilds the
+vector. On a real cluster the edge list is bucketed by src so every
+round shuffles only the rank vector; lineage is truncated per round
+with localCheckpoint (the vector is tiny relative to the corpus —
+same discipline as the BPE trainer, operators/bpe.py).
+
+Determinism (the oracle story): the loop is FIXED-POINT INTEGER
+arithmetic end to end — ranks are BIGINTs in units of 1/scale, each
+edge contributes rank DIV out_degree (integer floor division), the
+damping factor is the exact rational 17/20, and the teleport base is
+an integer. Floating point appears nowhere inside the iteration, so
+the result is bit-identical under any partitioning, any summation
+order, and any SQL engine (an earlier double/decimal formulation
+diverged cross-engine ~0.3%/round: terminating quotients like
+rank/8 land EXACTLY on half boundaries at the quantization digit,
+where double->decimal tie-breaking differs between engines). Floor
+division leaks ~1 unit per edge per round of probability mass — at
+scale=1e12 that is an O(1e-12) relative bias, irrelevant for a
+ranking signal and fully deterministic.
+
+Reference parity: the reference engine has no graph operator; this is
+part of the beyond-reference LLM-pipeline layer (SURVEY.md north-star
+extensions), sibling to dedup.connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: damping 0.85 as an exact rational — the loop never touches floats
+DAMP_NUM = 17
+DAMP_DEN = 20
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns
+    (node, rank_fp: bigint, rank: double) with rank = rank_fp/scale.
+
+    Every node must have at least one out-edge (pass a symmetrized
+    edge list for undirected/bipartite graphs — then there are no
+    dangling nodes). Multi-edges are collapsed. Damping is fixed at
+    the exact rational 17/20 = 0.85.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # One scalar fold-back: node count for the teleport term (legitimate
+    # driver-side scalar, same class as the BM25 corpus stats).
+    n = deg.count()
+    base = (DAMP_DEN - DAMP_NUM) * scale // (DAMP_DEN * n)
+    ed = e.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(scale // n).alias("rank_fp")
+    )
+    for _ in range(iterations):
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst"),
+            F.expr("rank_fp div deg").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}")
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("rank_fp").cast("long").alias("rank_fp"),
+        (F.col("rank_fp").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -1,0 +1,61 @@
+"""Fixed-point PageRank (operators/graph.py).
+
+Determinism is the oracle's job (battery q_pagerank replays the loop
+in DuckDB bit-for-bit); these tests pin the algorithmic properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_cycle_graph_is_uniform(spark):
+    # 4-cycle: perfect symmetry => every node keeps the same rank.
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+    )
+    out = {r["node"]: r["rank_fp"] for r in pagerank(e, iterations=4).collect()}
+    assert len(set(out.values())) == 1
+    # mass is conserved up to the documented floor-division leak
+    total = sum(out.values())
+    assert 0.999 * 10**12 <= total <= 10**12
+
+
+def test_star_center_dominates(spark):
+    # undirected star: the hub must outrank every leaf.
+    leaves = [f"l{i}" for i in range(6)]
+    pairs = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    out = {r["node"]: r["rank_fp"] for r in pagerank(_edges(spark, pairs)).collect()}
+    hub = out.pop("hub")
+    assert all(hub > v for v in out.values())
+    assert len(set(out.values())) == 1  # leaves are symmetric
+
+
+def test_multi_edges_collapse(spark):
+    # duplicated edges must not change the result (distinct edges).
+    base = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    r1 = {r["node"]: r["rank_fp"] for r in pagerank(_edges(spark, base)).collect()}
+    r2 = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(_edges(spark, base + base)).collect()
+    }
+    assert r1 == r2
+
+
+def test_repartition_invariance(spark):
+    # bit-identical under adversarial repartitioning (integer loop).
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")]
+    e = _edges(spark, pairs)
+    r1 = {r["node"]: r["rank_fp"] for r in pagerank(e, iterations=3).collect()}
+    r2 = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(e.repartition(7, F.col("dst")), iterations=3).collect()
+    }
+    assert r1 == r2
