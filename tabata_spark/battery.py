@@ -7253,3 +7253,85 @@ def q_pagerank(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=5)
     return pr.select("node", "rank_fp", "rank").orderBy("node")
+
+
+@register(
+    "q_scd2_customers",
+    """
+    WITH log AS (
+      SELECT c_custkey AS key, CAST(0 AS BIGINT) AS ts,
+             c_mktsegment AS segment, c_nationkey AS nation
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1,
+             CASE WHEN c_custkey % 35 = 0 THEN c_mktsegment
+                  ELSE 'SEG' || CAST(c_custkey % 5 AS VARCHAR) END,
+             c_nationkey
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 2,
+             CASE WHEN c_custkey % 7 = 0 AND c_custkey % 35 <> 0
+                  THEN 'SEG' || CAST(c_custkey % 5 AS VARCHAR)
+                  ELSE c_mktsegment END,
+             CAST((c_nationkey + 1) % 25 AS INTEGER)
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    flt AS (
+      SELECT *,
+             (row_number() OVER w = 1
+              OR segment IS DISTINCT FROM lag(segment) OVER w
+              OR nation IS DISTINCT FROM lag(nation) OVER w) AS chg
+      FROM log WINDOW w AS (PARTITION BY key ORDER BY ts)
+    ),
+    kept AS (SELECT key, ts, segment, nation FROM flt WHERE chg)
+    SELECT key,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           segment, nation,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM kept WINDOW w2 AS (PARTITION BY key ORDER BY ts)
+    ORDER BY key, version
+    """,
+)
+def q_scd2_customers(spark, sf_dir):
+    """Type-2 slowly-changing dimension over the customer table: a
+    base snapshot (ts 0) plus two derived change batches (segment
+    rewrites at ts 1 — with a deliberate no-op slice that must
+    collapse — and nation bumps at ts 2) build the versioned
+    dimension with validity intervals. One key-partitioned window
+    carries change-detection AND interval assignment — a single
+    uniform shuffle at any dimension size (operators/scd.py)."""
+    from tabata_spark.operators.scd import scd2_history
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.lit(0).cast("long").alias("ts"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b1 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit(1).cast("long").alias("ts"),
+        F.when(F.col("c_custkey") % 35 == 0, F.col("c_mktsegment"))
+        .otherwise(F.concat(F.lit("SEG"), (F.col("c_custkey") % 5).cast("string")))
+        .alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b2 = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit(2).cast("long").alias("ts"),
+        F.when(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 35 != 0),
+            F.concat(F.lit("SEG"), (F.col("c_custkey") % 5).cast("string")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("nation"),
+    )
+    log = base.unionByName(b1).unionByName(b2)
+    hist = scd2_history(log, key="key", ts="ts", tracked=["segment", "nation"])
+    return hist.withColumn("version", F.col("version").cast("long")).orderBy(
+        "key", "version"
+    )

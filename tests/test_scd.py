@@ -1,0 +1,71 @@
+"""SCD2 dimension history (operators/scd.py).
+
+The battery oracle (q_scd2_customers) pins the window semantics
+against DuckDB; these tests pin the incremental-apply contract:
+folding a batch into an existing dimension must equal rebuilding
+from the full log.
+"""
+
+from __future__ import annotations
+
+from tabata_spark.operators.scd import scd2_apply, scd2_history
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "key long, ts long, segment string, nation int"
+    )
+
+
+def test_noop_states_collapse(spark):
+    log = _log(
+        spark,
+        [
+            (1, 0, "A", 1),
+            (1, 1, "A", 1),  # no-op: must collapse
+            (1, 2, "B", 1),
+            (2, 0, "A", 2),
+        ],
+    )
+    hist = scd2_history(log, key="key", ts="ts").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["key"], []).append(r)
+    assert len(by_key[1]) == 2  # A@0, B@2 — the ts=1 no-op is gone
+    v1, v2 = sorted(by_key[1], key=lambda r: r["version"])
+    assert (v1["valid_from"], v1["valid_to"], v1["is_current"]) == (0, 2, False)
+    assert (v2["valid_from"], v2["valid_to"], v2["is_current"]) == (2, None, True)
+    assert by_key[2][0]["is_current"] is True
+
+
+def test_incremental_apply_equals_full_rebuild(spark):
+    full = [
+        (1, 0, "A", 1),
+        (2, 0, "A", 2),
+        (3, 0, "B", 3),
+        (1, 1, "B", 1),
+        (2, 1, "A", 2),  # no-op
+        (1, 2, "C", 9),
+        (3, 2, "B", 4),
+    ]
+    base = [r for r in full if r[1] == 0]
+    later = [r for r in full if r[1] > 0]
+    dim0 = scd2_history(_log(spark, base), key="key", ts="ts")
+    folded = scd2_apply(dim0, _log(spark, later), key="key", ts="ts")
+    rebuilt = scd2_history(_log(spark, full), key="key", ts="ts")
+    key = lambda r: (r["key"], r["version"])
+    assert sorted(map(tuple, folded.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, rebuilt.collect()), key=lambda t: t[:2]
+    )
+
+
+def test_apply_leaves_untouched_keys_alone(spark):
+    dim0 = scd2_history(
+        _log(spark, [(1, 0, "A", 1), (2, 0, "B", 2)]), key="key", ts="ts"
+    )
+    batch = _log(spark, [(1, 1, "Z", 1)])
+    out = scd2_apply(dim0, batch, key="key", ts="ts")
+    rows = {(r["key"], r["version"]): r for r in out.collect()}
+    assert rows[(2, 1)]["segment"] == "B" and rows[(2, 1)]["is_current"] is True
+    assert rows[(1, 2)]["segment"] == "Z" and rows[(1, 2)]["is_current"] is True
+    assert rows[(1, 1)]["valid_to"] == 1
