@@ -7335,3 +7335,136 @@ def q_scd2_customers(spark, sf_dir):
     return hist.withColumn("version", F.col("version").cast("long")).orderBy(
         "key", "version"
     )
+
+
+@register(
+    "sketch_cms_tokens",
+    """
+    WITH t2 AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    exact AS (SELECT tok, count(*) AS exact FROM t2 GROUP BY tok),
+    top AS (SELECT * FROM exact ORDER BY exact DESC, tok LIMIT 30),
+    rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+    sk AS (
+      SELECT r,
+             ('0x' || substr(md5('cms:' || r::VARCHAR || '#' || tok), 1, 15))::BIGINT
+               % 512 AS bucket,
+             count(*) AS c
+      FROM t2, rr GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT t.tok, rr.r,
+             ('0x' || substr(md5('cms:' || rr.r::VARCHAR || '#' || t.tok), 1, 15))::BIGINT
+               % 512 AS bucket
+      FROM top t, rr
+    ),
+    est AS (
+      SELECT tok, min(coalesce(c, 0)) AS est
+      FROM probe LEFT JOIN sk USING (r, bucket) GROUP BY tok
+    )
+    SELECT t.tok, CAST(t.exact AS BIGINT) AS exact,
+           CAST(e.est AS BIGINT) AS est,
+           CAST(e.est - t.exact AS BIGINT) AS overcount
+    FROM top t JOIN est e USING (tok) ORDER BY tok
+    """,
+)
+def sketch_cms_tokens(spark, sf_dir):
+    """Count-min sketch of corpus token frequencies (depth 4, width
+    512), probed at the 30 most frequent tokens and compared to the
+    exact counts (overcount >= 0 always — CMS never underestimates).
+    The sketch build is ONE map-side-combinable aggregation bounded
+    at depth*width rows regardless of corpus size; at 100 TB the
+    2048 counters ARE the state you keep/merge — the exact counts
+    here exist only to exhibit the error (operators/sketch.py)."""
+    from tabata_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = cms_build(toks, "tok", depth=4, width=512)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    top = exact.orderBy(F.desc("exact"), "tok").limit(30)
+    est = cms_estimate(sketch, top.select("tok"), "tok", depth=4, width=512)
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("tok")
+    )
+
+
+@register(
+    "sketch_bloom_customers",
+    """
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    ii AS (SELECT unnest(generate_series(0, 4)) AS i),
+    mpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('bloom:' || i::VARCHAR || '#' || key::VARCHAR), 1, 15))::BIGINT
+               % 65536 AS p
+      FROM members, ii
+    ),
+    sk AS (
+      SELECT p // 31 AS word_idx, bit_or(1::BIGINT << CAST(p % 31 AS INTEGER)) AS bits
+      FROM mpos GROUP BY 1
+    ),
+    probe AS (
+      SELECT c.c_custkey AS key, 
+             ('0x' || substr(md5('bloom:' || i::VARCHAR || '#' || c.c_custkey::VARCHAR), 1, 15))::BIGINT
+               % 65536 AS p
+      FROM customer c, ii
+    ),
+    verdict AS (
+      SELECT key,
+             min(CASE WHEN coalesce(bits, 0) & (1::BIGINT << CAST(p % 31 AS INTEGER)) <> 0
+                      THEN 1 ELSE 0 END) = 1 AS might_contain
+      FROM probe LEFT JOIN sk ON sk.word_idx = probe.p // 31
+      GROUP BY key
+    )
+    SELECT v.key, v.might_contain,
+           (m.key IS NOT NULL) AS is_member
+    FROM verdict v LEFT JOIN members m ON m.key = v.key
+    ORDER BY v.key
+    """,
+)
+def sketch_bloom_customers(spark, sf_dir):
+    """Bloom-filter membership (m=65536 bits, k=5) over the urgent-
+    order customer set, probed with EVERY customer and compared to
+    exact membership — no false negatives by construction, false
+    positives deterministic (salted-md5 positions). The 100 TB use:
+    the ~2 KB (word, bits) table replaces a billion-row semi-join as
+    a broadcast pre-filter (operators/sketch.py)."""
+    from tabata_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(members, "key", m_bits=65536, k=5)
+    probe = cust.select(F.col("c_custkey").alias("key"))
+    verdict = bloom_might_contain(bloom, probe, "key", m_bits=65536, k=5)
+    return (
+        verdict.join(
+            members.withColumn("__m", F.lit(1)), "key", "left"
+        )
+        .select(
+            "key",
+            "might_contain",
+            F.col("__m").isNotNull().alias("is_member"),
+        )
+        .orderBy("key")
+    )

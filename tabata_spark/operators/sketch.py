@@ -1,0 +1,173 @@
+"""Mergeable frequency/membership sketches: count-min and Bloom.
+
+Sibling to the HLL distinct-count rollup (operators/rollup.py): the
+sketch IS the state you keep at 100 TB — counters/bitmaps a few KB-MB
+large that merge associatively across partitions, days, and clusters,
+while the raw keys never need to be co-located or re-scanned.
+
+- Count-min: a (depth x width) counter table. Build = one groupBy
+  over (row, bucket) pairs — map-side combinable, output bounded by
+  depth*width regardless of corpus size. Merge = union + sum.
+  Estimate = min over rows of the key's counters (classic one-sided
+  overestimate; never under).
+
+- Bloom: a bitmap as (word_idx, bits) rows — build = bit_or per
+  word, bounded by m_bits/31 rows. The 100 TB use: replace a
+  semi-join against a billion-key set with a broadcast of a few MB
+  of bitmap; zero false negatives, tunable false positives.
+
+Determinism / oracle story: all hash positions derive from salted
+md5 (the engine-portable construction of operators/sampling.py
+hash_bucket), counters are exact integer sums, and bit_or is
+order-independent — so both sketches are bit-identical under any
+partitioning and replayable in any SQL engine with md5.
+
+Reference parity: no sketch layer exists in the reference; this is
+the beyond-reference scale toolkit (SURVEY.md north-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.sampling import hash_bucket
+
+#: bits per bitmap word — 31 keeps every mask a positive INT32/INT64
+#: in both engines (1 << 62|63 is overflow-fraught cross-engine)
+_WORD_BITS = 31
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of the key column's frequencies.
+
+    Returns (row, bucket, c) — at most depth*width rows, mergeable
+    with :func:`cms_merge`."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    pairs = df.select(F.col(key_col).alias("__k")).select("__k", rows)
+    return (
+        pairs.withColumn(
+            "bucket",
+            hash_bucket(
+                F.concat_ws("#", F.col("row").cast("string"), F.col("__k").cast("string")),
+                width,
+                salt=salt,
+            ),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches built with identical geometry."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each key's count: min over the sketch rows.
+
+    The sketch is broadcast (it is at most depth*width rows); the key
+    table is scanned once."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    probes = keys.select(F.col(key_col), rows).withColumn(
+        "bucket",
+        hash_bucket(
+            F.concat_ws("#", F.col("row").cast("string"), F.col(key_col).cast("string")),
+            width,
+            salt=salt,
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int, salt: str) -> Column:
+    """Array of k bit positions for a key (salted-md5 derived)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: hash_bucket(
+            F.concat_ws("#", i.cast("string"), key.cast("string")),
+            m_bits,
+            salt=salt,
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter of the key set as (word_idx, bits) rows —
+    at most ceil(m_bits/31) rows, mergeable by bit_or."""
+    pos = df.select(
+        F.explode(
+            F.array_distinct(
+                _bloom_positions(F.col(key_col), m_bits, k, salt)
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / _WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(p % {_WORD_BITS} as int))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership probe: adds ``might_contain`` (no false negatives).
+
+    The bitmap is broadcast; the probe side is scanned once and
+    re-aggregated on its own key."""
+    probes = df.select(F.col(key_col)).withColumn(
+        "p", F.explode(_bloom_positions(F.col(key_col), m_bits, k, salt))
+    )
+    hit = probes.select(
+        key_col,
+        (F.col("p") / _WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(p % {_WORD_BITS} as int))").alias("m"),
+    ).join(F.broadcast(bloom), "word_idx", "left")
+    return (
+        hit.groupBy(key_col)
+        .agg(
+            F.min(
+                F.when(
+                    F.coalesce(F.expr("bits & m"), F.lit(0)) != 0, 1
+                ).otherwise(0)
+            ).alias("__all")
+        )
+        .select(key_col, (F.col("__all") == 1).alias("might_contain"))
+    )

@@ -1,0 +1,76 @@
+"""Count-min and Bloom sketches (operators/sketch.py).
+
+The battery oracles (sketch_cms_tokens, sketch_bloom_customers) pin
+engine parity; these tests pin the sketch contracts: CMS never
+underestimates and merges associatively; Bloom has zero false
+negatives and merges by union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.sketch import (
+    bloom_build,
+    bloom_might_contain,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _keys(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "k string")
+
+
+def test_cms_never_underestimates(spark):
+    data = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + [f"x{i}" for i in range(200)]
+    df = _keys(spark, data)
+    sk = cms_build(df, "k", depth=4, width=64)  # tight width => collisions
+    exact = {"a": 50, "b": 20, "c": 5}
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            sk, _keys(spark, list(exact)), "k", depth=4, width=64
+        ).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n
+
+
+def test_cms_merge_equals_single_build(spark):
+    a = ["a"] * 7 + ["b"] * 3 + ["z"]
+    b = ["a"] * 2 + ["c"] * 4
+    merged = cms_merge(
+        cms_build(_keys(spark, a), "k", depth=3, width=32),
+        cms_build(_keys(spark, b), "k", depth=3, width=32),
+    )
+    single = cms_build(_keys(spark, a + b), "k", depth=3, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    members = [f"m{i}" for i in range(300)]
+    bloom = bloom_build(_keys(spark, members), "k", m_bits=4096, k=4)
+    probe = members + [f"q{i}" for i in range(300)]
+    out = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(
+            bloom, _keys(spark, probe), "k", m_bits=4096, k=4
+        ).collect()
+    }
+    assert all(out[m] for m in members)
+    # with m=4096, k=4, n=300 the fp rate is ~0.2% — most non-members
+    # must come back negative (deterministic, so this cannot flake)
+    neg = sum(1 for i in range(300) if not out[f"q{i}"])
+    assert neg >= 290
+
+
+def test_bloom_masks_are_positive(spark):
+    # every stored word is a positive OR of 1<<(p%31) masks — no
+    # sign-bit traffic that could diverge cross-engine
+    bloom = bloom_build(_keys(spark, [f"m{i}" for i in range(50)]), "k")
+    bad = bloom.filter(F.col("bits") <= 0).count()
+    assert bad == 0
