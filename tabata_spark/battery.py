@@ -7468,3 +7468,102 @@ def sketch_bloom_customers(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+@register(
+    "q_pit_orders",
+    """
+    WITH log AS (
+      SELECT c_custkey AS key, TIMESTAMP '1995-01-01' AS ts,
+             c_mktsegment AS segment, c_nationkey AS nation
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '1998-01-01',
+             CASE WHEN c_custkey % 35 = 0 THEN c_mktsegment
+                  ELSE 'SEG' || CAST(c_custkey % 5 AS VARCHAR) END,
+             c_nationkey
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '2000-01-01',
+             CASE WHEN c_custkey % 7 = 0 AND c_custkey % 35 <> 0
+                  THEN 'SEG' || CAST(c_custkey % 5 AS VARCHAR)
+                  ELSE c_mktsegment END,
+             CAST((c_nationkey + 1) % 25 AS INTEGER)
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    flt AS (
+      SELECT *,
+             (row_number() OVER w = 1
+              OR segment IS DISTINCT FROM lag(segment) OVER w
+              OR nation IS DISTINCT FROM lag(nation) OVER w) AS chg
+      FROM log WINDOW w AS (PARTITION BY key ORDER BY ts)
+    ),
+    kept AS (SELECT key, ts, segment, nation FROM flt WHERE chg),
+    dim AS (
+      SELECT key,
+             CAST(row_number() OVER w2 AS BIGINT) AS version,
+             segment, nation,
+             ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+      FROM kept WINDOW w2 AS (PARTITION BY key ORDER BY ts)
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.version, d.segment, d.nation
+    FROM orders o
+    JOIN dim d
+      ON d.key = o.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_pit_orders(spark, sf_dir):
+    """Point-in-time dimension join: every order looks up the SCD2
+    customer version valid AT ITS ORDER DATE (as-was segment/nation,
+    not as-is) — the join every historical report needs. The
+    dimension (built by operators/scd.scd2_history from a dated
+    change log) is BROADCAST; the interval predicate rides the key
+    equi-join, so the fact table is scanned once with zero fact-side
+    shuffles (operators/scd.pit_join)."""
+    from tabata_spark.operators.scd import pit_join, scd2_history
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    def seg_new():
+        return F.concat(F.lit("SEG"), (F.col("c_custkey") % 5).cast("string"))
+
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.lit("1995-01-01").cast("timestamp").alias("ts"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b1 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("1998-01-01").cast("timestamp").alias("ts"),
+        F.when(F.col("c_custkey") % 35 == 0, F.col("c_mktsegment"))
+        .otherwise(seg_new())
+        .alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b2 = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("2000-01-01").cast("timestamp").alias("ts"),
+        F.when(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 35 != 0),
+            seg_new(),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("nation"),
+    )
+    dim = scd2_history(
+        base.unionByName(b1).unionByName(b2),
+        key="key",
+        ts="ts",
+        tracked=["segment", "nation"],
+    ).withColumn("version", F.col("version").cast("long"))
+    out = pit_join(orders, dim, key="key", ts="o_orderdate", fact_key="o_custkey")
+    return out.select(
+        "o_orderkey", "o_custkey", "version", "segment", "nation"
+    ).orderBy("o_orderkey")

@@ -95,3 +95,33 @@ def scd2_apply(
         tracked=tracked,
     )
     return untouched.unionByName(rebuilt)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    fact_key: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time lookup: join each fact row to the dimension
+    VERSION whose [valid_from, valid_to) interval covers the fact's
+    timestamp — the join every as-was report needs on a type-2
+    dimension.
+
+    Scale shape: dimensions are small relative to fact tables, so the
+    version table is BROADCAST and the interval predicate rides along
+    the key equi-join (one fact scan, zero fact shuffles). For a
+    dimension too big to broadcast, the same plan works as a
+    sort-merge equi-join on the key with the interval conjunct as a
+    post-join filter — versions per key are few, so the inflation is
+    bounded by the version count, not the interval span.
+    """
+    fact_key = fact_key or key
+    cond = (
+        (facts[fact_key] == dim[key])
+        & (dim["valid_from"] <= facts[ts])
+        & (dim["valid_to"].isNull() | (facts[ts] < dim["valid_to"]))
+    )
+    return facts.join(F.broadcast(dim), cond, how)

@@ -69,3 +69,25 @@ def test_apply_leaves_untouched_keys_alone(spark):
     assert rows[(2, 1)]["segment"] == "B" and rows[(2, 1)]["is_current"] is True
     assert rows[(1, 2)]["segment"] == "Z" and rows[(1, 2)]["is_current"] is True
     assert rows[(1, 1)]["valid_to"] == 1
+
+
+def test_pit_join_picks_covering_version(spark):
+    from tabata_spark.operators.scd import pit_join
+
+    dim = scd2_history(
+        _log(
+            spark,
+            [(1, 0, "A", 1), (1, 5, "B", 1), (1, 9, "C", 2)],
+        ),
+        key="key",
+        ts="ts",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 4), (102, 1, 5), (103, 1, 99)],
+        "fid long, key long, t long",
+    )
+    out = pit_join(
+        facts, dim.withColumnRenamed("key", "dkey"), key="dkey", ts="t", fact_key="key"
+    )
+    got = {r["fid"]: r["segment"] for r in out.collect()}
+    assert got == {100: "A", 101: "A", 102: "B", 103: "C"}
