@@ -7567,3 +7567,228 @@ def q_pit_orders(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_custkey", "version", "segment", "nation"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "a_winsorize",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+                 THEN value END) AS lo,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                 THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round(least(greatest(e.value, c.lo), c.hi), 6) AS clipped,
+           (e.value < c.lo OR e.value > c.hi) AS was_clipped
+    FROM events e JOIN cuts c USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def a_winsorize(spark, sf_dir):
+    """Per-type winsorization at the DISCRETE p01/p99 order statistics
+    (ceil(q*n) rank — the repo's exact-percentile convention; no
+    interpolated doubles cross-engine). One rank window per type +
+    a broadcast cuts join back onto the single fact scan. For
+    low-cardinality hot groups at 100 TB the exact cut generalizes to
+    the two-phase histogram-prune (q_histogram_value machinery); the
+    clip itself stays a scan-stage comparison either way."""
+    ev = _t(spark, sf_dir, "events")
+    wn = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def cut(q):
+        rank = F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("n"))
+        )
+        return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+    cuts = ranked.groupBy("event_type").agg(
+        cut(0.01).alias("lo"), cut(0.99).alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(clipped, 6).alias("clipped"),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "was_clipped"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "emb_int8_quant",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS s,
+             embedding
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id, s,
+             list_transform(embedding,
+               x -> CAST(sign(CAST(x AS DOUBLE))
+                         * floor((abs(CAST(x AS DOUBLE)) * 127.0) / s)
+                    AS INTEGER)) AS codes,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - (sign(CAST(x AS DOUBLE))
+                           * floor((abs(CAST(x AS DOUBLE)) * 127.0) / s))
+                          * s / 127.0))) AS max_err
+      FROM q WHERE s > 0
+    )
+    SELECT vec_id,
+           round(s, 8) AS scale,
+           md5(array_to_string(list_transform(codes,
+               c -> CAST(c AS VARCHAR)), ',')) AS codes_md5,
+           round(max_err, 8) AS max_err
+    FROM enc ORDER BY vec_id
+    """,
+)
+def emb_int8_quant(spark, sf_dir):
+    """Symmetric int8 max-abs quantization of the embedding column —
+    the 4x compression every billion-vector serving index applies
+    before ANN. Pure scan-stage array expressions (no shuffle, no
+    UDF): per-vector scale = max|x|, code = sign*floor(|x|*127/scale)
+    (floor-toward-zero — CAST-to-int rounds in some engines, so the
+    truncation is spelled explicitly), reconstruction error bounded
+    by scale/127. Codes are md5-compacted for the hash; the real
+    sink would write array<tinyint>."""
+    ev = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: F.abs(x.cast("double"))
+    sgn = lambda x: F.signum(x.cast("double"))
+    q = ev.select(
+        "vec_id",
+        F.array_max(F.transform("embedding", lambda x: xd(x))).alias("s"),
+        "embedding",
+    ).filter(F.col("s") > 0)
+
+    def qfun(x):
+        return sgn(x) * F.floor((xd(x) * F.lit(127.0)) / F.col("s"))
+
+    enc = q.select(
+        "vec_id",
+        "s",
+        F.transform("embedding", lambda x: qfun(x).cast("int")).alias("codes"),
+        F.array_max(
+            F.transform(
+                "embedding",
+                lambda x: F.abs(
+                    x.cast("double") - qfun(x) * F.col("s") / F.lit(127.0)
+                ),
+            )
+        ).alias("max_err"),
+    )
+    return enc.select(
+        "vec_id",
+        F.round("s", 8).alias("scale"),
+        F.md5(
+            F.array_join(
+                F.transform("codes", lambda c: c.cast("string")), ","
+            )
+        ).alias("codes_md5"),
+        F.round("max_err", 8).alias("max_err"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_snapshot_diff",
+    """
+    WITH newsnap AS (
+      SELECT c_custkey AS key,
+             CASE WHEN c_custkey % 7 = 0 THEN 'SEGX' ELSE c_mktsegment END AS segment,
+             CASE WHEN c_custkey % 11 = 0 THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+                  ELSE c_nationkey END AS nation
+      FROM customer WHERE c_custkey % 31 <> 0
+      UNION ALL
+      SELECT c_custkey + (SELECT max(c_custkey) FROM customer),
+             'NEWSEG', CAST(0 AS INTEGER)
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    oldsnap AS (
+      SELECT c_custkey AS key, c_mktsegment AS segment, c_nationkey AS nation
+      FROM customer
+    ),
+    j AS (
+      SELECT coalesce(o.key, n.key) AS key,
+             CASE WHEN o.key IS NULL THEN 'added'
+                  WHEN n.key IS NULL THEN 'removed'
+                  WHEN o.segment IS DISTINCT FROM n.segment
+                    OR o.nation IS DISTINCT FROM n.nation THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             o.segment AS old_segment, o.nation AS old_nation,
+             n.segment AS new_segment, n.nation AS new_nation
+      FROM oldsnap o FULL OUTER JOIN newsnap n ON o.key = n.key
+    )
+    SELECT * FROM j WHERE status <> 'unchanged' ORDER BY key
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two versions of the customer dimension
+    (derived mutations: segment rewrite at %7, nation bump at %11,
+    deletes at %31, inserts past max key at %97) — the CDC primitive:
+    one co-partitioned full-outer join with presence indicators,
+    emitting only the changed/added/removed keys
+    (operators/scd.table_diff)."""
+    from tabata_spark.operators.scd import table_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    maxkey = cust.agg(F.max("c_custkey")).collect()[0][0]
+    old = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 31 != 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("SEGX"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.when(
+                F.col("c_custkey") % 11 == 0,
+                ((F.col("c_nationkey") + 1) % 25).cast("int"),
+            )
+            .otherwise(F.col("c_nationkey"))
+            .alias("nation"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + F.lit(maxkey)).alias("key"),
+                F.lit("NEWSEG").alias("segment"),
+                F.lit(0).cast("int").alias("nation"),
+            )
+        )
+    )
+    d = table_diff(old, new, key="key", tracked=["segment", "nation"])
+    return d.filter(F.col("status") != "unchanged").select(
+        "key",
+        "status",
+        "old_segment",
+        "old_nation",
+        "new_segment",
+        "new_nation",
+    ).orderBy("key")

@@ -125,3 +125,46 @@ def pit_join(
         & (dim["valid_to"].isNull() | (facts[ts] < dim["valid_to"]))
     )
     return facts.join(F.broadcast(dim), cond, how)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "key",
+    tracked: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed
+    / unchanged between two table versions — the CDC primitive behind
+    incremental pipelines and audit reports.
+
+    One full-outer equi-join on the key (co-partitioned, uniform);
+    presence indicators distinguish "absent" from "present with NULL
+    attributes". Returns (key, status, old_*, new_*).
+    """
+    tracked = tracked or [c for c in old.columns if c != key]
+    o = old.select(
+        key,
+        F.lit(1).alias("__o"),
+        *[F.col(c).alias(f"old_{c}") for c in tracked],
+    )
+    n = new.select(
+        key,
+        F.lit(1).alias("__n"),
+        *[F.col(c).alias(f"new_{c}") for c in tracked],
+    )
+    j = o.join(n, key, "full_outer")
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__o").isNull(), "added")
+        .when(F.col("__n").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        key,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in tracked],
+        *[F.col(f"new_{c}") for c in tracked],
+    )
