@@ -94,6 +94,22 @@ HEADLINE = [
     "w_ewma",
     "w_gapfill",
     "q_histogram_value",
+    "w_rolling_median",
+    "a_record_trend",
+    "q_seasonal_anomaly",
+    "text_novelty",
+    "text_decontaminate",
+    "sketch_cms_tokens",
+    "sketch_bloom_customers",
+    "q_scd2_customers",
+    "q_pit_orders",
+    "q_snapshot_diff",
+    "emb_int8_quant",
+    "a_winsorize_events",
+    # q_pagerank is deliberately NOT here: its local cost is dominated
+    # by plan compilation + the fixed per-round barrier (~12s cold,
+    # ~4s steady at sf0.1) which amortizes at real edge counts; see
+    # SCALE.md "pagerank" for the probe numbers.
     # bench-only (battery.BENCH_EXTRA): production xxhash64 simhash —
     # the md5 variant above is the oracle-parity twin
     "dedup_simhash_prod",

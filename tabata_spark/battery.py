@@ -71,6 +71,10 @@ def register(name: str, oracle: str | None = None):
                 )
             return df
 
+        if name in QUERIES:
+            # a silent overwrite would both swap an audited query's
+            # semantics and hide the collision from the oracle sweep
+            raise AssertionError(f"duplicate battery registration: {name!r}")
         QUERIES[name] = checked
         if oracle is not None:
             ORACLES[name] = oracle
@@ -7251,7 +7255,7 @@ def q_pagerank(spark, sf_dir):
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iterations=5)
+    pr = pagerank(edges, iterations=5, checkpoint_every=0, broadcast_ranks=True)
     return pr.select("node", "rank_fp", "rank").orderBy("node")
 
 
@@ -7570,7 +7574,7 @@ def q_pit_orders(spark, sf_dir):
 
 
 @register(
-    "a_winsorize",
+    "a_winsorize_events",
     """
     WITH ranked AS (
       SELECT event_type, value,
@@ -7593,7 +7597,7 @@ def q_pit_orders(spark, sf_dir):
     ORDER BY e.event_id
     """,
 )
-def a_winsorize(spark, sf_dir):
+def a_winsorize_events(spark, sf_dir):
     """Per-type winsorization at the DISCRETE p01/p99 order statistics
     (ceil(q*n) rank — the repo's exact-percentile convention; no
     interpolated doubles cross-engine). One rank window per type +

@@ -50,6 +50,8 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     scale: int = 10**12,
+    checkpoint_every: int = 1,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns
     (node, rank_fp: bigint, rank: double) with rank = rank_fp/scale.
@@ -58,19 +60,39 @@ def pagerank(
     edge list for undirected/bipartite graphs — then there are no
     dangling nodes). Multi-edges are collapsed. Damping is fixed at
     the exact rational 17/20 = 0.85.
+
+    Setup is ONE shuffle: repartition by src, then both the
+    (src,dst)-dedup and the out-degree window reuse that partitioning
+    (hash(src) clusters every equal (src,dst) pair, so Catalyst
+    inserts no further exchange). Knobs: ``checkpoint_every`` rounds
+    between lineage truncations (0 = never — fine for short runs;
+    keep 1 for long runs so recovery never replays the whole
+    history); ``broadcast_ranks`` pins a broadcast join of the rank
+    vector when the caller KNOWS it fits (the post-checkpoint vector
+    has no size stats, so AQE alone won't pick it) — leave False on
+    web-scale graphs where the vector must shuffle.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(F.col("src"))
+        .dropDuplicates(["src", "dst"])
+    )
+    from pyspark.sql import Window
+
+    ed = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
+    deg = ed.select("src", "deg").dropDuplicates(["src"])
     # One scalar fold-back: node count for the teleport term (legitimate
     # driver-side scalar, same class as the BM25 corpus stats).
     n = deg.count()
     base = (DAMP_DEN - DAMP_NUM) * scale // (DAMP_DEN * n)
-    ed = e.join(deg, "src").persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(scale // n).alias("rank_fp")
     )
-    for _ in range(iterations):
-        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+    for i in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = ed.join(r, ed["src"] == r["node"]).select(
             F.col("dst"),
             F.expr("rank_fp div deg").alias("c"),
         )
@@ -84,8 +106,13 @@ def pagerank(
                     + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}")
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i < iterations - 1
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         F.col("rank_fp").cast("long").alias("rank_fp"),
