@@ -7796,3 +7796,166 @@ def q_snapshot_diff(spark, sf_dir):
         "new_segment",
         "new_nation",
     ).orderBy("key")
+
+
+@register(
+    "q_rrf_fusion",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'join')) AS tf0,
+             len(list_filter(t, x -> x = 'hash')) AS tf1,
+             len(list_filter(t, x -> x = 'vector')) AS tf2
+      FROM toks),
+    st AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM base),
+    bm AS (
+      SELECT doc_id,
+             round(
+               ln(1 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+             + ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+             + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)),
+             4) AS score
+      FROM base, st WHERE tf0 + tf1 + tf2 > 0),
+    r1 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm QUALIFY rank <= 50),
+    tfr AS (SELECT doc_id, tf0 + tf1 + tf2 AS tf FROM base WHERE tf0 + tf1 + tf2 > 0),
+    r2 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+      FROM tfr QUALIFY rank <= 50),
+    fused AS (
+      SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+             r1.rank AS rank_1, r2.rank AS rank_2,
+             (CASE WHEN r1.rank IS NOT NULL THEN 1.0 / (60.0 + r1.rank) ELSE 0.0 END
+              + CASE WHEN r2.rank IS NOT NULL THEN 1.0 / (60.0 + r2.rank) ELSE 0.0 END)
+               AS rrf
+      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+    SELECT doc_id, rank_1, rank_2, round(rrf, 8) AS rrf
+    FROM fused ORDER BY round(rrf, 8) DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval systems for the bag
+    {join, hash, vector}: Okapi BM25 vs raw term frequency, top-50
+    each, fused with the standard k=60 RRF — the hybrid-search
+    combiner (text.rrf_fuse). Both rankings rank on ROUNDED scores
+    with doc_id tiebreaks, and the fusion is a fixed-order two-term
+    expression, so the whole chain is ulp-stable cross-engine. The
+    fusion joins are top-k-small regardless of corpus size."""
+    from tabata_spark.operators.text import bm25_rank, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    tf = sum(
+        F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        for t in ["join", "hash", "vector"]
+    )
+    scored = bm25_rank(docs, ["join", "hash", "vector"], k=None).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    r1 = (
+        scored.filter(F.col("score") > 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), "doc_id"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 50)
+    )
+    r2 = (
+        docs.select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), "doc_id"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 50)
+    )
+    fused = rrf_fuse([r1, r2], id_col="doc_id", rank_col="rank", k=60)
+    return (
+        fused.select(
+            "doc_id",
+            "rank_1",
+            "rank_2",
+            F.round("rrf", 8).alias("rrf"),
+        )
+        .orderBy(F.desc(F.round("rrf", 8)), "doc_id")
+        .limit(20)
+    )
+
+
+def _langid_eval_oracle() -> str:
+    """Wrap the langid replay in a per-class precision/recall/F1
+    confusion rollup (truth = the documents table's lang column)."""
+    inner = _langid_oracle()
+    return f"""
+    WITH p AS (SELECT lang, lang_pred FROM ({inner}) t),
+    bt AS (SELECT lang, count(*) AS n_true,
+                  sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS tp
+           FROM p GROUP BY lang),
+    bp AS (SELECT lang_pred, count(*) AS n_pred FROM p GROUP BY lang_pred)
+    SELECT bt.lang, CAST(bt.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(bp.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(bt.tp AS BIGINT) AS tp,
+           round(CASE WHEN coalesce(bp.n_pred, 0) > 0
+                      THEN bt.tp * 1.0 / bp.n_pred ELSE 0.0 END, 6) AS prec,
+           round(bt.tp * 1.0 / bt.n_true, 6) AS recall,
+           round(CASE WHEN bt.tp > 0
+                      THEN 2.0 * (bt.tp * 1.0 / bp.n_pred) * (bt.tp * 1.0 / bt.n_true)
+                           / ((bt.tp * 1.0 / bp.n_pred) + (bt.tp * 1.0 / bt.n_true))
+                      ELSE 0.0 END, 6) AS f1
+    FROM bt LEFT JOIN bp ON bp.lang_pred = bt.lang
+    ORDER BY bt.lang
+    """
+
+
+@register("q_langid_eval", _langid_eval_oracle())
+def q_langid_eval(spark, sf_dir):
+    """Classifier evaluation as a query: per-class precision / recall
+    / F1 of the stopword-profile language identifier against the
+    corpus's labeled lang column — the eval-harness rollup every
+    model-in-the-pipeline needs. Two map-side-combinable confusion
+    aggregations (by truth, by prediction) joined on the class; all
+    counts exact integers, the three ratios single double divisions
+    rounded at the boundary."""
+    from tabata_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.select("lang", lang_id("text").alias("lang_pred"))
+    bt = p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    bp = p.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    j = bt.join(bp, bt["lang"] == bp["lang_pred"], "left")
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
+    prec = F.when(n_pred > 0, F.col("tp") / n_pred).otherwise(F.lit(0.0))
+    rec = F.col("tp") / F.col("n_true")
+    f1 = F.when(
+        F.col("tp") > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "lang",
+        "n_true",
+        n_pred.cast("long").alias("n_pred"),
+        "tp",
+        F.round(prec, 6).alias("prec"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("lang")

@@ -988,3 +988,32 @@ def decontaminate(
         (F.col("n_hit") > 0).alias("contaminated"),
         F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_frac"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard
+    hybrid-search combiner (lexical + dense, or any mix):
+    rrf(d) = sum over systems of 1/(k + rank_i(d)), absent = 0.
+
+    Scale/determinism shape: each ranking is already top-k small, so
+    the fusion is a chain of tiny full-outer joins; the score is a
+    single FIXED-ORDER expression over the joined row (no aggregation
+    over a variable set), so the double arithmetic is bit-identical
+    in any engine. Returns (id_col, rank_1..rank_N, rrf)."""
+    out = None
+    for i, r in enumerate(rankings):
+        r = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i + 1}"))
+        out = r if out is None else out.join(r, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        c = F.when(
+            F.col(f"rank_{i + 1}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i + 1}")),
+        ).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    return out.withColumn("rrf", score)
