@@ -7959,3 +7959,76 @@ def q_langid_eval(spark, sf_dir):
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     ).orderBy("lang")
+
+
+#: Cramer's-rule solution of the 3x3 normal equations for
+#: y ~ b0 + b1*seq + b2*seq^2, written ONCE as SQL text and parsed by
+#: BOTH engines (same precedence, same literal order => identical
+#: double arithmetic). Inputs are exact sums cast to double.
+_QUAD_DETM = "(n*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2))"
+_QUAD_DET0 = "(sy*(s2*s4 - s3*s3) - s1*(sxy*s4 - s3*sx2y) + s2*(sxy*s3 - s2*sx2y))"
+_QUAD_DET1 = "(n*(sxy*s4 - s3*sx2y) - sy*(s1*s4 - s3*s2) + s2*(s1*sx2y - sxy*s2))"
+_QUAD_DET2 = "(n*(s2*sx2y - sxy*s3) - s1*(s1*sx2y - sxy*s2) + sy*(s1*s3 - s2*s2))"
+
+
+@register(
+    "a_quadratic_trend",
+    SIGNALS_CTE
+    + f"""
+    , sums AS (
+      SELECT record_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(seq) AS DOUBLE) AS s1,
+             CAST(sum(seq * seq) AS DOUBLE) AS s2,
+             CAST(sum(seq * seq * seq) AS DOUBLE) AS s3,
+             CAST(sum(seq * seq * seq * seq) AS DOUBLE) AS s4,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(seq * value AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(seq * seq * value AS DECIMAL(30,6))) AS DOUBLE) AS sx2y,
+             count(*) AS cnt
+      FROM signals WHERE value IS NOT NULL
+      GROUP BY record_id HAVING count(*) >= 3
+    )
+    SELECT record_id, CAST(cnt AS BIGINT) AS n,
+           round({_QUAD_DET0} / {_QUAD_DETM}, 6) AS b0,
+           round({_QUAD_DET1} / {_QUAD_DETM}, 8) AS b1,
+           round({_QUAD_DET2} / {_QUAD_DETM}, 10) AS b2
+    FROM sums ORDER BY record_id
+    """,
+)
+def a_quadratic_trend(spark, sf_dir):
+    """Per-record quadratic trend: closed-form 2-regressor OLS
+    (y ~ b0 + b1*seq + b2*seq^2) solved by Cramer's rule over EXACT
+    power sums — seq powers are BIGINT, value cross-sums decimal-
+    quantized, and the determinant arithmetic is ONE shared SQL
+    expression string parsed by both engines, so every double op
+    happens in the same literal order. One map-side-combinable
+    aggregation per record; the curvature screen for 'is this channel
+    drifting nonlinearly'."""
+    sig = _signals(spark, sf_dir).filter(F.col("value").isNotNull())
+    sums = sig.groupBy("record_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("seq").cast("double").alias("s1"),
+        F.sum(F.col("seq") * F.col("seq")).cast("double").alias("s2"),
+        F.sum(F.col("seq") * F.col("seq") * F.col("seq"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(F.col("seq") * F.col("seq") * F.col("seq") * F.col("seq"))
+        .cast("double")
+        .alias("s4"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("seq") * F.col("value")).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("seq") * F.col("seq") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sx2y"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).filter(F.col("cnt") >= 3)
+    return sums.selectExpr(
+        "record_id",
+        "CAST(cnt AS BIGINT) AS n",
+        f"round({_QUAD_DET0} / {_QUAD_DETM}, 6) AS b0",
+        f"round({_QUAD_DET1} / {_QUAD_DETM}, 8) AS b1",
+        f"round({_QUAD_DET2} / {_QUAD_DETM}, 10) AS b2",
+    ).orderBy("record_id")
