@@ -8032,3 +8032,65 @@ def a_quadratic_trend(spark, sf_dir):
         f"round({_QUAD_DET1} / {_QUAD_DETM}, 8) AS b1",
         f"round({_QUAD_DET2} / {_QUAD_DETM}, 10) AS b2",
     ).orderBy("record_id")
+
+
+@register(
+    "q_last_touch",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, max(event_id) AS vid, ts AS vts
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT p.pid, p.user_id, p.pts, v.vid, v.vts,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY v.vts DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.vts <= p.pts
+       AND epoch(p.pts) - epoch(v.vts) <= 604800.0
+    )
+    SELECT pid, user_id, epoch_us(pts) AS pts_us, vid,
+           epoch_us(pts) - epoch_us(vts) AS gap_us
+    FROM j WHERE rn = 1 ORDER BY pid
+    """,
+)
+def q_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase joins the
+    most recent view by the same user within a 7-day lookback —
+    operators/asof.asof_join (backward direction, tolerance) driven
+    end-to-end through the driver gate. The as-of is the union-window
+    formulation: ONE shuffle on the user key, no join operator, no
+    per-row probing; view (user, ts) ties are pre-collapsed to the
+    max event_id so the match is total-order deterministic."""
+    from tabata_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("vid"))
+    )
+    j = asof_join(
+        p,
+        v,
+        ["user_id"],
+        ts_col="ts",
+        value_cols=["vid"],
+        tolerance_s=604800.0,
+        direction="backward",
+    )
+    return j.select(
+        "pid",
+        "user_id",
+        epoch_us("ts").alias("pts_us"),
+        "vid",
+        (epoch_us("ts") - epoch_us("matched_ts")).alias("gap_us"),
+    ).orderBy("pid")
