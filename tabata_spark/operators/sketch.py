@@ -171,3 +171,37 @@ def bloom_might_contain(
         )
         .select(key_col, (F.col("__all") == 1).alias("might_contain"))
     )
+
+
+def cms_upsert(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> None:
+    """Fold a batch into a stored count-min sketch (parquet).
+
+    The store is at most depth*width rows, so the merge is a tiny
+    union+sum; the merged frame is eagerly materialized
+    (localCheckpoint) BEFORE the overwrite so the write never races
+    its own input scan. Work per upsert is O(batch) + O(sketch),
+    never O(history) — the whole point of keeping the sketch."""
+    import os
+
+    part = cms_build(batch, key_col, depth, width, salt)
+    if not part.head(1):
+        return
+    if os.path.isdir(store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(store_path)
+    ):
+        stored = spark.read.parquet(store_path)
+        part = cms_merge(part, stored)
+    part.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+
+
+def load_cms(spark, store_path: str) -> DataFrame:
+    """Read a stored count-min sketch."""
+    return spark.read.parquet(store_path)

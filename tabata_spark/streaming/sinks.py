@@ -158,3 +158,50 @@ def stream_rollup_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_maintain(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+):
+    """Continuous count-min-sketch maintenance as a stream sink: each
+    micro-batch folds into the stored sketch via
+    ``operators.sketch.cms_upsert`` (union + exact counter sums —
+    work per trigger is O(batch) + O(depth*width), never O(history)).
+    Counter addition is not idempotent, so the same atomic per-batch
+    ledger as ``stream_rollup_maintain`` makes replays no-ops (same
+    documented crash-window caveat)."""
+    from tabata_spark.operators.sketch import cms_upsert
+
+    ledger = os.path.join(store_path + ".__batches__")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        cms_upsert(
+            batch_df.sparkSession,
+            store_path,
+            batch_df,
+            key_col,
+            depth,
+            width,
+            salt,
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.replace(tmp, marker)
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -74,3 +74,62 @@ def test_bloom_masks_are_positive(spark):
     bloom = bloom_build(_keys(spark, [f"m{i}" for i in range(50)]), "k")
     bad = bloom.filter(F.col("bits") <= 0).count()
     assert bad == 0
+
+
+def test_cms_upsert_incremental_equals_oneshot(spark, tmp_path):
+    from tabata_spark.operators.sketch import cms_upsert, load_cms
+
+    a = _keys(spark, ["a"] * 9 + ["b"] * 4)
+    b = _keys(spark, ["a"] * 1 + ["c"] * 6)
+    store = str(tmp_path / "cms")
+    cms_upsert(spark, store, a, "k", depth=3, width=32)
+    cms_upsert(spark, store, b, "k", depth=3, width=32)
+    inc = sorted(map(tuple, load_cms(spark, store).collect()))
+    one = sorted(
+        map(
+            tuple,
+            cms_build(
+                _keys(spark, ["a"] * 10 + ["b"] * 4 + ["c"] * 6),
+                "k",
+                depth=3,
+                width=32,
+            ).collect(),
+        )
+    )
+    assert inc == one
+
+
+def test_stream_cms_maintain_matches_batch_and_is_replay_safe(spark, tmp_path):
+    from tabata_spark.operators.sketch import load_cms
+    from tabata_spark.streaming.sinks import stream_cms_maintain
+
+    rows = [(i, f"k{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    src = str(tmp_path / "src")
+    df.repartition(3, F.pmod("id", F.lit(3))).write.parquet(src)
+    store = str(tmp_path / "cms")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_cms_maintain(stream, store, ck, "k", depth=3, width=16)
+    q.awaitTermination()
+    got = sorted(map(tuple, load_cms(spark, store).collect()))
+    want = sorted(
+        map(tuple, cms_build(df, "k", depth=3, width=16).collect())
+    )
+    assert got == want
+    # replay: a second identical run (fresh checkpoint, same ledger)
+    # must be a no-op thanks to the batch markers
+    ck2 = str(tmp_path / "ck2")
+    stream2 = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = stream_cms_maintain(stream2, store, ck2, "k", depth=3, width=16)
+    q2.awaitTermination()
+    again = sorted(map(tuple, load_cms(spark, store).collect()))
+    assert again == want
