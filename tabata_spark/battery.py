@@ -8094,3 +8094,76 @@ def q_last_touch(spark, sf_dir):
         "vid",
         (epoch_us("ts") - epoch_us("matched_ts")).alias("gap_us"),
     ).orderBy("pid")
+
+
+#: simple-OLS slope over decimal-quantized (lx, ly) sums, written once
+#: and parsed by both engines (same literal order => same doubles)
+_ZIPF_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+
+@register(
+    "q_zipf_fit",
+    f"""
+    WITH t2 AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    cnt AS (SELECT tok, count(*) AS f FROM t2 GROUP BY tok),
+    rk AS (
+      SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM cnt QUALIFY r <= 1000
+    ),
+    q AS (
+      SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,10)) AS lx,
+             CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,10)) AS ly
+      FROM rk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(lx) AS DOUBLE) AS sx,
+             CAST(sum(ly) AS DOUBLE) AS sy,
+             CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+             CAST(sum(lx * lx) AS DOUBLE) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round({_ZIPF_SLOPE}, 8) AS slope,
+           round((sy - {_ZIPF_SLOPE} * sx) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit of the corpus token-frequency distribution:
+    OLS of ln(freq) on ln(rank) over the top-1000 tokens — the
+    healthy-corpus diagnostic (natural text sits near slope -1;
+    boilerplate-heavy or synthetic corpora bend away). Per-token logs
+    are decimal-QUANTIZED so the regression sums are exact and
+    order-independent; the two divisions happen once in double via a
+    formula string both engines parse identically. One token
+    aggregation + one tiny (1000-row) rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    rk = cnt.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.desc("f"), "tok")).alias("r"),
+    ).filter(F.col("r") <= 1000)
+    q = rk.select(
+        F.log(F.col("r").cast("double")).cast("decimal(18,10)").alias("lx"),
+        F.log(F.col("f").cast("double")).cast("decimal(18,10)").alias("ly"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"round({_ZIPF_SLOPE}, 8) AS slope",
+        f"round((sy - {_ZIPF_SLOPE} * sx) / n, 6) AS intercept",
+    )

@@ -502,3 +502,35 @@ def test_stored_inverted_index_prunes_partitions(spark, sf, tmp_path_factory):
     assert m and "term_bucket" in m.group(1), plan[:900]
     full = index_search(queries, idx, n_docs=n_docs, k=5)
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_pit_join_broadcasts_dimension(spark, sf):
+    """The SCD2 point-in-time join must broadcast the version table —
+    the fact scan never shuffles before the join."""
+    c = plan_counts(battery.QUERIES["q_pit_orders"](spark, sf))
+    assert c["broadcast_joins"] >= 1, c
+    assert c["sortmerge_joins"] == 0, c
+    assert c["python_evals"] == 0, c
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf):
+    """Eval-set decontamination broadcasts the benchmark gram set;
+    the training corpus is never shuffled on gram."""
+    c = plan_counts(battery.QUERIES["text_decontaminate"](spark, sf))
+    assert c["broadcast_joins"] >= 1, c
+    assert c["python_evals"] == 0, c
+
+
+def test_sketches_are_jvm_only(spark, sf):
+    for q in ("sketch_cms_tokens", "sketch_bloom_customers"):
+        c = plan_counts(battery.QUERIES[q](spark, sf))
+        assert c["python_evals"] == 0, (q, c)
+
+
+def test_int8_quant_no_shuffle_no_python(spark, sf):
+    """Scan-stage array expressions only (ordering sort excepted)."""
+    df = battery.QUERIES["emb_int8_quant"](spark, sf)
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, c
+    # the only exchange allowed is the final global orderBy range
+    assert c["exchanges"] <= 1, c
