@@ -8167,3 +8167,127 @@ def q_zipf_fit(spark, sf_dir):
         f"round({_ZIPF_SLOPE}, 8) AS slope",
         f"round((sy - {_ZIPF_SLOPE} * sx) / n, 6) AS intercept",
     )
+
+
+#: Dunning G2 keyness written once; parsed by both engines. Inputs:
+#: a = token count in the source, t = corpus token count, ns = source
+#: token total, nn = corpus token total (all exact BIGINTs cast to
+#: DOUBLE); zero cells contribute 0 by the CASE guards.
+_LLR_G2 = (
+    "(2.0 * ("
+    "CASE WHEN a > 0 THEN a * ln(a / (ns * t / nn)) ELSE 0.0 END"
+    " + CASE WHEN (t - a) > 0 THEN (t - a) * ln((t - a) / ((nn - ns) * t / nn)) ELSE 0.0 END"
+    " + CASE WHEN (ns - a) > 0 THEN (ns - a) * ln((ns - a) / (ns * (nn - t) / nn)) ELSE 0.0 END"
+    " + CASE WHEN (nn - ns - t + a) > 0 THEN (nn - ns - t + a)"
+    " * ln((nn - ns - t + a) / ((nn - ns) * (nn - t) / nn)) ELSE 0.0 END"
+    "))"
+)
+
+
+@register(
+    "q_keyness_llr",
+    f"""
+    WITH t2 AS (
+      SELECT source, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    st AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS a,
+                  count(*) AS a_i
+           FROM t2 GROUP BY source, tok),
+    tt AS (SELECT tok, CAST(sum(a_i) AS DOUBLE) AS t FROM st GROUP BY tok),
+    ss AS (SELECT source, CAST(sum(a_i) AS DOUBLE) AS ns FROM st GROUP BY source),
+    nn_t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM t2),
+    scored AS (
+      SELECT st.source, st.tok, CAST(st.a_i AS BIGINT) AS n_in_source,
+             round({_LLR_G2}, 4) AS g2
+      FROM st JOIN tt USING (tok) JOIN ss USING (source), nn_t
+      WHERE st.a / ss.ns > tt.t / nn_t.nn
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY g2 DESC, tok) AS r
+      FROM scored
+    )
+    SELECT source, r AS rank, tok, n_in_source, g2
+    FROM rk WHERE r <= 10 ORDER BY source, r
+    """,
+)
+def q_keyness_llr(spark, sf_dir):
+    """Characteristic vocabulary per source: Dunning log-likelihood-
+    ratio keyness (the corpus-linguistics standard for 'which words
+    mark this domain') — top-10 OVERREPRESENTED tokens per source by
+    G2 over the 2x2 contingency of exact integer counts. One
+    (source, tok) aggregation; per-token totals join back gram-keyed
+    (uniform); per-source totals and the corpus total are tiny
+    broadcasts/literals. The G2 expression is one shared formula
+    string, zero cells guarded to 0."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    st = t2.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a_i"))
+    tt = st.groupBy("tok").agg(F.sum("a_i").cast("double").alias("t"))
+    ss = st.groupBy("source").agg(F.sum("a_i").cast("double").alias("ns"))
+    nn = float(t2.count())
+    scored = (
+        st.withColumn("a", F.col("a_i").cast("double"))
+        .join(tt, "tok")
+        .join(F.broadcast(ss), "source")
+        .withColumn("nn", F.lit(nn))
+        .filter(F.col("a") / F.col("ns") > F.col("t") / F.col("nn"))
+        .selectExpr(
+            "source",
+            "tok",
+            "CAST(a_i AS BIGINT) AS n_in_source",
+            f"round({_LLR_G2}, 4) AS g2",
+        )
+    )
+    rk = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("g2"), "tok"))
+        .alias("r"),
+    ).filter(F.col("r") <= 10)
+    return rk.select(
+        "source", F.col("r").alias("rank"), "tok", "n_in_source", "g2"
+    ).orderBy("source", "rank")
+
+
+@register(
+    "q_histogram_depth",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM b GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def q_histogram_depth(spark, sf_dir):
+    """Equi-DEPTH histogram per event type (8 ntile buckets over the
+    (value, event_id) total order) — the complement of the equi-width
+    q_histogram_value profile: bucket boundaries ARE the octile cut
+    points, the per-bucket counts are equal by construction (+-1).
+    ntile semantics (first buckets take the remainder) are identical
+    in both engines given the deterministic total order. One window +
+    one map-side-combinable aggregation on the same partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(8).over(w).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
