@@ -8291,3 +8291,137 @@ def q_histogram_depth(spark, sf_dir):
         )
         .orderBy("event_type", "bin")
     )
+
+
+@register(
+    "q_ppl_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    scalars AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+    lp AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(ln((c + 1.0) / (n + v)) AS DECIMAL(18,10)))
+                        AS DOUBLE) / count(*), 8) AS mlp
+      FROM tok JOIN vocab USING (tok), scalars
+      GROUP BY doc_id
+    ),
+    b AS (
+      SELECT d.doc_id, d.source, lp.mlp,
+             ntile(3) OVER (PARTITION BY d.source
+                            ORDER BY lp.mlp DESC, d.doc_id) AS t3
+      FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, mlp,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM b ORDER BY doc_id
+    """,
+)
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing: per-SOURCE
+    terciles of the per-doc mean unigram log-likelihood (higher
+    logprob = lower perplexity = head). The per-doc score is a
+    decimal-QUANTIZED log sum (order-independent, unlike a raw
+    double avg) divided once; the tercile cut ranks on the ROUNDED
+    score with doc_id tiebreaks, so the bucket assignment is total-
+    order deterministic. This is the canonical domain-equalized
+    quality gate of CCNet-descended pipelines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n, v = vocab.agg(F.sum("c"), F.count(F.lit(1))).collect()[0]
+    logp = F.log((F.col("c") + 1.0) / F.lit(float(n + v)))
+    lp = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(logp.cast("decimal(18,10)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("mlp")
+        )
+    )
+    b = docs.select("doc_id", "source").join(lp, "doc_id")
+    t3 = F.ntile(3).over(
+        Window.partitionBy("source").orderBy(F.desc("mlp"), "doc_id")
+    )
+    return (
+        b.select(
+            "doc_id",
+            "source",
+            "mlp",
+            t3.alias("t3"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "mlp",
+            F.when(F.col("t3") == 1, "head")
+            .when(F.col("t3") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_dataset_fingerprint",
+    """
+    WITH h AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) % 1152921504606846976 AS BIGINT) AS fingerprint
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def q_dataset_fingerprint(spark, sf_dir):
+    """Order-independent dataset fingerprint: each row hashes to a
+    60-bit integer (md5 of id + content hash), and the per-source
+    checksum is the MODULAR SUM of row hashes (mod 2^60) — equal
+    datasets produce equal fingerprints under ANY partitioning, file
+    order, or engine, and the checksum merges associatively across
+    shards/days (add the sums). This is the manifest line a 100 TB
+    dataset version is pinned by. The sum runs in DECIMAL(38,0) so it
+    never wraps before the modulus (BIGINT sums overflow engine-
+    dependently)."""
+    docs = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.md5("text"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("source", hv.alias("hv"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.pmod(
+                F.sum(F.col("hv").cast("decimal(38,0)")),
+                F.lit(1152921504606846976).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("fingerprint"),
+        )
+        .orderBy("source")
+    )
