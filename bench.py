@@ -106,6 +106,17 @@ HEADLINE = [
     "q_snapshot_diff",
     "emb_int8_quant",
     "a_winsorize_events",
+    "q_langid_eval",
+    "a_quadratic_trend",
+    "q_last_touch",
+    "q_zipf_fit",
+    "q_keyness_llr",
+    "q_histogram_depth",
+    "q_ppl_buckets",
+    "q_dataset_fingerprint",
+    # q_rrf_fusion is NOT here for the same reason as q_pagerank
+    # below: ~5 s of one-time codegen on the duplicated BM25
+    # expression tree (1.4 s steady-state) — SCALE.md has the probe.
     # q_pagerank is deliberately NOT here: its local cost is dominated
     # by plan compilation + the fixed per-round barrier (~12s cold,
     # ~4s steady at sf0.1) which amortizes at real edge counts; see

@@ -7862,26 +7862,32 @@ def q_rrf_fusion(spark, sf_dir):
     scored = bm25_rank(docs, ["join", "hash", "vector"], k=None).select(
         "doc_id", F.round("score", 4).alias("score")
     )
+    # top-50 cut via TakeOrdered FIRST (deterministic rounded-score +
+    # doc_id order), then rank within the 50-row result — the global
+    # row_number window would otherwise drag the whole corpus through
+    # one partition
     r1 = (
         scored.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
         .select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("score"), "doc_id"))
             .alias("rank"),
         )
-        .filter(F.col("rank") <= 50)
     )
     r2 = (
         docs.select("doc_id", tf.alias("tf"))
         .filter(F.col("tf") > 0)
+        .orderBy(F.desc("tf"), "doc_id")
+        .limit(50)
         .select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("tf"), "doc_id"))
             .alias("rank"),
         )
-        .filter(F.col("rank") <= 50)
     )
     fused = rrf_fuse([r1, r2], id_col="doc_id", rank_col="rank", k=60)
     return (
