@@ -8431,3 +8431,52 @@ def q_dataset_fingerprint(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_mixing_plan",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS corpus_tokens, count(*) AS k FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / tot.corpus_tokens, 6) AS natural_share,
+           round((2.0 * tot.corpus_tokens / tot.k) / n_tokens, 4)
+             AS repeat_factor,
+           CAST(ceil((2.0 * tot.corpus_tokens / tot.k) / n_tokens) AS BIGINT)
+             AS epochs
+    FROM s, tot ORDER BY source
+    """,
+)
+def q_mixing_plan(spark, sf_dir):
+    """Token-budget mixing schedule: given a training budget of 2x
+    the corpus (equal share per source — the uniform-domain baseline
+    of DoReMi-style mixture planning), compute each source's natural
+    share, fractional repeat factor, and whole-epoch count. Exact
+    integer token counts; the two divisions happen once in double.
+    This is the planning table a pretraining run's data loader is
+    driven by."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ", -1)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    corpus_tokens, k = s.agg(F.sum("n_tokens"), F.count(F.lit(1))).collect()[0]
+    per_source_budget = 2.0 * float(corpus_tokens) / float(k)
+    rf = F.lit(per_source_budget) / F.col("n_tokens")
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.lit(float(corpus_tokens)), 6).alias(
+            "natural_share"
+        ),
+        F.round(rf, 4).alias("repeat_factor"),
+        F.ceil(rf).cast("long").alias("epochs"),
+    ).orderBy("source")
