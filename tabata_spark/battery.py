@@ -8480,3 +8480,99 @@ def q_mixing_plan(spark, sf_dir):
         F.round(rf, 4).alias("repeat_factor"),
         F.ceil(rf).cast("long").alias("epochs"),
     ).orderBy("source")
+
+
+@register(
+    "sketch_dd_quantiles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(ceil(ln(value) / ln(1.02)) AS BIGINT) AS bucket,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    est AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum >= ceil(0.50 * n) THEN bucket END) AS b50,
+             min(CASE WHEN cum >= ceil(0.90 * n) THEN bucket END) AS b90,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99
+      FROM cum GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM events
+    ),
+    exact AS (
+      SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(0.50 * nn) AS BIGINT) THEN value END) AS e50,
+             max(CASE WHEN rn = CAST(ceil(0.90 * nn) AS BIGINT) THEN value END) AS e90,
+             max(CASE WHEN rn = CAST(ceil(0.99 * nn) AS BIGINT) THEN value END) AS e99
+      FROM ranked GROUP BY event_type
+    )
+    SELECT est.event_type, est.n,
+           round(2.0 * pow(1.02, CAST(b50 AS DOUBLE)) / (1.02 + 1.0), 6) AS p50_est,
+           round(2.0 * pow(1.02, CAST(b90 AS DOUBLE)) / (1.02 + 1.0), 6) AS p90_est,
+           round(2.0 * pow(1.02, CAST(b99 AS DOUBLE)) / (1.02 + 1.0), 6) AS p99_est,
+           round(e50, 6) AS p50_exact,
+           round(e90, 6) AS p90_exact,
+           round(e99, 6) AS p99_exact
+    FROM est JOIN exact USING (event_type)
+    ORDER BY est.event_type
+    """,
+)
+def sketch_dd_quantiles(spark, sf_dir):
+    """DDSketch quantiles per event type (gamma = 1.02 => 2% relative
+    error guarantee), printed NEXT TO the exact discrete percentiles
+    so the error is visible. The sketch is a log-scaled integer
+    histogram — deterministic (no t-digest/KLL randomness), mergeable
+    by union+sum, bounded by the value range not the row count; at
+    100 TB the ~500-bucket table per key IS the kept state
+    (operators/sketch.ddsketch_*)."""
+    from tabata_spark.operators.sketch import ddsketch_build, ddsketch_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    sk = ddsketch_build(ev, "value", ["event_type"], gamma=1.02)
+    est = ddsketch_quantiles(sk, [0.50, 0.90, 0.99], ["event_type"], gamma=1.02)
+    wn = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nn"),
+    )
+
+    def ex(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("nn")).cast("long"),
+                F.col("value"),
+            )
+        )
+
+    exact = ranked.groupBy("event_type").agg(
+        ex(0.50).alias("e50"), ex(0.90).alias("e90"), ex(0.99).alias("e99")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("p50", 6).alias("p50_est"),
+            F.round("p90", 6).alias("p90_est"),
+            F.round("p99", 6).alias("p99_est"),
+            F.round("e50", 6).alias("p50_exact"),
+            F.round("e90", 6).alias("p90_exact"),
+            F.round("e99", 6).alias("p99_exact"),
+        )
+        .orderBy("event_type")
+    )

@@ -205,3 +205,75 @@ def cms_upsert(
 def load_cms(spark, store_path: str) -> DataFrame:
     """Read a stored count-min sketch."""
     return spark.read.parquet(store_path)
+
+
+def ddsketch_build(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    gamma: float = 1.02,
+) -> DataFrame:
+    """DDSketch (relative-error quantile sketch) of a POSITIVE value
+    column: bucket = ceil(ln(x)/ln(gamma)) — a log-scaled histogram
+    whose quantile estimates carry a guaranteed (gamma-1) relative
+    error. Counts per (key, bucket) are exact integers, so the sketch
+    is DETERMINISTIC (unlike t-digest/KLL) and merges by union+sum;
+    bucket count is bounded by the value's dynamic range
+    (~log_gamma(max/min)), independent of row count. Completes the
+    mergeable-state family: HLL (distinct), CMS (frequency), Bloom
+    (membership), DD (quantiles)."""
+    key_cols = key_cols or []
+    bucket = F.ceil(
+        F.log(F.col(value_col).cast("double")) / F.lit(float(__import__("math").log(gamma)))
+    ).cast("long")
+    return (
+        df.select(*key_cols, bucket.alias("bucket"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def ddsketch_merge(a: DataFrame, b: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Merge two DDSketches built with the same gamma."""
+    key_cols = key_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*key_cols, "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    key_cols: list[str] | None = None,
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Quantile estimates from a DDSketch: rank = ceil(q*n); the
+    answer is the midpoint value 2*gamma^b/(gamma+1) of the first
+    bucket whose cumulative count reaches the rank. One window over
+    the (tiny) bucket table per key."""
+    from pyspark.sql import Window
+
+    key_cols = key_cols or []
+    wc = Window.partitionBy(*key_cols).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy(F.lit(1))
+    cum = sketch.select(
+        *key_cols,
+        "bucket",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        b_q = F.min(F.when(F.col("cum") >= rank, F.col("bucket")))
+        est = (
+            F.lit(2.0)
+            * F.pow(F.lit(float(gamma)), b_q.cast("double"))
+            / F.lit(float(gamma) + 1.0)
+        )
+        aggs.append(est.alias(f"p{int(round(q * 100)):02d}"))
+    return cum.groupBy(*key_cols).agg(*aggs)

@@ -133,3 +133,32 @@ def test_stream_cms_maintain_matches_batch_and_is_replay_safe(spark, tmp_path):
     q2.awaitTermination()
     again = sorted(map(tuple, load_cms(spark, store).collect()))
     assert again == want
+
+
+def test_ddsketch_relative_error_and_merge(spark):
+    import math
+
+    from tabata_spark.operators.sketch import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    vals = [0.5 + 0.37 * i for i in range(1, 1001)]  # 0.87 .. 370.5
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = ddsketch_build(df, "v", gamma=1.02)
+    row = ddsketch_quantiles(sk, [0.5, 0.99], gamma=1.02).collect()[0]
+    exact50 = sorted(vals)[math.ceil(0.5 * len(vals)) - 1]
+    exact99 = sorted(vals)[math.ceil(0.99 * len(vals)) - 1]
+    assert abs(row["p50"] - exact50) / exact50 <= 0.02
+    assert abs(row["p99"] - exact99) / exact99 <= 0.02
+    # merge of two halves == sketch of the whole (exact counters)
+    h1 = ddsketch_build(
+        spark.createDataFrame([(v,) for v in vals[:500]], "v double"), "v"
+    )
+    h2 = ddsketch_build(
+        spark.createDataFrame([(v,) for v in vals[500:]], "v double"), "v"
+    )
+    merged = sorted(map(tuple, ddsketch_merge(h1, h2).collect()))
+    whole = sorted(map(tuple, ddsketch_build(df, "v").collect()))
+    assert merged == whole
