@@ -912,31 +912,37 @@ def novelty_scores(
     and templated pages score near 0, fresh prose near 1).
 
     Shape: one (gram -> doc-frequency) aggregation over deduped
-    (doc, gram) pairs, joined back gram-keyed — both stages shuffle on
-    the uniform gram key; the corpus is never pairwise-compared.
+    (doc, gram) pairs; a gram with df == 1 has exactly ONE owner, so
+    min(doc_id) identifies it inside the SAME aggregation and the
+    novel counts come from a second, doc-keyed aggregation of that
+    (already gram-deduped) frame — the corpus-sized pairs frame is
+    shuffled once and never JOINED back (the join-back formulation
+    moved every (doc, gram) row a second time; this one moves one row
+    per distinct gram, then one per doc). Per-doc gram totals are
+    scan-stage array sizes. The corpus is never pairwise-compared.
     Returns (id_col, n_grams, n_novel, novelty)."""
     from tabata_spark.operators.dedup import token_shingles
 
+    sh = token_shingles(F.col(text_col), ngram)
+    base = docs.select(F.col(id_col), F.size(sh).cast("long").alias("n_grams"))
     pairs = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(token_shingles(F.col(text_col), ngram))
-        ).alias("__g"),
+        F.col(id_col), F.explode_outer(sh).alias("__g")
     )
-    dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    scored = (
-        pairs.join(dfreq, "__g")
+    owners = pairs.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__df"), F.min(id_col).alias(id_col)
+    )
+    novel = (
+        owners.filter(F.col("__df") == 1)
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
-    return scored.select(
+    return base.join(novel, id_col, "left").select(
         id_col,
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.col("n_novel").cast("long").alias("n_novel"),
-        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_grams"), 6
+        ).alias("novelty"),
     )
 
 
