@@ -8576,3 +8576,98 @@ def sketch_dd_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nation, segment, CAST(n AS BIGINT) AS n,
+           (n < 5) AS violates_k5
+    FROM g ORDER BY nation, segment
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (nation, segment) quasi-identifier
+    pair: any equivalence class smaller than k = 5 is a re-
+    identification risk — the governance check a dataset release
+    gate runs. One map-side-combinable aggregation; at 100 TB the
+    quasi-identifier space, not the row count, bounds the output."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("nation", "segment", "n", (F.col("n") < 5).alias("violates_k5"))
+        .orderBy("nation", "segment")
+    )
+
+
+@register(
+    "sketch_join_cardinality",
+    """
+    WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+    ca AS (
+      SELECT r,
+             ('0x' || substr(md5('jc:' || r::VARCHAR || '#' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+             count(*) AS c
+      FROM orders, rr GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r,
+             ('0x' || substr(md5('jc:' || r::VARCHAR || '#' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+             count(*) AS c
+      FROM customer, rr GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT ca.r, sum(ca.c * cb.c) AS dot
+      FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+      GROUP BY ca.r
+    ),
+    exact AS (
+      SELECT count(*) AS n FROM orders o JOIN customer c
+        ON c.c_custkey = o.o_custkey
+    )
+    SELECT CAST((SELECT min(dot) FROM dots) AS BIGINT) AS est,
+           CAST((SELECT n FROM exact) AS BIGINT) AS exact
+    """,
+)
+def sketch_join_cardinality(spark, sf_dir):
+    """Join-cardinality estimation from two count-min sketches: the
+    inner product of same-geometry CMS rows upper-bounds |A join B|
+    (min over rows tightens it) — the planner trick that sizes a
+    join BEFORE running it from two sketches a few KB each. Printed
+    next to the exact join count so the overestimate is visible.
+    Both sketches are map-side-combinable builds; the dot product
+    joins depth*width counter rows, independent of table sizes
+    (operators/sketch.cms_build geometry, salted-md5 buckets)."""
+    from tabata_spark.operators.sketch import cms_build
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ca = cms_build(orders, "o_custkey", depth=4, width=256, salt="jc")
+    cb = cms_build(cust, "c_custkey", depth=4, width=256, salt="jc")
+    dots = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy("a.row")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est"))
+    exact = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return est.crossJoin(exact)
