@@ -222,9 +222,11 @@ def ddsketch_build(
     (~log_gamma(max/min)), independent of row count. Completes the
     mergeable-state family: HLL (distinct), CMS (frequency), Bloom
     (membership), DD (quantiles)."""
+    import math
+
     key_cols = key_cols or []
     bucket = F.ceil(
-        F.log(F.col(value_col).cast("double")) / F.lit(float(__import__("math").log(gamma)))
+        F.log(F.col(value_col).cast("double")) / F.lit(math.log(gamma))
     ).cast("long")
     return (
         df.select(*key_cols, bucket.alias("bucket"))
