@@ -8671,3 +8671,108 @@ def sketch_join_cardinality(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("exact"))
     )
     return est.crossJoin(exact)
+
+
+@register(
+    "q_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT p, count(*) AS d FROM (
+        SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e
+      ) GROUP BY p
+    ),
+    o AS (
+      SELECT CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+             CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS v
+      FROM e JOIN deg d1 ON d1.p = e.p1 JOIN deg d2 ON d2.p = e.p2
+    ),
+    w AS (
+      SELECT CASE WHEN o1.v < o2.v THEN o1.v ELSE o2.v END AS a,
+             CASE WHEN o1.v < o2.v THEN o2.v ELSE o1.v END AS b
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+    ),
+    tri AS (SELECT count(*) AS t FROM w JOIN e ON e.p1 = w.a AND e.p2 = w.b),
+    tot AS (
+      SELECT count(*) AS n_nodes, sum(d * (d - 1) / 2) AS wedges
+      FROM deg
+    )
+    SELECT CAST(tot.n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           round(3.0 * tri.t / tot.wedges, 8) AS clustering
+    FROM tri, tot
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (parts sharing an order), by the classic
+    DEGREE-ORIENTED algorithm (Cohen / Suri-Vassilvitskii): orient
+    every edge from its lower-(degree, id) endpoint, enumerate
+    oriented wedges (bounded by arboricity, NOT by max degree — the
+    property that keeps hub nodes from exploding the join at web
+    scale), and close them against the canonical edge set. Exact
+    integer counts end to end; one double division for the
+    clustering coefficient."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select("p2"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("p", "p1").withColumnRenamed("d", "d1"), "p1")
+        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("d", "d2"), "p2")
+    )
+    lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = ed.select(
+        F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+        F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+    )
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    w = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(
+        F.least(F.col("o1.v"), F.col("o2.v")).alias("a"),
+        F.greatest(F.col("o1.v"), F.col("o2.v")).alias("b"),
+    )
+    tri = w.join(
+        e, (F.col("p1") == F.col("a")) & (F.col("p2") == F.col("b"))
+    ).agg(F.count(F.lit(1)).alias("t"))
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(tot)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("long").alias("n_triangles"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("wedges"), 8).alias(
+                "clustering"
+            ),
+        )
+    )
