@@ -38,28 +38,37 @@ from tabata_spark.operators.sampling import hash_bucket
 _WORD_BITS = 31
 
 
+def _cms_bucket(width: int, salt: str, hasher: str) -> "Column":
+    """Bucket for the (row, key) pair. ``hasher='md5'`` is the
+    engine-portable parity construction (the DuckDB oracle replays
+    it); ``'xxhash64'`` is the production fast path — one JVM hash
+    call instead of an md5 + hex-conv chain (the same prod/parity
+    split as dedup.simhash)."""
+    joined = F.concat_ws(
+        "#", F.col("row").cast("string"), F.col("__k").cast("string")
+    )
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), joined), F.lit(width))
+    return hash_bucket(joined, width, salt=salt)
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 1024,
     salt: str = "cms",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Count-min sketch of the key column's frequencies.
 
     Returns (row, bucket, c) — at most depth*width rows, mergeable
-    with :func:`cms_merge`."""
+    with :func:`cms_merge`. Build and estimate must use the same
+    ``hasher`` (see :func:`_cms_bucket`)."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     pairs = df.select(F.col(key_col).alias("__k")).select("__k", rows)
     return (
-        pairs.withColumn(
-            "bucket",
-            hash_bucket(
-                F.concat_ws("#", F.col("row").cast("string"), F.col("__k").cast("string")),
-                width,
-                salt=salt,
-            ),
-        )
+        pairs.withColumn("bucket", _cms_bucket(width, salt, hasher))
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -81,19 +90,17 @@ def cms_estimate(
     depth: int = 4,
     width: int = 1024,
     salt: str = "cms",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Point-estimate each key's count: min over the sketch rows.
 
     The sketch is broadcast (it is at most depth*width rows); the key
     table is scanned once."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    probes = keys.select(F.col(key_col), rows).withColumn(
-        "bucket",
-        hash_bucket(
-            F.concat_ws("#", F.col("row").cast("string"), F.col(key_col).cast("string")),
-            width,
-            salt=salt,
-        ),
+    probes = (
+        keys.select(F.col(key_col).alias("__k"), rows)
+        .withColumn("bucket", _cms_bucket(width, salt, hasher))
+        .withColumnRenamed("__k", key_col)
     )
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")

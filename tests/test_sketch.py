@@ -162,3 +162,20 @@ def test_ddsketch_relative_error_and_merge(spark):
     merged = sorted(map(tuple, ddsketch_merge(h1, h2).collect()))
     whole = sorted(map(tuple, ddsketch_build(df, "v").collect()))
     assert merged == whole
+
+
+def test_cms_xxhash_prod_path_contract(spark):
+    """The production xxhash64 path upholds the same CMS contract
+    (never underestimates); buckets differ from md5 by design."""
+    from tabata_spark.operators.sketch import cms_build, cms_estimate
+
+    data = ["a"] * 30 + ["b"] * 10 + [f"x{i}" for i in range(100)]
+    df = _keys(spark, data)
+    sk = cms_build(df, "k", depth=4, width=64, hasher="xxhash64")
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            sk, _keys(spark, ["a", "b"]), "k", depth=4, width=64, hasher="xxhash64"
+        ).collect()
+    }
+    assert est["a"] >= 30 and est["b"] >= 10
