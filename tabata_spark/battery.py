@@ -8776,3 +8776,84 @@ def q_triangles(spark, sf_dir):
             ),
         )
     )
+
+
+def _pagerank_weighted_oracle_sql(iters: int) -> str:
+    """Unrolled DuckDB replay of the WEIGHTED fixed-point PageRank:
+    parallel (order, part) edges collapse by summing integer
+    l_quantity weights, each edge carries (rank * w) // W_out, and
+    everything else matches _pagerank_oracle_sql."""
+    parts = [
+        """
+    e AS MATERIALIZED (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+               'p:' || CAST(l_partkey AS VARCHAR) AS dst,
+               CAST(l_quantity AS BIGINT) AS w FROM lineitem
+        UNION ALL
+        SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+               'o:' || CAST(l_orderkey AS VARCHAR),
+               CAST(l_quantity AS BIGINT) FROM lineitem
+      ) GROUP BY src, dst
+    ),
+    deg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    bb AS MATERIALIZED (
+      SELECT CAST((3 * 1000000000000) // (20 * n) AS BIGINT) AS b FROM nn
+    ),
+    r0 AS MATERIALIZED (
+      SELECT src AS node,
+             CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_fp
+      FROM deg
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""
+    r{r} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST((SELECT b FROM bb)
+                  + (17 * sum((r.rank_fp * e.w) // dg.deg)) // 20 AS BIGINT) AS rank_fp
+      FROM e JOIN r{r-1} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT node, rank_fp,
+           CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+    FROM r{iters} ORDER BY node
+    """
+    )
+
+
+@register("q_pagerank_weighted", _pagerank_weighted_oracle_sql(5))
+def q_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank over the order<->part graph: edge weight =
+    summed l_quantity, so a part's rank reflects purchase VOLUME, not
+    just co-occurrence — the quality-weighted variant a crawl graph
+    uses for link prominence. Same fixed-point integer loop as
+    q_pagerank with (rank * w) // W_out contributions; the oracle
+    replays all 5 rounds bit-for-bit (operators/graph.pagerank
+    weight=...)."""
+    from tabata_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank(
+        edges,
+        iterations=5,
+        checkpoint_every=0,
+        broadcast_ranks=True,
+        weight="w",
+    )
+    return pr.select("node", "rank_fp", "rank").orderBy("node")

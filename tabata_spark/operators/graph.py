@@ -52,6 +52,7 @@ def pagerank(
     scale: int = 10**12,
     checkpoint_every: int = 1,
     broadcast_ranks: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns
     (node, rank_fp: bigint, rank: double) with rank = rank_fp/scale.
@@ -71,16 +72,37 @@ def pagerank(
     vector when the caller KNOWS it fits (the post-checkpoint vector
     has no size stats, so AQE alone won't pick it) — leave False on
     web-scale graphs where the vector must shuffle.
+
+    ``weight`` names a POSITIVE INTEGER edge-weight column: parallel
+    edges collapse by summing weights, and each edge carries
+    (rank * w) div W_out of its source's rank — still exact integer
+    arithmetic (caller contract: scale * max edge weight < 2^63).
+    Unweighted is the weight==1 special case of the same loop.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(F.col("src"))
-        .dropDuplicates(["src", "dst"])
-    )
+    if weight is not None:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+            .repartition(F.col("src"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        # unweighted: parallel edges COLLAPSE to a single unit edge
+        # (not to their multiplicity — that would silently weight)
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .repartition(F.col("src"))
+            .dropDuplicates(["src", "dst"])
+            .withColumn("w", F.lit(1))
+        )
     from pyspark.sql import Window
 
     ed = e.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        "deg", F.sum("w").over(Window.partitionBy("src"))
     ).persist()
     deg = ed.select("src", "deg").dropDuplicates(["src"])
     # One scalar fold-back: node count for the teleport term (legitimate
@@ -94,7 +116,7 @@ def pagerank(
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ed.join(r, ed["src"] == r["node"]).select(
             F.col("dst"),
-            F.expr("rank_fp div deg").alias("c"),
+            F.expr("(rank_fp * w) div deg").alias("c"),
         )
         ranks = (
             contrib.groupBy("dst")
