@@ -91,3 +91,59 @@ def test_pit_join_picks_covering_version(spark):
     )
     got = {r["fid"]: r["segment"] for r in out.collect()}
     assert got == {100: "A", 101: "A", 102: "B", 103: "C"}
+
+
+def _scd2_reference(rows):
+    """Pure-python SCD2: rows = (key, ts, seg, nation); returns the
+    set of (key, version, seg, nation, valid_from, valid_to,
+    is_current) tuples."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ts, seg, nat in rows:
+        by_key[k].append((ts, seg, nat))
+    out = set()
+    for k, states in by_key.items():
+        states.sort()
+        kept = []
+        for ts, seg, nat in states:
+            if not kept or (seg, nat) != (kept[-1][1], kept[-1][2]):
+                kept.append((ts, seg, nat))
+        for i, (ts, seg, nat) in enumerate(kept):
+            vt = kept[i + 1][0] if i + 1 < len(kept) else None
+            out.add((k, i + 1, seg, nat, ts, vt, vt is None))
+    return out
+
+
+def test_scd2_matches_python_reference_on_random_logs(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    state = st.tuples(
+        st.sampled_from(["A", "B", "C"]), st.integers(0, 2)
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(1, 4),
+            st.lists(state, min_size=1, max_size=6),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def inner(log_by_key):
+        rows = [
+            (k, ts, seg, nat)
+            for k, states in log_by_key.items()
+            for ts, (seg, nat) in enumerate(states)
+        ]
+        got = {
+            tuple(r)
+            for r in scd2_history(
+                _log(spark, rows), key="key", ts="ts"
+            ).collect()
+        }
+        assert got == _scd2_reference(rows)
+
+    inner()
