@@ -8857,3 +8857,92 @@ def q_pagerank_weighted(spark, sf_dir):
         weight="w",
     )
     return pr.select("node", "rank_fp", "rank").orderBy("node")
+
+
+#: Wilson 95% score interval for a proportion, one shared formula
+#: string (z = 1.96 literal; exact integer inputs k, n cast double)
+_WILSON_LO = (
+    "((k / n + 1.96 * 1.96 / (2.0 * n)"
+    " - 1.96 * sqrt((k / n) * (1.0 - k / n) / n"
+    " + 1.96 * 1.96 / (4.0 * n * n)))"
+    " / (1.0 + 1.96 * 1.96 / n))"
+)
+_WILSON_HI = (
+    "((k / n + 1.96 * 1.96 / (2.0 * n)"
+    " + 1.96 * sqrt((k / n) * (1.0 - k / n) / n"
+    " + 1.96 * 1.96 / (4.0 * n * n)))"
+    " / (1.0 + 1.96 * 1.96 / n))"
+)
+
+
+def _eval_slices_oracle() -> str:
+    inner = _langid_oracle()
+    return f"""
+    WITH p AS (
+      SELECT t.doc_id, t.lang, t.lang_pred FROM ({inner}) t
+    ),
+    sl AS (
+      SELECT p.lang,
+             CASE WHEN d.n_chars < 200 THEN 'short'
+                  WHEN d.n_chars < 400 THEN 'mid'
+                  ELSE 'long' END AS len_bucket,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN p.lang_pred = p.lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS k,
+             count(*) AS n_i,
+             sum(CASE WHEN p.lang_pred = p.lang THEN 1 ELSE 0 END) AS k_i
+      FROM p JOIN documents d ON d.doc_id = p.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT lang, len_bucket,
+           CAST(n_i AS BIGINT) AS n,
+           CAST(k_i AS BIGINT) AS n_correct,
+           round(k / n, 6) AS accuracy,
+           round({_WILSON_LO}, 6) AS wilson_lo,
+           round({_WILSON_HI}, 6) AS wilson_hi
+    FROM sl ORDER BY lang, len_bucket
+    """
+
+
+@register("q_eval_slices", _eval_slices_oracle())
+def q_eval_slices(spark, sf_dir):
+    """Slice-based model evaluation (the model-card table): language-
+    ID accuracy per (true lang, document-length bucket) with Wilson
+    95% confidence bounds — the disaggregated eval that catches 'the
+    model is only good on long English pages'. Exact integer
+    correct/total counts per slice; the Wilson interval is one shared
+    formula string evaluated identically by both engines."""
+    from tabata_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        lang_id("text").alias("lang_pred"),
+    )
+    bucket = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long")
+    )
+    sl = p.groupBy("lang", bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        ).alias("k_i"),
+    )
+    return (
+        sl.withColumn("n", F.col("n_i").cast("double"))
+        .withColumn("k", F.col("k_i").cast("double"))
+        .selectExpr(
+            "lang",
+            "len_bucket",
+            "CAST(n_i AS BIGINT) AS n",
+            "CAST(k_i AS BIGINT) AS n_correct",
+            "round(k / n, 6) AS accuracy",
+            f"round({_WILSON_LO}, 6) AS wilson_lo",
+            f"round({_WILSON_HI}, 6) AS wilson_hi",
+        )
+        .orderBy("lang", "len_bucket")
+    )
