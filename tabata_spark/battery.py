@@ -8946,3 +8946,86 @@ def q_eval_slices(spark, sf_dir):
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+@register(
+    "q_heaps_fit",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+    firsts AS (SELECT tok, min(doc_id) AS d0 FROM tok2 GROUP BY tok),
+    newtypes AS (SELECT d0 AS doc_id, count(*) AS nt FROM firsts GROUP BY d0),
+    doctoks AS (SELECT doc_id, count(*) AS nk FROM tok2 GROUP BY doc_id),
+    cum AS (
+      SELECT dt.doc_id,
+             sum(dt.nk) OVER (ORDER BY dt.doc_id) AS cum_toks,
+             sum(coalesce(nv.nt, 0)) OVER (ORDER BY dt.doc_id) AS cum_types
+      FROM doctoks dt LEFT JOIN newtypes nv ON nv.doc_id = dt.doc_id
+    ),
+    pts AS (
+      SELECT CAST(ln(CAST(cum_toks AS DOUBLE)) AS DECIMAL(18,10)) AS lx,
+             CAST(ln(CAST(cum_types AS DOUBLE)) AS DECIMAL(18,10)) AS ly
+      FROM cum WHERE doc_id % 50 = 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(lx) AS DOUBLE) AS sx,
+             CAST(sum(ly) AS DOUBLE) AS sy,
+             CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+             CAST(sum(lx * lx) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round({_ZIPF_SLOPE}, 8) AS beta,
+           round((sy - {_ZIPF_SLOPE} * sx) / n, 6) AS log_k
+    FROM s
+    """,
+)
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law fit of vocabulary growth V(n) ~ K*n^beta — Zipf's
+    sibling corpus diagnostic (natural text: beta ~ 0.4-0.6; a
+    template-saturated corpus flattens early). Cumulative distinct
+    types come WITHOUT a running count-distinct: each token's first-
+    occurrence doc is one aggregation, and the cumulative type count
+    is a window over per-doc new-type totals (doc-level rows — tiny).
+    Sampled at every 50th doc; decimal-quantized log sums; the OLS
+    reuses the shared Zipf formula string."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("d0"))
+    newtypes = firsts.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    doctoks = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nk"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        doctoks.join(newtypes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("nk").over(w).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("nt"), F.lit(0))).over(w).alias("cum_types"),
+        )
+    )
+    pts = cum.filter(F.col("doc_id") % 50 == 0).select(
+        F.log(F.col("cum_toks").cast("double")).cast("decimal(18,10)").alias("lx"),
+        F.log(F.col("cum_types").cast("double")).cast("decimal(18,10)").alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_points",
+        f"round({_ZIPF_SLOPE}, 8) AS beta",
+        f"round((sy - {_ZIPF_SLOPE} * sx) / n, 6) AS log_k",
+    )
