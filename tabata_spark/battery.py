@@ -9029,3 +9029,146 @@ def q_heaps_fit(spark, sf_dir):
         f"round({_ZIPF_SLOPE}, 8) AS beta",
         f"round((sy - {_ZIPF_SLOPE} * sx) / n, 6) AS log_k",
     )
+
+
+@register(
+    "q_label_confusability",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             round(CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                   / count(*), 6) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    pairs AS (
+      SELECT a.label AS l1, b.label AS l2,
+             CAST(sum(CAST(a.c * b.c AS DECIMAL(24,12))) AS DOUBLE) AS dot,
+             CAST(sum(CAST(a.c * a.c AS DECIMAL(24,12))) AS DOUBLE) AS na,
+             CAST(sum(CAST(b.c * b.c AS DECIMAL(24,12))) AS DOUBLE) AS nb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT l1, l2, round(dot / sqrt(na * nb), 6) AS cosine
+    FROM pairs ORDER BY l1, l2
+    """,
+)
+def q_label_confusability(spark, sf_dir):
+    """Label confusability matrix: pairwise cosine between per-label
+    embedding CENTROIDS — close centroids mark label pairs a
+    classifier will confuse (the class-design diagnostic). Centroids
+    from decimal-quantized per-dimension sums (order-independent,
+    unlike a raw double avg); the pairwise stage is a tiny
+    (labels x dims) self-join; products re-quantized so the cosine
+    sums are exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").alias("v"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(
+            F.sum((F.col("a.c") * F.col("b.c")).cast("decimal(24,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("a.c") * F.col("a.c")).cast("decimal(24,12)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("b.c") * F.col("b.c")).cast("decimal(24,12)"))
+            .cast("double")
+            .alias("nb"),
+        )
+    )
+    return pairs.select(
+        "l1",
+        "l2",
+        F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+            "cosine"
+        ),
+    ).orderBy("l1", "l2")
+
+
+@register(
+    "q_skew_report",
+    """
+    WITH k AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM k),
+    rk AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS r
+      FROM k
+    ),
+    gini AS (
+      SELECT (2.0 * sum(CAST(rr * nn AS BIGINT)) - (max(cnt) + 1) * sum(nn))
+             / (max(cnt) * CAST(sum(nn) AS DOUBLE)) AS g
+      FROM (
+        SELECT n AS nn, row_number() OVER (ORDER BY n, key) AS rr,
+               count(*) OVER () AS cnt
+        FROM k
+      )
+    )
+    SELECT rk.key, CAST(rk.n AS BIGINT) AS n,
+           round(rk.n * 1.0 / tot.total, 6) AS share,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           round((SELECT g FROM gini), 6) AS key_gini
+    FROM rk, tot WHERE rk.r <= 20 ORDER BY rk.n DESC, rk.key
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Join-key skew report for orders.o_custkey: the top-20 heaviest
+    keys with their share of all rows, plus the Gini concentration of
+    the whole key distribution (the q_gini_sources rank identity —
+    exact integers, one division) — the diagnostic that tells you
+    whether a shuffle on this key needs salting or an AQE skew join
+    BEFORE you run it. One key aggregation + a tiny rank window."""
+    orders = _t(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total, n_keys = k.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    wr = Window.orderBy(F.desc("n"), "key")
+    wg = Window.orderBy("n", "key")
+    gini_df = k.select(
+        "n", F.row_number().over(wg).alias("rr")
+    ).agg(
+        (
+            (
+                F.lit(2.0) * F.sum((F.col("rr") * F.col("n")).cast("long"))
+                - (F.lit(n_keys) + 1) * F.sum("n")
+            )
+            / (F.lit(n_keys) * F.sum("n").cast("double"))
+        ).alias("g")
+    )
+    g = gini_df.collect()[0]["g"]
+    return (
+        k.select("key", "n", F.row_number().over(wr).alias("r"))
+        .filter(F.col("r") <= 20)
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+            F.lit(int(n_keys)).cast("long").alias("n_keys"),
+            F.round(F.lit(float(g)), 6).alias("key_gini"),
+        )
+        .orderBy(F.desc("n"), "key")
+    )
