@@ -205,3 +205,64 @@ def stream_cms_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_scd2_maintain(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key: str = "key",
+    ts: str = "ts",
+    tracked: list[str] | None = None,
+):
+    """Continuous SCD2 dimension maintenance: each micro-batch of
+    change events folds into the stored type-2 dimension via
+    ``operators.scd.scd2_apply`` — only the batch's keys are rebuilt
+    (their history + the batch re-run through the one-window history
+    builder), everything else is rewritten untouched. Work per
+    trigger is O(batch keys' history); the same atomic per-batch
+    ledger as the other merge sinks makes replays no-ops.
+
+    Store rewrite note: the apply result is eagerly materialized
+    (localCheckpoint) before the overwrite so the write never races
+    its own input scan — at warehouse scale the store would be a
+    transactional table (Delta/Iceberg MERGE) and only touched
+    partitions would rewrite.
+
+    Ordering caveat: the fold is order-independent for CHANGE states
+    (each carries its own ts and key histories are re-sorted), with
+    one exception — a state collapsed as a no-op against its
+    then-predecessor is gone, so if an EARLIER change later arrives
+    between the two, the dropped state cannot re-split. Feed change
+    logs per-key in order (the normal CDC contract) to avoid it."""
+    from tabata_spark.operators.scd import scd2_apply, scd2_history
+
+    ledger = os.path.join(store_path + ".__batches__")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(store_path)
+        ):
+            dim = spark.read.parquet(store_path)
+            merged = scd2_apply(dim, batch_df, key=key, ts=ts, tracked=tracked)
+        else:
+            merged = scd2_history(batch_df, key=key, ts=ts, tracked=tracked)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            store_path
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.replace(tmp, marker)
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

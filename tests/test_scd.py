@@ -147,3 +147,38 @@ def test_scd2_matches_python_reference_on_random_logs(spark):
         assert got == _scd2_reference(rows)
 
     inner()
+
+
+def test_stream_scd2_maintain_converges_to_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.streaming.sinks import stream_scd2_maintain
+
+    full = [
+        (1, 0, "A", 1),
+        (2, 0, "A", 2),
+        (1, 1, "B", 1),
+        (2, 1, "A", 2),  # no-op
+        (3, 1, "C", 3),
+        (1, 2, "B", 9),
+    ]
+    df = _log(spark, full)
+    src = str(tmp_path / "src")
+    # one file per ts => micro-batches arrive in change order
+    df.repartition(3, F.col("ts")).write.parquet(src)
+    store = str(tmp_path / "dim")
+    q = stream_scd2_maintain(
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        str(tmp_path / "ck"),
+        key="key",
+        ts="ts",
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    want = sorted(
+        map(tuple, scd2_history(df, key="key", ts="ts").collect())
+    )
+    assert got == want
