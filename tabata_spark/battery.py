@@ -8234,8 +8234,10 @@ def q_keyness_llr(spark, sf_dir):
     ).filter(F.col("tok") != "")
     st = t2.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a_i"))
     tt = st.groupBy("tok").agg(F.sum("a_i").cast("double").alias("t"))
-    ss = st.groupBy("source").agg(F.sum("a_i").cast("double").alias("ns"))
-    nn = float(t2.count())
+    ss = st.groupBy("source").agg(F.sum("a_i").cast("double").alias("ns")).persist()
+    # corpus total = sum of the tiny per-source totals — NOT a second
+    # corpus-wide explode+count
+    nn = float(ss.agg(F.sum("ns")).collect()[0][0])
     scored = (
         st.withColumn("a", F.col("a_i").cast("double"))
         .join(tt, "tok")
@@ -8789,11 +8791,11 @@ def _pagerank_weighted_oracle_sql(iters: int) -> str:
       SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
         SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
                'p:' || CAST(l_partkey AS VARCHAR) AS dst,
-               CAST(l_quantity AS BIGINT) AS w FROM lineitem
+               CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem
         UNION ALL
         SELECT 'p:' || CAST(l_partkey AS VARCHAR),
                'o:' || CAST(l_orderkey AS VARCHAR),
-               CAST(l_quantity AS BIGINT) FROM lineitem
+               CAST(floor(l_quantity) AS BIGINT) FROM lineitem
       ) GROUP BY src, dst
     ),
     deg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM e GROUP BY src),
@@ -8842,7 +8844,7 @@ def q_pagerank_weighted(spark, sf_dir):
     fwd = li.select(
         F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
-        F.col("l_quantity").cast("long").alias("w"),
+        F.floor("l_quantity").cast("long").alias("w"),
     )
     edges = fwd.unionByName(
         fwd.select(

@@ -105,29 +105,37 @@ def pagerank(
         "deg", F.sum("w").over(Window.partitionBy("src"))
     ).persist()
     deg = ed.select("src", "deg").dropDuplicates(["src"])
+    nodes = deg.select(F.col("src").alias("node")).persist()
     # One scalar fold-back: node count for the teleport term (legitimate
     # driver-side scalar, same class as the BM25 corpus stats).
-    n = deg.count()
+    n = nodes.count()
+    if n == 0:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError("pagerank: empty edge list (no nodes to rank)")
     base = (DAMP_DEN - DAMP_NUM) * scale // (DAMP_DEN * n)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(scale // n).alias("rank_fp")
-    )
+    ranks = nodes.withColumn("rank_fp", F.lit(scale // n))
     for i in range(iterations):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ed.join(r, ed["src"] == r["node"]).select(
             F.col("dst"),
             F.expr("(rank_fp * w) div deg").alias("c"),
         )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(base)
-                    + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}")
-                ).alias("rank_fp"),
-            )
+        sums = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        # rebuild over the FULL node table: an in-degree-0 node gets no
+        # contributions but must keep its teleport base and keep
+        # FEEDING its out-edges in later rounds (a dst-only rebuild
+        # silently dropped such nodes and their outgoing mass)
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(s, 0L)) div {DAMP_DEN}"
+                )
+            ).alias("rank_fp"),
         )
         if (
             checkpoint_every
@@ -135,6 +143,12 @@ def pagerank(
             and i < iterations - 1
         ):
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final vector, then release the pinned edge cache
+    # (callers repeatedly building graphs would otherwise accumulate
+    # pinned edge lists for the session's lifetime)
+    ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
     return ranks.select(
         "node",
         F.col("rank_fp").cast("long").alias("rank_fp"),

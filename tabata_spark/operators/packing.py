@@ -39,29 +39,14 @@ def contamination_flags(
     + one map-side-combinable count. Flag threshold = ≥1 shared
     shingle (tighten by raising ``shingle_n``).
     """
-    ev = (
-        eval_docs.select(
-            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh")
-        )
-        .distinct()
-    )
-    doc_sh = docs.select(
-        F.col(id_col), F.explode(token_shingles(F.col(text), shingle_n)).alias("sh")
-    )
-    hits = (
-        doc_sh.join(ev, "sh")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
-        )
-    )
+    # canonical implementation lives in text.decontaminate (same
+    # broadcast-eval-grams shape, richer output); this keeps the
+    # original narrow schema as a thin view over it
+    from tabata_spark.operators.text import decontaminate
+
+    return decontaminate(
+        docs, eval_docs, text_col=text, id_col=id_col, ngram=shingle_n
+    ).select(id_col, "n_hit", "contaminated")
 
 
 def pack_sequences(

@@ -1011,6 +1011,8 @@ def rrf_fuse(
     single FIXED-ORDER expression over the joined row (no aggregation
     over a variable set), so the double arithmetic is bit-identical
     in any engine. Returns (id_col, rank_1..rank_N, rrf)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
     out = None
     for i, r in enumerate(rankings):
         r = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i + 1}"))

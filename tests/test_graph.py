@@ -59,3 +59,19 @@ def test_repartition_invariance(spark):
         for r in pagerank(e.repartition(7, F.col("dst")), iterations=3).collect()
     }
     assert r1 == r2
+
+
+def test_source_only_nodes_keep_base_and_feed_mass(spark):
+    # directed graph with an in-degree-0 node "a": it must appear in
+    # the output (teleport base) and keep feeding its out-edge
+    e = _edges(spark, [("a", "b"), ("b", "b")])
+    out = {r["node"]: r["rank_fp"] for r in pagerank(e, iterations=3).collect()}
+    assert "a" in out and out["a"] > 0
+    assert out["b"] > out["a"]  # b receives a's mass plus its self-loop
+
+
+def test_empty_edges_raise(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(spark.createDataFrame([], "src string, dst string"))
