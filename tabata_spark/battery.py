@@ -7255,7 +7255,13 @@ def q_pagerank(spark, sf_dir):
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iterations=5, checkpoint_every=0, broadcast_ranks=True)
+    pr = pagerank(
+        edges,
+        iterations=5,
+        checkpoint_every=0,
+        broadcast_ranks=True,
+        complete_graph=True,  # symmetrized: every node has an in-edge
+    )
     return pr.select("node", "rank_fp", "rank").orderBy("node")
 
 
@@ -8857,6 +8863,7 @@ def q_pagerank_weighted(spark, sf_dir):
         checkpoint_every=0,
         broadcast_ranks=True,
         weight="w",
+        complete_graph=True,  # symmetrized: every node has an in-edge
     )
     return pr.select("node", "rank_fp", "rank").orderBy("node")
 
