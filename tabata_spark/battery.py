@@ -9181,3 +9181,79 @@ def q_skew_report(spark, sf_dir):
         )
         .orderBy(F.desc("n"), "key")
     )
+
+
+@register(
+    "q_url_canonical",
+    r"""
+    WITH raw AS (
+      SELECT c_custkey AS key,
+             'HTTP://Example' || CAST(c_custkey % 7 AS VARCHAR)
+             || '.COM:80//page/' || CAST(c_custkey AS VARCHAR)
+             || CASE CAST(c_custkey % 3 AS INTEGER)
+                  WHEN 0 THEN '/'
+                  WHEN 1 THEN '?utm_source=tw&id=' || CAST(c_custkey % 10 AS VARCHAR)
+                  ELSE '#frag' END AS url
+      FROM customer
+    ),
+    s1 AS (
+      SELECT key, url,
+             regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head
+      FROM raw
+    ),
+    s2 AS (
+      SELECT key, lower(head) || substring(url, length(head) + 1) AS u FROM s1
+    ),
+    s3 AS (SELECT key, regexp_replace(u, '#.*$', '', 'g') AS u FROM s2),
+    s4 AS (SELECT key, regexp_replace(u, '(://[^/?#]*):80(/|\?|$)', '\1\2', 'g') AS u FROM s3),
+    s5 AS (SELECT key, regexp_replace(u, '(://[^/?#]*):443(/|\?|$)', '\1\2', 'g') AS u FROM s4),
+    s6 AS (SELECT key, regexp_replace(u, '([?&])utm_[^&#]*', '\1', 'g') AS u FROM s5),
+    s7 AS (SELECT key, regexp_replace(u, '\?&+', '?', 'g') AS u FROM s6),
+    s8 AS (SELECT key, regexp_replace(u, '&&+', '&', 'g') AS u FROM s7),
+    s9 AS (SELECT key, regexp_replace(u, '[?&]$', '', 'g') AS u FROM s8),
+    s10 AS (SELECT key, regexp_replace(u, '([^:/])//+', '\1/', 'g') AS u FROM s9),
+    s11 AS (SELECT key, regexp_replace(u, '/$', '', 'g') AS u FROM s10)
+    SELECT key, u AS canon,
+           lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host
+    FROM s11 ORDER BY key
+    """,
+)
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization over synthesized messy crawl URLs
+    (uppercase scheme/host, default port, duplicate slashes, utm
+    params, fragments — one variant class per key mod 3): the
+    CCNet/RefinedWeb pre-dedup step, as a pure RE2-portable regex
+    chain the oracle replays step for step
+    (operators/text.canonical_url, url_host). Scan-stage; no UDF, no
+    shuffle beyond the output sort."""
+    from tabata_spark.operators.text import canonical_url, url_host
+
+    cust = _t(spark, sf_dir, "customer")
+    variant = (
+        F.when(
+            (F.col("c_custkey") % 3).cast("int") == 0, F.lit("/")
+        )
+        .when(
+            (F.col("c_custkey") % 3).cast("int") == 1,
+            F.concat(
+                F.lit("?utm_source=tw&id="),
+                (F.col("c_custkey") % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("#frag"))
+    )
+    raw = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.concat(
+            F.lit("HTTP://Example"),
+            (F.col("c_custkey") % 7).cast("string"),
+            F.lit(".COM:80//page/"),
+            F.col("c_custkey").cast("string"),
+            variant,
+        ).alias("url"),
+    )
+    return raw.select(
+        "key",
+        canonical_url("url").alias("canon"),
+        url_host(canonical_url("url")).alias("host"),
+    ).orderBy("key")

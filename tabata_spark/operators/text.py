@@ -1025,3 +1025,62 @@ def rrf_fuse(
         ).otherwise(F.lit(0.0))
         score = c if score is None else score + c
     return out.withColumn("rrf", score)
+
+
+def html_to_text(html: str | Column) -> Column:
+    """Boilerplate HTML -> text extraction as pure Column regexes
+    (RE2-portable: no lookaround, (?s)/(?i) flags only): drop
+    script/style/comment blocks, strip tags, decode the common
+    entities, collapse whitespace. The step between WARC payloads and
+    a text corpus; scan-stage, no UDF. (A production pipeline swaps
+    in a DOM extractor for main-content detection; this is the
+    deterministic, engine-portable baseline.)"""
+    t = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_replace(t, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def canonical_url(url: str | Column) -> Column:
+    """URL canonicalization for crawl dedup (the CCNet/RefinedWeb
+    pre-step): lowercase scheme+host, strip fragment, drop utm_*
+    tracking params, strip default ports, collapse duplicate slashes
+    in the path, drop a trailing slash and a trailing '?'. Pure
+    RE2-portable regex chain — scan-stage in any engine."""
+    u = F.col(url) if isinstance(url, str) else url
+    # lowercase scheme://host (up to first /, ? or #)
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"(://[^/?#]*):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"(://[^/?#]*):443(/|\?|$)", r"$1$2")
+    # drop utm_* params (leading or mid), then a dangling ? or &
+    u = F.regexp_replace(u, r"([?&])utm_[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # collapse duplicate slashes in the path only (not after scheme;
+    # RE2 has no lookbehind, so anchor on the preceding character)
+    u = F.regexp_replace(u, r"([^:/])//+", r"$1/")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_host(url: str | Column) -> Column:
+    """Lowercased host of a URL (no port)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    )
