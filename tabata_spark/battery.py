@@ -9257,3 +9257,58 @@ def q_url_canonical(spark, sf_dir):
         canonical_url("url").alias("canon"),
         url_host(canonical_url("url")).alias("host"),
     ).orderBy("key")
+
+
+@register(
+    "q_html_extract",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><style>b{color:red}</style>'
+             || '<script>var x = "<p>no</p>";</script></head>'
+             || '<!-- c --><body><h1>' || source || '</h1> <p>'
+             || replace(text, '&', '&amp;') || '</p></body></html>' AS html
+      FROM documents
+    ),
+    x1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b.*?</script>', ' ', 'g') AS t FROM h),
+    x2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\b.*?</style>', ' ', 'g') AS t FROM x1),
+    x3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+    x4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM x3),
+    x5 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', '''') AS t
+      FROM x4
+    ),
+    x6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM x5)
+    SELECT doc_id, md5(t) AS text_md5,
+           CAST(length(t) AS BIGINT) AS n_chars
+    FROM x6 ORDER BY doc_id
+    """,
+)
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction driven through the driver gate: every
+    document is wrapped in synthesized boilerplate HTML (script/style
+    blocks, comments, tags, entity-escaped body) and recovered by the
+    pure-regex extraction chain (operators/text.html_to_text) — the
+    WARC-payload-to-corpus step, md5-compared per document. The
+    oracle replays construction AND extraction step for step."""
+    from tabata_spark.operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>b{color:red}</style>'),
+        F.lit('<script>var x = "<p>no</p>";</script></head>'),
+        F.lit("<!-- c --><body><h1>"),
+        F.col("source"),
+        F.lit("</h1> <p>"),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</p></body></html>"),
+    )
+    ex = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.md5(ex).alias("text_md5"),
+        F.length(ex).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
