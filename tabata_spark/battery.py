@@ -9312,3 +9312,99 @@ def q_html_extract(spark, sf_dir):
         F.md5(ex).alias("text_md5"),
         F.length(ex).cast("long").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_crawl",
+    r"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             '<body><h1>' || source || '</h1> <p>'
+             || replace(text, '&', '&amp;') || '</p></body>' AS html
+      FROM documents
+    ),
+    x1 AS (SELECT doc_id, lang, regexp_replace(html, '(?s)<[^>]*>', ' ', 'g') AS t FROM h),
+    ex AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(replace(t, '&amp;', '&'), '\s+', ' ', 'g')) AS t
+      FROM x1
+    ),
+    lid AS (
+      SELECT doc_id, lang, t,
+             len(list_intersect(list_distinct(string_split(t, ' ')),
+                 ['the','and','of','to','a','in','is','that'])) AS en_hits,
+             len(string_split(t, ' ')) AS n_words
+      FROM ex
+    ),
+    gated AS (
+      SELECT doc_id, lang, t, n_words FROM lid
+      WHERE en_hits >= 1 AND n_words BETWEEN 30 AND 10000
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_words FROM (
+        SELECT doc_id, lang, n_words,
+               row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1152921504606846976 AS BIGINT) AS ids_fingerprint
+    FROM deduped GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_crawl(spark, sf_dir):
+    """Crawl-corpus capstone: synthesized HTML pages -> pure-regex
+    text extraction -> stopword gate + length gate -> exact dedup
+    keep-first -> per-lang manifest with the order-independent id
+    fingerprint (the q_dataset_fingerprint construction). Every stage
+    is an already-oracle-checked operator; this row proves the
+    COMPOSITION end to end, WARC-shaped: at 100 TB the chain is two
+    scans (extract+gate, dedup hash agg) and one tiny rollup."""
+    from tabata_spark.operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<body><h1>"),
+        F.col("source"),
+        F.lit("</h1> <p>"),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</p></body>"),
+    )
+    ex = docs.select("doc_id", "lang", html_to_text(html).alias("t"))
+    toks = F.split(F.col("t"), " ", -1)
+    en = F.array(*[F.lit(w) for w in
+                   ("the", "and", "of", "to", "a", "in", "is", "that")])
+    lid = ex.select(
+        "doc_id",
+        "lang",
+        "t",
+        F.size(F.array_intersect(F.array_distinct(toks), en)).alias("en_hits"),
+        F.size(toks).alias("n_words"),
+    )
+    gated = lid.filter(
+        (F.col("en_hits") >= 1) & F.col("n_words").between(30, 10000)
+    )
+    w = Window.partitionBy(F.md5("t")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "lang", "n_words")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.pmod(
+                F.sum(hv.cast("decimal(38,0)")),
+                F.lit(1152921504606846976).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("ids_fingerprint"),
+        )
+        .orderBy("lang")
+    )
