@@ -9408,3 +9408,134 @@ def pipeline_crawl(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_weighted_median",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(floor(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM r
+    )
+    SELECT flag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN 2 * cw >= tw THEN price END), 2) AS weighted_median
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Volume-weighted median price per return flag: the first price
+    whose cumulative integer weight reaches half the total — exact
+    BIGINT cumulative weights over a deterministic (price, w) total
+    order, so the cut is engine-identical (interpolated weighted
+    quantiles are ulp-fraught; the discrete definition is the
+    convention, as in a_conversion_latency). One partitioned window
+    + one rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    c = r.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.round(
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))),
+                2,
+            ).alias("weighted_median"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q_streaks",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, count(*) AS run_len,
+             min(ts) AS t0
+      FROM s GROUP BY user_id, event_type, island
+    ),
+    best AS (
+      SELECT user_id, event_type, run_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, event_type,
+                                         epoch_us(t0)) AS r
+      FROM runs
+    )
+    SELECT user_id, event_type AS streak_type,
+           CAST(run_len AS BIGINT) AS streak_len
+    FROM best WHERE r = 1 ORDER BY user_id
+    """,
+)
+def q_streaks(spark, sf_dir):
+    """Longest same-event streak per user — the canonical
+    gaps-and-islands shape (difference of two row_numbers labels each
+    run with a constant island id; no iteration, no self-join). Both
+    row_number windows share the user partitioning; ties in the
+    per-user best broken by (type, start time) so the answer is
+    total-order deterministic. The engagement-pattern screen ('7
+    views in a row, never a purchase')."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "island"
+        ),
+    )
+    runs = s.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("t0")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("run_len"), "event_type", epoch_us("t0")
+    )
+    return (
+        runs.select(
+            "user_id",
+            "event_type",
+            "run_len",
+            F.row_number().over(wb).alias("r"),
+        )
+        .filter("r = 1")
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("run_len").cast("long").alias("streak_len"),
+        )
+        .orderBy("user_id")
+    )
