@@ -114,6 +114,22 @@ HEADLINE = [
     "q_histogram_depth",
     "q_ppl_buckets",
     "q_dataset_fingerprint",
+    "q_mixing_plan",
+    "q_k_anonymity",
+    "sketch_join_cardinality",
+    "q_eval_slices",
+    "q_heaps_fit",
+    "q_label_confusability",
+    "q_skew_report",
+    "q_url_canonical",
+    "q_html_extract",
+    "pipeline_crawl",
+    "q_weighted_median",
+    "q_streaks",
+    # sketch_dd_quantiles is probe-documented (SCALE.md): the battery
+    # row carries a full exact-percentile comparison (two rank windows
+    # over the fact table, ~4 s at sf0.1) next to the sketch itself
+    # (sub-second) — the bench keeps the production-shaped entries.
     # q_rrf_fusion is NOT here for the same reason as q_pagerank
     # below: ~5 s of one-time codegen on the duplicated BM25
     # expression tree (1.4 s steady-state) — SCALE.md has the probe.
