@@ -126,20 +126,20 @@ HEADLINE = [
     "pipeline_crawl",
     "q_weighted_median",
     "q_streaks",
+    # min-of-steady methodology absorbs the one-time codegen these two
+    # pay (rrf: deep BM25 expression tree; pagerank: 5 unrolled
+    # rounds) — their steady-state IS the honest number. SCALE.md has
+    # the cold/steady probes for both.
+    "q_rrf_fusion",
+    "q_pagerank",
     # sketch_dd_quantiles is probe-documented (SCALE.md): the battery
     # row carries a full exact-percentile comparison (two rank windows
     # over the fact table, ~4 s at sf0.1) next to the sketch itself
     # (sub-second) — the bench keeps the production-shaped entries.
-    # q_rrf_fusion is NOT here for the same reason as q_pagerank
-    # below: ~5 s of one-time codegen on the duplicated BM25
-    # expression tree (1.4 s steady-state) — SCALE.md has the probe.
-    # q_pagerank is deliberately NOT here: its local cost is dominated
-    # by plan compilation + the fixed per-round barrier (~12s cold,
-    # ~4s steady at sf0.1) which amortizes at real edge counts; see
-    # SCALE.md "pagerank" for the probe numbers.
-    # bench-only (battery.BENCH_EXTRA): production xxhash64 simhash —
-    # the md5 variant above is the oracle-parity twin
+    # bench-only (battery.BENCH_EXTRA): production xxhash64 twins —
+    # the md5 variants above are the oracle-parity versions
     "dedup_simhash_prod",
+    "a_bootstrap_ci_prod",
 ]
 
 

@@ -6447,6 +6447,20 @@ def _bench_extra(name: str):
     return deco
 
 
+@_bench_extra("a_bootstrap_ci_prod")
+def a_bootstrap_ci_prod(spark, sf_dir):
+    """Production bootstrap: identical 50-replicate single-scan
+    machinery to a_bootstrap_ci but with xxhash64-derived uniforms
+    (one JVM hash per replicate vs the md5 hex-parse chain the oracle
+    needs). Benches what a deployment runs."""
+    from tabata_spark.operators.stats import bootstrap_means
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_means(
+        ev, n_replicates=50, salt="boot", decimals=6, hasher="xxhash64"
+    )
+
+
 @_bench_extra("dedup_simhash_prod")
 def dedup_simhash_prod(spark, sf_dir):
     """Production SimHash: identical pipeline to dedup_simhash but with

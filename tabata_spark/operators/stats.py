@@ -33,9 +33,18 @@ POISSON1_CDF: tuple[float, ...] = tuple(
 _DENOM = float((1 << 60) + 1)
 
 
-def _uniform_sql(salt: str, b: int, id_col: str) -> str:
-    """SQL for the b-th derived uniform of a row: hex half ``b % 2``
-    of md5('<salt>:<b//2>:<id>') scaled into (0, 1)."""
+def _uniform_sql(salt: str, b: int, id_col: str, hasher: str = "md5") -> str:
+    """SQL for the b-th derived uniform of a row, scaled into (0, 1).
+
+    ``md5``: hex half ``b % 2`` of md5('<salt>:<b//2>:<id>') — the
+    engine-portable construction the DuckDB oracle replays.
+    ``xxhash64``: one JVM hash per replicate (production fast path —
+    same prod/parity split as dedup.simhash and sketch._cms_bucket)."""
+    if hasher == "xxhash64":
+        return (
+            f"(pmod(xxhash64('{salt}', {b}, cast({id_col} as string)), "
+            f"1152921504606846976L) + 1.0) / {_DENOM!r}"
+        )
     start = 1 if b % 2 == 0 else 17
     return (
         f"(conv(substring(md5(concat_ws(':', '{salt}', '{b // 2}', "
@@ -60,6 +69,7 @@ def bootstrap_means(
     salt: str = "boot",
     decimals: int = 6,
     group_by: list[str] | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """B Poisson-bootstrap replicate means of ``value`` in one scan:
     returns (b, mean_b) with ``mean_b = round(Σ w·x / Σ w, decimals)``
@@ -74,7 +84,9 @@ def bootstrap_means(
     # accumulate 2B map-side-combinable sums
     proj = df
     for b in range(n_replicates):
-        proj = proj.withColumn(f"__u{b}", F.expr(_uniform_sql(salt, b, id_col)))
+        proj = proj.withColumn(
+            f"__u{b}", F.expr(_uniform_sql(salt, b, id_col, hasher))
+        )
         proj = proj.withColumn(f"__w{b}", F.expr(_poisson_sql(f"__u{b}")))
     aggs = []
     for b in range(n_replicates):
