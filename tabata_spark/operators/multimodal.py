@@ -361,3 +361,149 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "doc_id",
         F.explode(F.transform(idx, lambda i: i * every_n)).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------
+# Perceptual image hashing (pHash) + hamming near-dup — the IMAGE
+# branch of the dedup layer: re-encoded/resized/lightly-edited copies
+# of a picture hash to nearby 64-bit codes, so crawl-scale image
+# dedup becomes the same pigeonhole-block + verify shape as
+# dedup.simhash (text), with the decode confined to the one Arrow
+# stage this module already owns.
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG transform), from first
+    principles: C[k, i] = a_k * cos(pi*(2i+1)*k / (2n))."""
+    i = np.arange(n)
+    k = np.arange(n)[:, None]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def _area_weights(n_src: int, n_dst: int) -> np.ndarray:
+    """(n_dst, n_src) matrix of exact fractional-overlap weights for
+    an area-weighted 1-D resample (each source pixel splits across
+    destination bins by geometric coverage). Unlike integer box
+    binning this is RESOLUTION-CONSISTENT: any two rasterizations of
+    the same underlying image area-average to the same grid, so a 2x
+    upscale keeps its perceptual hash."""
+    w = np.zeros((n_dst, n_src))
+    for i in range(n_src):
+        lo = i * n_dst / n_src
+        hi = (i + 1) * n_dst / n_src
+        for b in range(int(lo), min(int(np.ceil(hi)), n_dst)):
+            w[b, i] = min(hi, b + 1) - max(lo, b)
+    return w / w.sum(axis=1, keepdims=True)
+
+
+def phash64(img: np.ndarray, grid: int = 32, keep: int = 8) -> int:
+    """64-bit perceptual hash: area-resample to grid x grid grayscale,
+    2-D DCT, keep the top-left keep x keep low-frequency block (minus
+    DC), threshold at its median. Deterministic pure numpy."""
+    g = img.astype(np.float64).mean(axis=2)
+    gray = _area_weights(g.shape[0], grid) @ g @ _area_weights(g.shape[1], grid).T
+    d = _dct_matrix(grid)
+    coef = d @ gray @ d.T
+    block = coef[:keep, :keep].ravel()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block >= med):
+        if v:
+            bits |= 1 << i
+    # 63 data bits + parity of the DC sign keeps it a full 64-bit code
+    if coef[0, 0] >= 0:
+        bits |= 1 << 63
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed long
+
+
+def with_phash(media: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """(id, phash: long) over real decodable blobs (undecodable rows
+    are dropped — probe first with sniff_mime to route). Arrow-batched
+    like every decode in this module."""
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                try:
+                    mime = sniff_mime(b)
+                    if mime == "image/png":
+                        img = _png_decode(b)
+                    elif mime == "image/bmp":
+                        img = _bmp_decode(b)
+                    else:
+                        continue
+                except (NotImplementedError, ValueError, IndexError):
+                    continue
+                ids.append(int(i))
+                hashes.append(phash64(img))
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return media.select(id_col, blob_col).mapInPandas(
+        fn, f"{id_col} long, phash long"
+    )
+
+
+def phash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate image pairs: pigeonhole the 64-bit
+    code into ``n_blocks`` 8-bit blocks (two codes within
+    ``max_hamming`` < n_blocks share at least one exact block),
+    bucket-join WITHOUT a self-join (in-bucket array expansion, hot
+    buckets capped — dedup.simhash's exact shape), then verify with
+    the true popcount distance. Returns (id_a, id_b, hamming)."""
+    pairs = hashed.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, {n}), "
+                "b -> struct(b as blk, "
+                "shiftright(phash, b * 8) & 255 as val))".format(
+                    n=n_blocks - 1
+                )
+            )
+        ).alias("bk"),
+    ).select(id_col, "phash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    buckets = (
+        pairs.groupBy("blk", "val")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"), "phash"))
+                ),
+                1,
+                max_bucket,
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    expanded = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (a, i) -> "
+                "transform(slice(members, i + 2, size(members)), "
+                "b -> struct(a.id as id_a, b.id as id_b, "
+                "a.phash as ha, b.phash as hb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        expanded.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
