@@ -158,3 +158,59 @@ def read_rollup(
             )
         )
     return df.select(*cols)
+
+
+def apply_delta(
+    spark: SparkSession,
+    store_path: str,
+    base: DataFrame,
+    changed_keys: DataFrame,
+    width: str = "1 hour",
+    key: str = "event_type",
+    distinct_col: str | None = None,
+    ts_col: str = "ts",
+) -> None:
+    """Fold a CDC delta (inserts AND deletes) into the stored rollup
+    by PARTIAL RECOMPUTE: min/max and HLL sketches cannot retract, so
+    instead of inventing retraction algebra the touched buckets are
+    recomputed from the authoritative ``base`` table — reading ONLY
+    the touched date partitions (broadcast semi-join pruning on the
+    delta's date set) — and dynamic-partition-overwritten. Cost is
+    O(touched partitions), never O(store) and never O(history);
+    correctness is unconditional because every stat is rebuilt from
+    source rows.
+
+    ``changed_keys`` carries the affected rows' ``ts_col`` values
+    (for deletes: the ts of the rows that were removed from base;
+    for inserts: the new rows' ts) — only their dates matter."""
+    dates = [
+        r["d"]
+        for r in changed_keys.select(
+            F.to_date(ts_col).alias("d")
+        ).distinct().collect()
+    ]
+    if not dates:
+        return
+    touched = base.filter(F.to_date(ts_col).isin(dates))
+    part = rollup_events(touched, width, key, distinct_col)
+    if not part.head(1):
+        # every row of those dates was deleted. Dynamic partition
+        # overwrite can't drop a partition with an empty write (it
+        # only replaces partitions PRESENT in the data), so remove
+        # the date directories directly — the store is a plain
+        # filesystem layout (win_date=YYYY-MM-DD/); a transactional
+        # table format would make this a DELETE.
+        import shutil
+
+        for d in dates:
+            shutil.rmtree(
+                os.path.join(store_path, f"win_date={d}"),
+                ignore_errors=True,
+            )
+        return
+    (
+        part.write.mode("overwrite")
+        .partitionBy("win_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store_path)
+    )

@@ -109,3 +109,69 @@ def test_hll_distinct_merges_exactly(spark, events, tmp_path):
     }
     exact_hits = sum(1 for k, v in inc.items() if v == true[k])
     assert exact_hits / len(inc) > 0.95, (exact_hits, len(inc))
+
+
+def test_apply_delta_matches_full_recompute(spark, sf_dir, tmp_path):
+    """CDC delta (delete + insert on one date) folded by partial
+    recompute must equal a from-scratch rollup of the mutated base —
+    including the non-retractable min/max stats."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.rollup import apply_delta, rollup_events
+    from tabata_spark.sources.relational import _normalize_ts
+
+    ev = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    store = str(tmp_path / "roll")
+    rollup_events(ev).write.partitionBy("win_date").parquet(store)
+
+    # mutate: delete every 7th event on the busiest date, bump values
+    target = (
+        ev.groupBy(F.to_date("ts").alias("d")).count().orderBy(F.desc("count"))
+        .collect()[0]["d"]
+    )
+    deleted = ev.filter(
+        (F.to_date("ts") == F.lit(target)) & (F.col("event_id") % 7 == 0)
+    )
+    mutated = ev.join(deleted.select("event_id"), "event_id", "left_anti")
+    apply_delta(spark, store, mutated, deleted)
+
+    got = {
+        (str(r["win_start"]), r["event_type"]): (
+            r["n"],
+            round(r["sum_value"], 6),
+            round(r["min_value"], 6),
+            round(r["max_value"], 6),
+        )
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (str(r["win_start"]), r["event_type"]): (
+            r["n"],
+            round(r["sum_value"], 6),
+            round(r["min_value"], 6),
+            round(r["max_value"], 6),
+        )
+        for r in rollup_events(mutated).collect()
+    }
+    assert got == want
+
+
+def test_apply_delta_drops_fully_deleted_dates(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.rollup import apply_delta, rollup_events
+    from tabata_spark.sources.relational import _normalize_ts
+
+    ev = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    store = str(tmp_path / "roll")
+    rollup_events(ev).write.partitionBy("win_date").parquet(store)
+    target = ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()[0]["d"]
+    deleted = ev.filter(F.to_date("ts") == F.lit(target))
+    mutated = ev.join(deleted.select("event_id"), "event_id", "left_anti")
+    apply_delta(spark, store, mutated, deleted)
+    left = (
+        spark.read.parquet(store)
+        .filter(F.col("win_date") == F.lit(target))
+        .count()
+    )
+    assert left == 0
