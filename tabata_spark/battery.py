@@ -9553,3 +9553,89 @@ def q_streaks(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+#: pooled two-proportion z statistic, one shared formula string
+#: (inputs ka, na, kb, nb are exact integers cast to double)
+_ABZ = (
+    "(CASE WHEN na > 0 AND nb > 0"
+    " AND (ka + kb) > 0 AND (ka + kb) < (na + nb)"
+    " THEN (ka / na - kb / nb) / sqrt((ka + kb) / (na + nb)"
+    " * (1.0 - (ka + kb) / (na + nb)) * (1.0 / na + 1.0 / nb))"
+    " ELSE 0.0 END)"
+)
+
+
+@register(
+    "q_ab_test",
+    f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab1:' || user_id::VARCHAR), 1, 15))::BIGINT
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS DOUBLE) AS ka,
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS DOUBLE) AS kb,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      FROM assign
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,
+           round(ka / na, 6) AS rate_a,
+           round(kb / nb, 6) AS rate_b,
+           round({_ABZ}, 4) AS z,
+           (abs({_ABZ}) > 1.96) AS significant_95
+    FROM agg
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """Experimentation analytics: a deterministic A/A-style test —
+    users hash-split into two arms (the salted-md5 assignment every
+    real experiment platform uses, sampling.hash_bucket's
+    construction) and purchase conversion compared with the pooled
+    two-proportion z statistic (exact integer counts; ONE shared
+    formula string both engines parse). On an A/A split significance
+    should be rare — the harness sanity every experimentation stack
+    ships."""
+    ev = _t(spark, sf_dir, "events")
+    from tabata_spark.operators.sampling import hash_bucket
+
+    assign = ev.groupBy(
+        "user_id",
+        F.when(hash_bucket(F.col("user_id"), 2, salt="ab1") == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("double")
+        .alias("ka"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("double")
+        .alias("kb"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    return agg.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(ka AS BIGINT) AS conv_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "CAST(kb AS BIGINT) AS conv_b",
+        "round(ka / na, 6) AS rate_a",
+        "round(kb / nb, 6) AS rate_b",
+        f"round({_ABZ}, 4) AS z",
+        f"(abs({_ABZ}) > 1.96) AS significant_95",
+    )
