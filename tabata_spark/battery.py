@@ -1146,11 +1146,11 @@ def w_sliding(spark, sf_dir):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM tagged
     )
-    SELECT record_id, session_id, count(*) AS n,
+    SELECT record_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n,
            epoch_us(min(ts)) AS t_start_us,
            epoch_us(max(ts)) AS t_end_us,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
-    FROM sess GROUP BY record_id, session_id
+    FROM sess GROUP BY record_id, CAST(session_id AS BIGINT)
     """,
 )
 def w_sessionize(spark, sf_dir):
@@ -2532,12 +2532,12 @@ def a_attrib_summary(spark, sf_dir):
     r"""
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(length(text)) AS n_chars,
-           sum(strlen(text)) AS n_bytes,
-           sum(len(string_split(text, ' '))) AS n_words,
-           sum(len(regexp_extract_all(text,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text,
                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
-             AS n_bpe,
+             AS BIGINT) AS n_bpe,
            CAST(CAST(round(sum(len(regexp_extract_all(text,
                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
                * 1.0 / sum(strlen(text)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS fertility
@@ -2692,10 +2692,10 @@ def decontaminate(spark, sf_dir):
       FROM documents
     ), packed AS (
       SELECT doc_id, n_tokens, h % 4 AS shard,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY h % 4 ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS start_offset
+               AS BIGINT) AS start_offset
       FROM base
     )
     SELECT doc_id, n_tokens, shard, start_offset,
@@ -4526,10 +4526,10 @@ def q11_important_parts(spark, sf_dir):
     """
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
                 THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
     GROUP BY ship_speed
@@ -4947,8 +4947,9 @@ def text_bm25(spark, sf_dir):
                AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_id
       FROM tagged
     )
     SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -62,9 +62,121 @@ def normalize(rows, cols):
     return out
 
 
+#: DuckDB result types the driver's hasher canonicalizes unreliably.
+#: DECIMAL caused the nine r5 hash-reds; HUGEINT (DuckDB's output type
+#: for window/plain integer sums, INT128) caused the r4-r6 w_sessionize
+#: red. Both compare equal to BIGINT/DOUBLE as local Python values, so
+#: only a TYPE lint can see them — the value compare is structurally
+#: blind (VERDICT r6 "What's wrong").
+RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "INT128")
+
+
+def _duck_type_class(t: str) -> str:
+    u = str(t).upper()
+    if u.startswith(("DECIMAL", "HUGEINT", "UHUGEINT", "INT128")):
+        return "risky"
+    if u in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if u in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "VARCHAR":
+        return "str"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u == "DATE":
+        return "date"
+    if u == "BLOB":
+        return "binary"
+    if u.endswith("[]") or u.startswith(("LIST", "ARRAY")):
+        return "array"
+    return u
+
+
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "risky"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    return dt.simpleString()
+
+
+def lint_oracle_types(con, name, ocols, otypes, scols=None, stypes=None):
+    """Return a list of lint-failure strings for one oracle result.
+
+    Two checks: (a) no DuckDB output column may be HUGEINT/DECIMAL/
+    INT128 — the driver-hasher-unreliable class; (b) when the Spark
+    schema is available, each same-named column's type class must
+    match (int vs int, float vs float, ...)."""
+    fails = []
+    for c, t in zip(ocols, otypes):
+        if _duck_type_class(t) == "risky":
+            fails.append(f"oracle col {c} is {t} (driver-hasher-unreliable)")
+    if scols is not None and stypes is not None:
+        sclass = {c.lower(): _spark_type_class(t) for c, t in zip(scols, stypes)}
+        for c, t in zip(ocols, otypes):
+            oc = _duck_type_class(t)
+            sc = sclass.get(c.lower())
+            if sc is not None and oc != sc and "risky" not in (oc, sc):
+                fails.append(f"type-class mismatch {c}: spark={sc} duck={oc} ({t})")
+    return fails
+
+
+def lint_only(sf_dir, only=()):
+    """DuckDB-only fast pass: run every oracle, lint result types.
+
+    No Spark session needed — catches the whole HUGEINT/DECIMAL class
+    across all registered oracles in seconds."""
+    from tabata_spark import battery
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in battery.ORACLES.items():
+        if only and name not in only:
+            continue
+        try:
+            rel = con.sql(sql)
+            fails = lint_oracle_types(con, name, rel.columns, rel.types)
+        except Exception as e:  # noqa: BLE001
+            fails = [f"ERROR {repr(e)[:160]}"]
+        ok = not fails
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'PASS' if ok else 'FAIL':5s} {name} {'; '.join(fails)}")
+    print(f"\n[type-lint] {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--lint-only"]
+    if "--lint-only" in sys.argv:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        lint_only(sf_dir, set(argv[1:]))
+        return
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from tabata_spark import battery
     from tabata_spark.session import get_spark
@@ -120,8 +232,15 @@ def main():
             elif name in battery.ORACLES:
                 ores = con.sql(battery.ORACLES[name])
                 ocols = ores.columns
+                otypes = list(ores.types)
                 orows = ores.fetchall()
-                if sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
+                lint = lint_oracle_types(
+                    con, name, ocols, otypes, scols,
+                    [f.dataType for f in sdf.schema.fields],
+                )
+                if lint:
+                    status, detail = "FAIL", "; ".join(lint)
+                elif sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
                     status, detail = "FAIL", f"cols spark={scols} duck={ocols}"
                 elif len(srows) != len(orows):
                     status, detail = "FAIL", f"rows spark={len(srows)} duck={len(orows)}"
