@@ -6560,6 +6560,11 @@ def sample_pareto(spark, sf_dir):
     ),
     rt AS (SELECT source, sum(o) AS rt FROM cells GROUP BY source),
     ct AS (SELECT lang, sum(o) AS ct FROM cells GROUP BY lang),
+    grid AS (SELECT rt.source, ct.lang, rt.rt, ct.ct FROM rt CROSS JOIN ct),
+    fullgrid AS (
+      SELECT g.source, g.lang, g.rt, g.ct, coalesce(c.o, 0) AS o
+      FROM grid g LEFT JOIN cells c ON g.source = c.source AND g.lang = c.lang
+    ),
     tot AS (SELECT sum(o) AS n, count(DISTINCT source) AS nr,
                    count(DISTINCT lang) AS nc
             FROM cells)
@@ -6570,15 +6575,16 @@ def sample_pareto(spark, sf_dir):
            CAST(CAST(sum(CAST(round(pow(o - (rt::DOUBLE * ct / n), 2)
                                     / (rt::DOUBLE * ct / n), 6)
                               AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS chi2
-    FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot
+    FROM fullgrid CROSS JOIN tot
     """,
 )
 def q_chi2_source_lang(spark, sf_dir):
-    """Pearson chi-squared independence over the source × lang
-    contingency table — categorical composition drift. Exact integer
-    marginals, fixed-order double cell terms DECIMAL-quantized before
-    the (order-independent) sum, DOUBLE at the boundary. One cell
-    aggregation + two broadcast marginals — never large."""
+    """Pearson chi-squared independence over the FULL source × lang
+    grid (zero cells contribute E — scipy.chi2_contingency semantics) —
+    categorical composition drift. Exact integer marginals, fixed-order
+    double cell terms DECIMAL-quantized before the (order-independent)
+    sum, DOUBLE at the boundary. One cell aggregation + two broadcast
+    marginals cross-joined into the grid — never large."""
     from tabata_spark.operators.stats import chi_squared_independence
 
     docs = _t(spark, sf_dir, "documents")

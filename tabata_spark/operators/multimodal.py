@@ -463,7 +463,20 @@ def phash_near_pairs(
     ``max_hamming`` < n_blocks share at least one exact block),
     bucket-join WITHOUT a self-join (in-bucket array expansion, hot
     buckets capped — dedup.simhash's exact shape), then verify with
-    the true popcount distance. Returns (id_a, id_b, hamming)."""
+    the true popcount distance. Returns (id_a, id_b, hamming).
+
+    Recall contract: the pigeonhole guarantee holds only for
+    ``max_hamming <= n_blocks - 1`` (beyond that, two codes can differ
+    in every block and never share a bucket) — violating it raises
+    rather than silently missing pairs. Hot buckets larger than
+    ``max_bucket`` are truncated (recall cap, not correctness: every
+    returned pair is popcount-verified)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_blocks={n_blocks}: the "
+            "pigeonhole block guarantee needs max_hamming <= n_blocks-1 "
+            "(raise n_blocks or lower max_hamming)"
+        )
     pairs = hashed.select(
         id_col,
         "phash",

@@ -192,25 +192,33 @@ def apply_delta(
     if not dates:
         return
     touched = base.filter(F.to_date(ts_col).isin(dates))
-    part = rollup_events(touched, width, key, distinct_col)
-    if not part.head(1):
-        # every row of those dates was deleted. Dynamic partition
-        # overwrite can't drop a partition with an empty write (it
-        # only replaces partitions PRESENT in the data), so remove
-        # the date directories directly — the store is a plain
-        # filesystem layout (win_date=YYYY-MM-DD/); a transactional
-        # table format would make this a DELETE.
+    part = rollup_events(touched, width, key, distinct_col).persist()
+    try:
+        # Dynamic partition overwrite only replaces partitions PRESENT
+        # in the written data, so a touched date whose rows were ALL
+        # deleted never appears in `part` and its stale partition would
+        # survive the write. Diff the delta's date set against the
+        # surviving dates and remove the emptied date directories — the
+        # store is a plain filesystem layout (win_date=YYYY-MM-DD/); a
+        # transactional table format would make this a DELETE.
+        survived = {
+            r["win_date"]
+            for r in part.select("win_date").distinct().collect()
+        }
         import shutil
 
         for d in dates:
-            shutil.rmtree(
-                os.path.join(store_path, f"win_date={d}"),
-                ignore_errors=True,
+            if d not in survived:
+                shutil.rmtree(
+                    os.path.join(store_path, f"win_date={d}"),
+                    ignore_errors=True,
+                )
+        if survived:
+            (
+                part.write.mode("overwrite")
+                .partitionBy("win_date")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
             )
-        return
-    (
-        part.write.mode("overwrite")
-        .partitionBy("win_date")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
-    )
+    finally:
+        part.unpersist()

@@ -180,6 +180,35 @@ def bloom_might_contain(
     )
 
 
+def _cms_meta_path(store_path: str) -> str:
+    import os
+
+    return os.path.join(store_path, "_cms_meta.json")
+
+
+def _cms_check_meta(store_path: str, geometry: dict) -> None:
+    """Validate a stored sketch's geometry sidecar against the
+    caller's parameters. Counters bucketed under one (hasher, salt,
+    depth, width) are meaningless under another — a probe or upsert
+    with mismatched geometry silently returns/merges wrong counts and
+    breaks the never-underestimate guarantee, so mismatch is an
+    error, not a warning."""
+    import json
+    import os
+
+    p = _cms_meta_path(store_path)
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        stored = json.load(f)
+    if stored != geometry:
+        raise ValueError(
+            f"CMS store {store_path} was built with {stored}, "
+            f"called with {geometry} — counters are not comparable "
+            "across geometries"
+        )
+
+
 def cms_upsert(
     spark,
     store_path: str,
@@ -188,6 +217,7 @@ def cms_upsert(
     depth: int = 4,
     width: int = 1024,
     salt: str = "cms",
+    hasher: str = "md5",
 ) -> None:
     """Fold a batch into a stored count-min sketch (parquet).
 
@@ -195,10 +225,18 @@ def cms_upsert(
     union+sum; the merged frame is eagerly materialized
     (localCheckpoint) BEFORE the overwrite so the write never races
     its own input scan. Work per upsert is O(batch) + O(sketch),
-    never O(history) — the whole point of keeping the sketch."""
+    never O(history) — the whole point of keeping the sketch.
+
+    The sketch's geometry (depth/width/salt/hasher) is persisted in a
+    ``_cms_meta.json`` sidecar and validated on every upsert — an
+    xxhash64 probe of an md5-built store raises instead of silently
+    returning wrong estimates."""
+    import json
     import os
 
-    part = cms_build(batch, key_col, depth, width, salt)
+    geometry = {"depth": depth, "width": width, "salt": salt, "hasher": hasher}
+    _cms_check_meta(store_path, geometry)
+    part = cms_build(batch, key_col, depth, width, salt, hasher)
     if not part.head(1):
         return
     if os.path.isdir(store_path) and any(
@@ -207,10 +245,27 @@ def cms_upsert(
         stored = spark.read.parquet(store_path)
         part = cms_merge(part, stored)
     part.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+    with open(_cms_meta_path(store_path), "w") as f:
+        json.dump(geometry, f)
 
 
-def load_cms(spark, store_path: str) -> DataFrame:
-    """Read a stored count-min sketch."""
+def load_cms(
+    spark,
+    store_path: str,
+    depth: int | None = None,
+    width: int | None = None,
+    salt: str | None = None,
+    hasher: str | None = None,
+) -> DataFrame:
+    """Read a stored count-min sketch. Pass the geometry you intend
+    to probe with (the same depth/width/salt/hasher you will give
+    :func:`cms_estimate`) to have it validated against the store's
+    ``_cms_meta.json`` sidecar."""
+    if depth is not None:
+        _cms_check_meta(
+            store_path,
+            {"depth": depth, "width": width, "salt": salt, "hasher": hasher},
+        )
     return spark.read.parquet(store_path)
 
 

@@ -128,6 +128,15 @@ def chi_squared_independence(
     source × language composition shift?"). Returns one row
     (n, n_rows, n_cols, dof, chi2).
 
+    The statistic sums (O-E)^2/E over the FULL r x c grid — zero-count
+    cells contribute their expected count E (the classic drift
+    signature, a category present in only one group, lives exactly in
+    those cells; summing observed cells only would underestimate chi2
+    while dof still assumed the full grid). The grid is materialized by
+    cross-joining the two marginal tables (tiny — category counts, not
+    data) and left-joining observed cells with O coalesced to 0; this
+    matches scipy.stats.chi2_contingency.
+
     Engine-portable determinism: observed counts and marginals are
     exact integers; each cell's (O-E)^2/E term is a fixed-order double
     expression from those integers, quantized to DECIMAL before the
@@ -143,13 +152,15 @@ def chi_squared_independence(
         F.countDistinct(row_col).alias("__nr"),
         F.countDistinct(col_col).alias("__nc"),
     )
+    grid = F.broadcast(rt).crossJoin(F.broadcast(ct))
+    full = grid.join(
+        F.broadcast(cells), [row_col, col_col], "left"
+    ).withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
     e = F.col("__rt").cast("double") * F.col("__ct") / F.col("__n")
     term = F.pow(F.col("__o") - e, F.lit(2.0)) / e
     dec = f"decimal(28,{decimals})"
     return (
-        cells.join(F.broadcast(rt), row_col)
-        .join(F.broadcast(ct), col_col)
-        .join(F.broadcast(tot))
+        full.join(F.broadcast(tot))
         .agg(
             F.first("__n").alias("n"),
             F.first("__nr").cast("long").alias("n_rows"),

@@ -168,6 +168,7 @@ def stream_cms_maintain(
     depth: int = 4,
     width: int = 1024,
     salt: str = "cms",
+    hasher: str = "md5",
 ):
     """Continuous count-min-sketch maintenance as a stream sink: each
     micro-batch folds into the stored sketch via
@@ -193,6 +194,7 @@ def stream_cms_maintain(
             depth,
             width,
             salt,
+            hasher,
         )
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:

@@ -198,14 +198,22 @@ def streaming_ewma(
         import pandas as pd
 
         num, den = state.get if state.exists else (0.0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
-            out = []
-            for x in pdf[value]:
-                num = float(x) + decay * num
-                den = 1.0 + decay * den
-                out.append(num / den)
-            yield pd.DataFrame({key: pdf[key], ts: pdf[ts], "ewma": out})
+        # A key group larger than arrow maxRecordsPerBatch arrives as
+        # MULTIPLE chunks; sorting each chunk independently would break
+        # the 'event-time order within each micro-batch' contract at
+        # chunk boundaries — concatenate first, sort once.
+        chunks = [pdf for pdf in pdfs]
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else pd.DataFrame(columns=[key, ts, value])
+        )
+        pdf = pdf.sort_values(ts)
+        out = []
+        for x in pdf[value]:
+            num = float(x) + decay * num
+            den = 1.0 + decay * den
+            out.append(num / den)
+        yield pd.DataFrame({key: pdf[key], ts: pdf[ts], "ewma": out})
         state.update((num, den))
 
     src = events.withWatermark(ts, watermark) if events.isStreaming else events

@@ -58,6 +58,18 @@ def test_with_phash_and_near_pairs(spark):
     assert all({a, b} <= {0, 1, 4} for a, b in pairs)  # no false pairs
 
 
+def test_near_pairs_rejects_unsound_max_hamming(spark):
+    # The pigeonhole guarantee needs max_hamming <= n_blocks-1; beyond
+    # it recall is silently incomplete, so the operator must refuse.
+    import pytest
+
+    hashed = spark.createDataFrame([(0, 1), (1, 2)], "doc_id long, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_pairs(hashed, max_hamming=8, n_blocks=8)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_pairs(hashed, max_hamming=10, n_blocks=8)
+
+
 def test_undecodable_blobs_are_skipped(spark):
     rows = [
         (0, bytearray(make_png(_img(3)))),

@@ -175,3 +175,43 @@ def test_apply_delta_drops_fully_deleted_dates(spark, sf_dir, tmp_path):
         .count()
     )
     assert left == 0
+
+
+def test_apply_delta_drops_emptied_date_while_other_survives(spark, sf_dir, tmp_path):
+    """The r6 ADVICE bug: one delta that fully empties date A while
+    date B keeps rows. The write path only overwrites partitions
+    present in the recomputed data, so A's stale partition must be
+    removed explicitly — the store must equal a from-scratch rollup."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.rollup import apply_delta, rollup_events
+    from tabata_spark.sources.relational import _normalize_ts
+
+    ev = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    store = str(tmp_path / "roll")
+    rollup_events(ev).write.partitionBy("win_date").parquet(store)
+    d = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    assert len(d) >= 2
+    day_gone, day_kept = d[0], d[1]
+    # delete ALL of day_gone, and only the even events of day_kept
+    deleted = ev.filter(
+        (F.to_date("ts") == F.lit(day_gone))
+        | ((F.to_date("ts") == F.lit(day_kept)) & (F.col("event_id") % 2 == 0))
+    )
+    mutated = ev.join(deleted.select("event_id"), "event_id", "left_anti")
+    apply_delta(spark, store, mutated, deleted)
+
+    stored = spark.read.parquet(store)
+    assert stored.filter(F.col("win_date") == F.lit(day_gone)).count() == 0
+    got = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in stored.collect()
+    }
+    want = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in rollup_events(mutated).collect()
+    }
+    assert got == want

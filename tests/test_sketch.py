@@ -99,6 +99,27 @@ def test_cms_upsert_incremental_equals_oneshot(spark, tmp_path):
     assert inc == one
 
 
+def test_cms_upsert_rejects_geometry_mismatch(spark, tmp_path):
+    # An xxhash64 (or resized/resalted) probe of an md5-built store
+    # would silently break the never-underestimate guarantee — the
+    # _cms_meta.json sidecar must make it an error instead.
+    import pytest
+
+    from tabata_spark.operators.sketch import cms_upsert, load_cms
+
+    a = _keys(spark, ["a"] * 5 + ["b"] * 3)
+    store = str(tmp_path / "cms")
+    cms_upsert(spark, store, a, "k", depth=3, width=32)
+    with pytest.raises(ValueError, match="not comparable"):
+        cms_upsert(spark, store, a, "k", depth=3, width=32, hasher="xxhash64")
+    with pytest.raises(ValueError, match="not comparable"):
+        cms_upsert(spark, store, a, "k", depth=3, width=64)
+    with pytest.raises(ValueError, match="not comparable"):
+        load_cms(spark, store, depth=3, width=32, salt="cms", hasher="xxhash64")
+    # matching geometry still loads (and ignores the sidecar file)
+    assert load_cms(spark, store, depth=3, width=32, salt="cms", hasher="md5").count() > 0
+
+
 def test_stream_cms_maintain_matches_batch_and_is_replay_safe(spark, tmp_path):
     from tabata_spark.operators.sketch import load_cms
     from tabata_spark.streaming.sinks import stream_cms_maintain

@@ -37,14 +37,37 @@ def test_chi2_matches_pandas_reference(docs, pdf):
     chi2 = 0.0
     for r in tab.index:
         for c in tab.columns:
-            o = tab.loc[r, c]
-            if o == 0:
-                continue  # operator aggregates observed cells only
+            o = tab.loc[r, c]  # full grid: zero cells contribute E
             e = tab.loc[r].sum() * tab[c].sum() / n
             chi2 += round((o - e) ** 2 / e, 6)
     assert row["n"] == n
     assert row["dof"] == (len(tab.index) - 1) * (len(tab.columns) - 1)
     assert row["chi2"] == pytest.approx(chi2, abs=1e-9)
+
+
+def test_chi2_sparse_table_counts_zero_cells(spark):
+    # The drift signature: category r2 appears ONLY under column cB.
+    # Full-grid chi2 must include the (r2, cA) zero cell's E term —
+    # reference value from scipy.stats.chi2_contingency semantics.
+    rows = (
+        [("r0", "cA")] * 10 + [("r0", "cB")] * 10
+        + [("r1", "cA")] * 10 + [("r1", "cB")] * 10
+        + [("r2", "cB")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_squared_independence(df, "a", "b").collect()[0]
+    tab = {("r0", "cA"): 10, ("r0", "cB"): 10, ("r1", "cA"): 10,
+           ("r1", "cB"): 10, ("r2", "cA"): 0, ("r2", "cB"): 10}
+    rt = {"r0": 20, "r1": 20, "r2": 10}
+    ct = {"cA": 20, "cB": 30}
+    n = 50
+    expect = sum(
+        round((o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n), 6)
+        for (r, c), o in tab.items()
+    )
+    assert out["dof"] == 2
+    assert out["chi2"] == pytest.approx(expect, abs=1e-9)
+    assert out["chi2"] > 5.0  # observed-cells-only would report ~3.1
 
 
 def test_chi2_zero_for_independent_construction(spark):
