@@ -3090,6 +3090,71 @@ def w_m4_downsample(spark, sf_dir):
 
 
 @register(
+    "w_lttb_downsample",
+    SIGNALS_CTE
+    + """
+    , sb AS (
+      SELECT record_id, seq, value,
+             min(seq) OVER (PARTITION BY record_id) AS lo,
+             max(seq) OVER (PARTITION BY record_id) AS hi
+      FROM signals
+    ), t AS (
+      SELECT record_id, seq, value,
+             CAST(least(floor((seq - lo) * 50 / greatest(hi - lo, 1)), 49)
+                  AS INT) AS b
+      FROM sb
+    ), a AS (
+      SELECT record_id, b,
+             CAST(CAST(sum(seq) AS BIGINT) AS DOUBLE) / count(*) AS ax,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ay
+      FROM t GROUP BY record_id, b
+    ), an AS (
+      SELECT record_id, b,
+             lag(ax) OVER w AS lx, lag(ay) OVER w AS ly,
+             lead(ax) OVER w AS rx, lead(ay) OVER w AS ry
+      FROM a WINDOW w AS (PARTITION BY record_id ORDER BY b)
+    ), s AS (
+      SELECT t.record_id, t.seq, t.value, t.b,
+             CASE WHEN t.b = 0 THEN -CAST(t.seq AS DOUBLE)
+                  WHEN t.b = 49 THEN CAST(t.seq AS DOUBLE)
+                  ELSE round(abs((an.lx - an.rx) * (CAST(t.value AS DOUBLE) - an.ly)
+                                 - (an.lx - CAST(t.seq AS DOUBLE)) * (an.ry - an.ly))
+                             / 2.0, 6)
+             END AS score
+      FROM t JOIN an ON t.record_id = an.record_id AND t.b = an.b
+    ), r AS (
+      SELECT record_id, b, seq, value,
+             row_number() OVER (PARTITION BY record_id, b
+                                ORDER BY score DESC, seq ASC) AS rn
+      FROM s
+    )
+    SELECT record_id, b AS bucket, seq, round(value, 6) AS value
+    FROM r WHERE rn = 1 ORDER BY record_id, bucket
+    """,
+)
+def w_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (50 buckets/record), fixed-anchor parallel
+    variant: each bucket keeps the point with the largest triangle
+    against the neighbor buckets' average points (classic LTTB's
+    previously-selected-point anchor is inherently sequential; bucket-
+    average anchors are the standard distributed adaptation — see
+    operators/asof.py:lttb_downsample). Companion to w_m4_downsample:
+    M4 is the error-free pixel reduction, LTTB the shape-preserving
+    one. Exact-decimal bucket averages + fixed-order rounded areas
+    keep the selection engine-reproducible."""
+    from tabata_spark.operators.asof import lttb_downsample
+
+    sig = _signals(spark, sf_dir)
+    out = lttb_downsample(sig, n_buckets=50)
+    return out.select(
+        "record_id",
+        "bucket",
+        "seq",
+        F.round("value", 6).alias("value"),
+    ).orderBy("record_id", "bucket")
+
+
+@register(
     "a_quantile_transform",
     SIGNALS_CTE
     + """

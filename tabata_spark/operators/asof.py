@@ -151,6 +151,93 @@ def m4_downsample(
     )
 
 
+def lttb_downsample(
+    df: DataFrame,
+    n_buckets: int = 100,
+    key_col: str = "record_id",
+    seq_col: str = "seq",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, fixed-anchor
+    variant (the parallelizable form: each bucket's point maximizes
+    the triangle against the NEIGHBOR BUCKETS' average points, not the
+    previously-selected point — classic LTTB's left anchor makes it
+    inherently sequential per series; anchoring on precomputed bucket
+    averages is the standard distributed/streaming adaptation, e.g.
+    the anchor strategy of the MinMaxLTTB line of work, and is
+    visually indistinguishable on real series). First and last buckets
+    keep the series' first/last point, as in classic LTTB.
+
+    Scale shape: one record-window pass for the span (shared with
+    m4_downsample), one partial-agg shuffle for the per-bucket
+    averages (n_buckets rows per key — tiny), lag/lead over that tiny
+    table, a co-partitioned join back to the points, and one
+    row_number window per (key, bucket). No sequential dependency, no
+    driver loop — scales like any aggregation.
+
+    Engine determinism: bucket averages use exact DECIMAL sums over
+    integer counts (partial-agg order can't perturb them), the
+    triangle area is a fixed-order double expression rounded to 6
+    decimals, and ties break on smallest seq — the DuckDB oracle
+    replays bit-identical selections.
+
+    Returns (key, bucket, seq, value) — the selected point per
+    non-empty bucket."""
+    w = Window.partitionBy(key_col)
+    lo = F.min(seq_col).over(w)
+    hi = F.max(seq_col).over(w)
+    span = F.greatest(hi - lo, F.lit(1))
+    bucket = F.least(
+        F.floor((F.col(seq_col) - lo) * n_buckets / span),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    pts = df.select(key_col, seq_col, value_col).withColumn("__b", bucket)
+    avgs = pts.groupBy(key_col, "__b").agg(
+        (
+            F.sum(F.col(seq_col).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__ax"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("__ay"),
+    )
+    wb = Window.partitionBy(key_col).orderBy("__b")
+    anch = avgs.select(
+        key_col,
+        "__b",
+        F.lag("__ax").over(wb).alias("__lx"),
+        F.lag("__ay").over(wb).alias("__ly"),
+        F.lead("__ax").over(wb).alias("__rx"),
+        F.lead("__ay").over(wb).alias("__ry"),
+    )
+    x = F.col(seq_col).cast("double")
+    y = F.col(value_col).cast("double")
+    area = F.abs(
+        (F.col("__lx") - F.col("__rx")) * (y - F.col("__ly"))
+        - (F.col("__lx") - x) * (F.col("__ry") - F.col("__ly"))
+    ) / F.lit(2.0)
+    # one ordering expression for all three bucket roles: first bucket
+    # -> earliest point, last bucket -> latest point, interior ->
+    # largest (rounded) triangle; comparisons never cross buckets
+    score = (
+        F.when(F.col("__b") == 0, -x)
+        .when(F.col("__b") == n_buckets - 1, x)
+        .otherwise(F.round(area, 6))
+    )
+    ws = Window.partitionBy(key_col, "__b").orderBy(
+        F.desc("__score"), F.asc(seq_col)
+    )
+    return (
+        pts.join(anch, [key_col, "__b"])
+        .withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, F.col("__b").alias("bucket"), seq_col, value_col)
+    )
+
+
 def resample_linear(
     df: DataFrame,
     key_col: str = "record_id",

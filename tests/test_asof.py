@@ -184,3 +184,57 @@ def test_resample_grid_point_on_sample_takes_sample(spark):
     }
     t0 = min(out)
     assert out[t0 + 5.0] == 99.0  # exact sample, not an interpolation
+
+
+def test_lttb_selects_extremes_and_covers_buckets(spark):
+    from tabata_spark.operators.asof import lttb_downsample
+
+    # A spike in the middle of an otherwise flat series must be the
+    # selected point of its bucket (largest triangle), and the first/
+    # last series points must always be kept.
+    rows = [(1, s, 100.0 if s == 47 else float(s % 3)) for s in range(100)]
+    df = spark.createDataFrame(rows, "record_id int, seq long, value double")
+    out = lttb_downsample(df, n_buckets=10).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    assert len(out) == 10  # one point per non-empty bucket
+    assert by_bucket[0]["seq"] == 0  # classic LTTB endpoints
+    assert by_bucket[9]["seq"] == 99
+    spike_bucket = min(9, (47 - 0) * 10 // 99)
+    assert by_bucket[spike_bucket]["seq"] == 47  # spike survives
+
+
+def test_lttb_matches_pandas_fixed_anchor_reference(spark):
+    import pandas as pd
+
+    from tabata_spark.operators.asof import lttb_downsample
+
+    rng = np.random.RandomState(7)
+    n, nb = 200, 20
+    vals = np.round(rng.randn(n).cumsum(), 3)
+    rows = [(1, s, float(vals[s])) for s in range(n)]
+    df = spark.createDataFrame(rows, "record_id int, seq long, value double")
+    got = {
+        r["bucket"]: (r["seq"], r["value"])
+        for r in lttb_downsample(df, n_buckets=nb).collect()
+    }
+    # reference: same fixed-anchor algorithm, row-at-a-time in pandas
+    pdf = pd.DataFrame({"seq": range(n), "value": vals})
+    lo, hi = 0, n - 1
+    pdf["b"] = np.minimum((pdf["seq"] - lo) * nb // max(hi - lo, 1), nb - 1)
+    av = pdf.groupby("b").agg(ax=("seq", "mean"), ay=("value", "mean"))
+    want = {}
+    for b, grp in pdf.groupby("b"):
+        if b == 0:
+            sel = grp.iloc[0]
+        elif b == nb - 1:
+            sel = grp.iloc[-1]
+        else:
+            lxy = av.loc[b - 1] if (b - 1) in av.index else None
+            rxy = av.loc[b + 1] if (b + 1) in av.index else None
+            area = (
+                (lxy["ax"] - rxy["ax"]) * (grp["value"] - lxy["ay"])
+                - (lxy["ax"] - grp["seq"]) * (rxy["ay"] - lxy["ay"])
+            ).abs() / 2.0
+            sel = grp.loc[area.round(6).idxmax()]
+        want[int(b)] = (int(sel["seq"]), float(sel["value"]))
+    assert got == want
