@@ -9723,3 +9723,60 @@ def q_ab_test(spark, sf_dir):
         f"round({_ABZ}, 4) AS z",
         f"(abs({_ABZ}) > 1.96) AS significant_95",
     )
+
+
+@register(
+    "q_txlog_orders",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(28,2)) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_txlog_orders(spark, sf_dir):
+    """End-to-end transactional-table-log exercise (sources/txlog.py,
+    the Delta-style commit protocol): three append commits shard
+    orders by o_orderkey % 3, a file-granular copy-on-write DELETE
+    removes the 1-URGENT rows, a compact bounds the file count, and
+    the final snapshot read aggregates — the oracle is the equivalent
+    plain-SQL query over the source table, so every protocol step
+    (commit visibility, snapshot resolution, CoW delete, compaction)
+    must compose to exactness. The store rebuilds deterministically
+    per call under /tmp."""
+    import os
+    import shutil
+    import tempfile
+
+    from tabata_spark.sources.txlog import (
+        tx_compact,
+        tx_delete_where,
+        tx_read,
+        tx_write,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"tabata_txlog_battery_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    for shard in range(3):
+        tx_write(orders.filter(F.col("o_orderkey") % 3 == shard), root)
+    tx_delete_where(spark, root, F.col("o_orderpriority") == "1-URGENT")
+    tx_compact(spark, root)
+    return (
+        tx_read(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,103 @@
+"""Transactional table log (sources/txlog.py): atomic commits,
+snapshot reads, time travel, optimistic-concurrency retry,
+file-granular copy-on-write delete, compact + vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.sources.txlog import (
+    tx_compact,
+    tx_delete_where,
+    tx_history,
+    tx_read,
+    tx_vacuum,
+    tx_write,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_append_snapshot_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = tx_write(_df(spark, 0, 10, "a"), root)
+    v2 = tx_write(_df(spark, 10, 25, "b"), root)
+    assert (v1, v2) == (1, 2)
+    assert tx_read(spark, root).count() == 25
+    assert tx_read(spark, root, version=1).count() == 10
+    assert {r["tag"] for r in tx_read(spark, root, version=1).collect()} == {"a"}
+
+
+def test_overwrite_replaces_snapshot_keeps_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)
+    tx_write(_df(spark, 0, 5, "b"), root, mode="overwrite")
+    assert tx_read(spark, root).count() == 5
+    assert {r["tag"] for r in tx_read(spark, root).collect()} == {"b"}
+    assert tx_read(spark, root, version=1).count() == 10  # time travel
+
+
+def test_delete_where_rewrites_only_touched_dirs(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)      # ids 0-9
+    tx_write(_df(spark, 100, 110, "b"), root)   # ids 100-109 — untouched
+    before = tx_history(root)
+    untouched_dir = before[1]["add"][0]
+    tx_delete_where(spark, root, F.col("id") < 5)
+    got = sorted(r["id"] for r in tx_read(spark, root).collect())
+    assert got == list(range(5, 10)) + list(range(100, 110))
+    last = tx_history(root)[-1]
+    assert last["mode"] == "replace"
+    # file-granular CoW: the directory with no matching rows is NOT in
+    # the remove set (it was never rewritten)
+    assert untouched_dir not in last["remove"]
+    assert len(last["remove"]) == 1
+
+
+def test_delete_where_dropping_whole_dir_adds_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)
+    tx_write(_df(spark, 100, 110, "b"), root)
+    tx_delete_where(spark, root, F.col("id") < 50)  # empties dir 1
+    last = tx_history(root)[-1]
+    assert last["add"] == [] and len(last["remove"]) == 1
+    assert sorted(r["id"] for r in tx_read(spark, root).collect()) == list(
+        range(100, 110)
+    )
+
+
+def test_commit_race_retries_to_next_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "a"), root)
+    # another writer claims version 2 first
+    logd = os.path.join(root, "_txlog")
+    with open(os.path.join(logd, f"{2:020d}.json"), "x") as fh:
+        fh.write('{"version": 2, "mode": "append", "add": [], "remove": []}')
+    v = tx_write(_df(spark, 5, 9, "b"), root)
+    assert v == 3  # lost the race at 2, retried
+    assert tx_read(spark, root).count() == 9
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        tx_write(_df(spark, i * 10, i * 10 + 10, f"t{i}"), root)
+    tx_compact(spark, root, n_files=1)
+    assert tx_read(spark, root).count() == 40
+    removed = tx_vacuum(root)
+    assert len(removed) == 4  # the four pre-compaction dirs
+    assert tx_read(spark, root).count() == 40  # latest snapshot intact
+    datad = os.path.join(root, "data")
+    assert len(os.listdir(datad)) == 1
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no data"):
+        tx_read(spark, str(tmp_path / "nope"))
