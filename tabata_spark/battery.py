@@ -9780,3 +9780,54 @@ def q_txlog_orders(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_txlog_merge",
+    """
+    SELECT c_nationkey,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(c_acctbal
+                    + CASE WHEN c_custkey % 10 = 0 THEN 100.0 ELSE 0.0 END
+                AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q_txlog_merge(spark, sf_dir):
+    """Delta-style MERGE through the transactional log: customers land
+    as two append commits, then an upsert replaces every 10th
+    customer's row with a +100 account balance — file-granular
+    copy-on-write, one atomic commit. The oracle computes the merged
+    state directly from the source table, so key matching, the
+    anti-join rewrite, and insert must compose to exactness."""
+    import os
+    import shutil
+    import tempfile
+
+    from tabata_spark.sources.txlog import tx_merge, tx_read, tx_write
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"tabata_txmerge_battery_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    tx_write(cust.filter(F.col("c_custkey") % 2 == 0), root)
+    tx_write(cust.filter(F.col("c_custkey") % 2 == 1), root)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    tx_merge(spark, root, updates, ["c_custkey"])
+    return (
+        tx_read(spark, root)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -165,6 +165,59 @@ def tx_delete_where(
     return _commit(root, "replace", add, sorted(touched))
 
 
+def tx_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Delta-style MERGE (upsert): rows of ``source`` replace
+    same-key rows in the table; new keys are inserted. File-granular
+    copy-on-write, same shape as :func:`tx_delete_where`: ONE
+    broadcast-semi-join scan with ``input_file_name()`` finds the
+    directories holding matched keys; only those are rewritten (with
+    matched rows anti-joined away), everything else survives
+    untouched, and the source lands as one new directory. Cost follows
+    how many files the matched keys live in, not table size — with
+    key-clustered layout (compact sorted by key) a point-key merge
+    touches one file.
+
+    The whole rewrite set + insert commits as ONE atomic version: a
+    reader sees either the old snapshot or the fully-merged one."""
+    from pyspark.sql import functions as F
+
+    keys = source.select(*key_cols).distinct()
+    # input_file_name() must be projected BEFORE the join: Spark
+    # rejects it in plans with more than one file source, so tag each
+    # row with its file in a single-source projection, then semi-join
+    tagged = tx_read(spark, root).select(
+        F.input_file_name().alias("f"), *key_cols
+    )
+    touched_files = (
+        tagged.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    touched = set()
+    for r in touched_files:
+        p = r["f"].removeprefix("file://")
+        touched.add(os.path.relpath(os.path.dirname(p), root))
+    add: list[str] = []
+    for d in sorted(touched):
+        kept = spark.read.parquet(os.path.join(root, d)).join(
+            F.broadcast(keys), key_cols, "left_anti"
+        )
+        if kept.head(1):
+            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            kept.write.parquet(os.path.join(root, rel))
+            add.append(rel)
+    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    source.write.parquet(os.path.join(root, rel))
+    add.append(rel)
+    return _commit(root, "replace", add, sorted(touched))
+
+
 def tx_compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
     """Rewrite the live snapshot into ``n_files`` coalesced files and
     commit a replace — bounds file count AND log-replay length (a

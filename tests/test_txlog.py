@@ -13,6 +13,7 @@ from tabata_spark.sources.txlog import (
     tx_compact,
     tx_delete_where,
     tx_history,
+    tx_merge,
     tx_read,
     tx_vacuum,
     tx_write,
@@ -96,6 +97,29 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert tx_read(spark, root).count() == 40  # latest snapshot intact
     datad = os.path.join(root, "data")
     assert len(os.listdir(datad)) == 1
+
+
+def test_merge_upserts_and_rewrites_only_matched_dirs(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)      # ids 0-9
+    tx_write(_df(spark, 100, 110, "b"), root)   # ids 100-109 — no matches
+    untouched_dir = tx_history(root)[1]["add"][0]
+    # update ids 3,4 and insert ids 200,201
+    src = spark.createDataFrame(
+        [(3, "new"), (4, "new"), (200, "new"), (201, "new")],
+        "id long, tag string",
+    )
+    tx_merge(spark, root, src, ["id"])
+    rows = {r["id"]: r["tag"] for r in tx_read(spark, root).collect()}
+    assert len(rows) == 22  # 10 + 10 + 2 inserts, no dup keys
+    assert rows[3] == rows[4] == rows[200] == rows[201] == "new"
+    assert rows[5] == "a" and rows[105] == "b"
+    last = tx_history(root)[-1]
+    assert last["mode"] == "replace"
+    assert untouched_dir not in last["remove"]  # CoW: no matches → untouched
+    assert len(last["remove"]) == 1
+    # atomicity: pre-merge snapshot unchanged
+    assert tx_read(spark, root, version=2).count() == 20
 
 
 def test_read_empty_table_raises(spark, tmp_path):
