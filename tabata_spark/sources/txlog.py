@@ -83,17 +83,34 @@ def _active_dirs(root: str, version: int | None = None) -> list[str]:
     return active
 
 
-def _commit(root: str, mode: str, add: list[str], remove: list[str]) -> int:
+def _commit(
+    root: str,
+    mode: str,
+    add: list[str],
+    remove: list[str],
+    txn: str | None = None,
+) -> int:
     """Atomically claim the next version. O_EXCL create IS the commit;
     losing a race means re-reading the log and retrying — the data
     dirs in ``add`` are unreferenced until the commit lands, so a
-    retry is safe."""
+    retry is safe.
+
+    ``txn`` is an idempotence token (Delta's transaction-identifier
+    mechanism): if any committed entry already carries it, the commit
+    is a no-op returning that version — the retry loop re-checks after
+    every lost race, so exactly one writer of a txn ever lands."""
     logd = _log_path(root)
     os.makedirs(logd, exist_ok=True)
     for _ in range(_MAX_RETRIES):
         commits = _commits(root)
+        if txn is not None:
+            for c in commits:
+                if c.get("txn") == txn:
+                    return c["version"]
         version = (commits[-1]["version"] + 1) if commits else 1
         entry = {"version": version, "mode": mode, "add": add, "remove": remove}
+        if txn is not None:
+            entry["txn"] = txn
         claim = os.path.join(logd, f"{version:020d}.json")
         try:
             with open(claim, "x") as fh:
@@ -106,17 +123,27 @@ def _commit(root: str, mode: str, add: list[str], remove: list[str]) -> int:
     )
 
 
-def tx_write(df: DataFrame, root: str, mode: str = "append") -> int:
+def tx_write(
+    df: DataFrame, root: str, mode: str = "append", txn: str | None = None
+) -> int:
     """Write ``df`` as a new immutable data directory and commit it.
 
     ``mode='append'`` adds to the snapshot; ``mode='overwrite'``
     replaces it (prior directories stay on disk for time travel until
-    :func:`tx_vacuum`). Returns the committed version."""
+    :func:`tx_vacuum`). ``txn`` makes the write idempotent: a replay
+    with the same token commits nothing (its freshly-written data dir
+    stays unreferenced for :func:`tx_vacuum`) — the exactly-once
+    handle for streaming/restart delivery. Returns the committed (or
+    pre-existing, for a replayed txn) version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn is not None:
+        for c in _commits(root):
+            if c.get("txn") == txn:
+                return c["version"]  # replay — skip the data write too
     rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     df.write.parquet(os.path.join(root, rel))
-    return _commit(root, mode, [rel], [])
+    return _commit(root, mode, [rel], [], txn=txn)
 
 
 def tx_read(

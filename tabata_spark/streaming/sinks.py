@@ -268,3 +268,31 @@ def stream_scd2_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_txlog_append(
+    sdf: DataFrame,
+    root: str,
+    checkpoint: str,
+    app_id: str = "stream",
+):
+    """Exactly-once streaming append into a transactional table
+    (sources/txlog.py): each micro-batch commits through
+    ``tx_write(txn=f"{app_id}:{batch_id}")`` — the Delta
+    transaction-identifier pattern. Unlike the ledger-file sinks
+    above, idempotence lives IN the commit log itself: a replayed
+    batch finds its txn token in a committed entry and writes nothing,
+    with no crash window between data write and marker write (the
+    O_EXCL log claim is the single atomic point). Readers get snapshot
+    isolation for free."""
+    from tabata_spark.sources.txlog import tx_write
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        tx_write(batch_df, root, txn=f"{app_id}:{batch_id}")
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

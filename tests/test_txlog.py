@@ -125,3 +125,36 @@ def test_merge_upserts_and_rewrites_only_matched_dirs(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no data"):
         tx_read(spark, str(tmp_path / "nope"))
+
+
+def test_txn_token_makes_write_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = tx_write(_df(spark, 0, 10, "a"), root, txn="job:1")
+    v2 = tx_write(_df(spark, 0, 10, "a"), root, txn="job:1")  # replay
+    assert v1 == v2 == 1
+    assert tx_read(spark, root).count() == 10  # not doubled
+    tx_write(_df(spark, 10, 15, "b"), root, txn="job:2")
+    assert tx_read(spark, root).count() == 15
+
+
+def test_stream_txlog_append_exactly_once_across_restart(spark, tmp_path):
+    from tabata_spark.streaming.sinks import stream_txlog_append
+
+    src_dir = str(tmp_path / "src")
+    root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _df(spark, 0, 100, "a").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_txlog_append(stream, root, ck, app_id="ingest")
+    q.awaitTermination(120)
+    assert tx_read(spark, root).count() == 100
+
+    # restart with a FRESH checkpoint (worst case: batch ids replay
+    # from 0) — the txn tokens in the log must swallow the replay
+    ck2 = str(tmp_path / "ck2")
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    q2 = stream_txlog_append(stream2, root, ck2, app_id="ingest")
+    q2.awaitTermination(120)
+    assert tx_read(spark, root).count() == 100  # no duplicates
