@@ -9831,3 +9831,87 @@ def q_txlog_merge(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q_kmv_overlap",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), hs AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    ka AS (SELECT h FROM hs WHERE source = 'src0' ORDER BY h LIMIT 256),
+    kb AS (SELECT h FROM hs WHERE source = 'src1' ORDER BY h LIMIT 256),
+    ea AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+    eb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT 256),
+    eu AS (SELECT count(*) AS k_eff, max(h) AS hk FROM ku),
+    cc AS (SELECT count(*) AS c FROM ku
+           WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    vals AS (
+      SELECT
+        CASE WHEN ea.n < 256 THEN ea.n::DOUBLE
+             ELSE round(255.0 * 1152921504606846976.0 / ea.hk, 4) END AS est_src0,
+        CASE WHEN eb.n < 256 THEN eb.n::DOUBLE
+             ELSE round(255.0 * 1152921504606846976.0 / eb.hk, 4) END AS est_src1,
+        CAST(eu.k_eff AS BIGINT) AS k_eff,
+        CAST(cc.c AS BIGINT) AS c,
+        CASE WHEN eu.k_eff < 256 THEN eu.k_eff::DOUBLE
+             ELSE round(255.0 * 1152921504606846976.0 / eu.hk, 4) END AS est_union,
+        round(cc.c::DOUBLE / eu.k_eff, 6) AS jaccard
+      FROM ea, eb, eu, cc
+    )
+    SELECT est_src0, est_src1, k_eff, c, est_union, jaccard,
+           round(jaccard * est_union, 4) AS est_intersection
+    FROM vals
+    """,
+)
+def q_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimation with KMV distinct sketches (k=256):
+    per-source distinct-token estimates plus union / Jaccard /
+    intersection between src0 and src1 — the set operation HLL cannot
+    answer (operators/sketch.py KMV block; Beyer et al. SIGMOD 2007).
+    The sketches are 256 rows each, so every overlap question is a
+    joins-over-tiny-frames problem regardless of corpus size; the
+    oracle replays the salted-md5 hash order digit for digit."""
+    from tabata_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_set_ops,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    )
+    sk = kmv_build(toks, "tok", k=256, group_cols=["source"])
+    est = kmv_estimate(sk, k=256, group_cols=["source"])
+    wide = est.agg(
+        F.max(F.when(F.col("source") == "src0", F.col("est_distinct"))).alias(
+            "est_src0"
+        ),
+        F.max(F.when(F.col("source") == "src1", F.col("est_distinct"))).alias(
+            "est_src1"
+        ),
+    )
+    ops = kmv_set_ops(
+        sk.filter(F.col("source") == "src0").select("h"),
+        sk.filter(F.col("source") == "src1").select("h"),
+        k=256,
+    )
+    return wide.crossJoin(ops).select(
+        "est_src0",
+        "est_src1",
+        "k_eff",
+        "c",
+        "est_union",
+        "jaccard",
+        "est_intersection",
+    )

@@ -341,3 +341,140 @@ def ddsketch_quantiles(
         )
         aggs.append(est.alias(f"p{int(round(q * 100)):02d}"))
     return cum.groupBy(*key_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the set-operations member of
+# the mergeable family: HLL unions but cannot intersect; KMV supports
+# union AND intersection estimates (Beyer et al., "On Synopses for
+# Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007),
+# which is what corpus-overlap questions need ("how much does crawl A
+# share with crawl B?") without ever joining the raw key sets.
+# ---------------------------------------------------------------------------
+
+#: hash space of the 15-hex-digit md5 prefix — 16^15 = 2^60
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_hash(col: Column, salt: str = "kmv") -> Column:
+    """Uniform 60-bit integer hash of a key — the engine-portable
+    salted-md5 construction (DuckDB replays it digit for digit)."""
+    s = F.concat_ws(":", F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "kmv",
+    n_shards: int = 64,
+) -> DataFrame:
+    """The k smallest distinct key hashes per group — a fixed-size
+    (<= k rows/group) mergeable distinct sketch.
+
+    Scale shape: two-phase sharded top-k. Phase 1 ranks within
+    (group, hash % n_shards) — n_shards-way parallel, spill-safe
+    external sorts — keeping k per shard; phase 2 ranks the <= k*S
+    survivors per group. Provably equal to a direct global top-k
+    (every global top-k hash is top-k within its own shard), which is
+    what the DuckDB oracle replays in its simple one-window form.
+    Returns (group_cols..., h)."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    hashed = (
+        df.select(*group_cols, kmv_hash(F.col(key_col), salt).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("h"), F.lit(n_shards))
+    ).orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union of two KMV sketches built with the same k and salt:
+    distinct-union the (tiny, <= 2k/group) hash sets and re-keep the k
+    smallest — sketch-of-union == union-of-sketches, the mergeable-
+    state property."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate per group: exact when the sketch holds
+    fewer than k hashes (every distinct key is present), else the
+    classic (k-1) * SPACE / h_k estimator from the k-th minimum.
+    Fixed-order double arithmetic, rounded to 4 — engine-exact."""
+    group_cols = group_cols or []
+    n = F.count(F.lit(1))
+    hk = F.max("h")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / hk, 4)
+    )
+    return sketch.groupBy(*group_cols).agg(
+        n.cast("long").alias("n_kept"), est.alias("est_distinct")
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates between two ungrouped
+    KMV sketches (the corpus-overlap question). The union sketch's k
+    smallest hashes form a uniform sample of the union; the fraction
+    of them present in BOTH input sketches estimates the Jaccard
+    index, and intersection = jaccard * union (the SIGMOD 2007 KMV
+    multiset estimator). All joins are over <= k-row frames."""
+    u = kmv_merge(a, b, k)
+    both = (
+        u.join(a.select("h").distinct(), "h", "left_semi")
+        .join(b.select("h").distinct(), "h", "left_semi")
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.max("h").alias("hk"),
+    ).crossJoin(both.agg(F.count(F.lit(1)).cast("long").alias("c")))
+    est_u = F.when(
+        F.col("k_eff") < k, F.col("k_eff").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("hk"), 4))
+    return stats.select(
+        "k_eff",
+        "c",
+        est_u.alias("est_union"),
+        F.round(F.col("c").cast("double") / F.col("k_eff"), 6).alias(
+            "jaccard"
+        ),
+        F.round(
+            F.round(F.col("c").cast("double") / F.col("k_eff"), 6) * est_u, 4
+        ).alias("est_intersection"),
+    )

@@ -200,3 +200,64 @@ def test_cms_xxhash_prod_path_contract(spark):
         ).collect()
     }
     assert est["a"] >= 30 and est["b"] >= 10
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from tabata_spark.operators.sketch import kmv_build, kmv_estimate
+
+    small = _keys(spark, [f"s{i}" for i in range(40)])
+    sk = kmv_build(small, "k", k=256)
+    row = kmv_estimate(sk, k=256).collect()[0]
+    assert row["n_kept"] == 40 and row["est_distinct"] == 40.0
+
+    big = _keys(spark, [f"key{i}" for i in range(20000)] * 2)  # dups collapse
+    est = kmv_estimate(kmv_build(big, "k", k=256), k=256).collect()[0]
+    assert abs(est["est_distinct"] - 20000) / 20000 < 0.15  # ~1/sqrt(k)
+
+
+def test_kmv_two_phase_equals_direct_topk(spark):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.sketch import kmv_build, kmv_hash
+
+    df = _keys(spark, [f"x{i}" for i in range(5000)])
+    got = sorted(r["h"] for r in kmv_build(df, "k", k=128).collect())
+    direct = [
+        r["h"]
+        for r in df.select(kmv_hash(F.col("k")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(128)
+        .collect()
+    ]
+    assert got == direct
+
+
+def test_kmv_merge_equals_build_on_union(spark):
+    from tabata_spark.operators.sketch import kmv_build, kmv_merge
+
+    a = _keys(spark, [f"a{i}" for i in range(3000)])
+    b = _keys(spark, [f"b{i}" for i in range(3000)])
+    merged = sorted(
+        r["h"] for r in kmv_merge(
+            kmv_build(a, "k", k=64), kmv_build(b, "k", k=64), k=64
+        ).collect()
+    )
+    direct = sorted(
+        r["h"] for r in kmv_build(a.unionByName(b), "k", k=64).collect()
+    )
+    assert merged == direct  # sketch-of-union == union-of-sketches
+
+
+def test_kmv_set_ops_recovers_planted_overlap(spark):
+    from tabata_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    # |A| = 4000, |B| = 4000, |A ∩ B| = 2000 → union 6000, jaccard 1/3
+    a = _keys(spark, [f"shared{i}" for i in range(2000)] + [f"a{i}" for i in range(2000)])
+    b = _keys(spark, [f"shared{i}" for i in range(2000)] + [f"b{i}" for i in range(2000)])
+    row = kmv_set_ops(
+        kmv_build(a, "k", k=256), kmv_build(b, "k", k=256), k=256
+    ).collect()[0]
+    assert abs(row["est_union"] - 6000) / 6000 < 0.15
+    assert abs(row["jaccard"] - 1 / 3) < 0.1
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.3
