@@ -134,6 +134,12 @@ HEADLINE = [
     # the cold/steady probes for both.
     "q_rrf_fusion",
     "q_pagerank",
+    "w_lttb_downsample",
+    "q_kmv_overlap",
+    # q_txlog_orders / q_txlog_merge rebuild their transactional store
+    # from scratch per call (protocol exercise, not query cost) — probe-
+    # documented in SCALE.md (r7: 10x1M appends 3.0s, CoW merge 8.4s,
+    # compact 0.9s) rather than benched.
     # sketch_dd_quantiles is probe-documented (SCALE.md): the battery
     # row carries a full exact-percentile comparison (two rank windows
     # over the fact table, ~4 s at sf0.1) next to the sketch itself
