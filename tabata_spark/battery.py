@@ -9891,7 +9891,10 @@ def q_kmv_overlap(spark, sf_dir):
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
     )
-    sk = kmv_build(toks, "tok", k=256, group_cols=["source"])
+    # persist: the sketch is <= 512 rows but its upstream (distinct
+    # hashes of every token) is the expensive part — three consumers
+    # (estimate + both set-op sides) must not rescan the corpus
+    sk = kmv_build(toks, "tok", k=256, group_cols=["source"]).persist()
     est = kmv_estimate(sk, k=256, group_cols=["source"])
     wide = est.agg(
         F.max(F.when(F.col("source") == "src0", F.col("est_distinct"))).alias(
