@@ -9918,3 +9918,49 @@ def q_kmv_overlap(spark, sf_dir):
         "jaccard",
         "est_intersection",
     )
+
+
+@register(
+    "q_bloom_join",
+    """
+    SELECT count(*) AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND CAST(o_orderdate AS DATE) >= DATE '1997-03-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+    """,
+)
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered selective join (sketch.bloom_filtered_join):
+    the urgent-March orders' key set becomes a broadcast bitmap and
+    lineitem rows that cannot match are dropped at the scan stage,
+    BEFORE the join shuffle — the shuffle-volume reducer for selective
+    joins at 100 TB. Zero false negatives makes the result identical
+    to the plain join, which is exactly what the oracle runs."""
+    from tabata_spark.operators.sketch import bloom_filtered_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.to_date("o_orderdate") >= F.lit("1997-03-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = bloom_filtered_join(li, o, "l_orderkey", m_bits=1 << 18, k=5)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        )
+        .cast("decimal(28,4)")
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -478,3 +478,57 @@ def kmv_set_ops(
             F.round(F.col("c").cast("double") / F.col("k_eff"), 6) * est_u, 4
         ).alias("est_intersection"),
     )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    how: str = "inner",
+    salt: str = "bloom",
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the big side — the
+    shuffle-volume reducer for selective joins at 100 TB: the small
+    side's key set becomes a broadcast bitmap (a few hundred KB at
+    m=2^20), and big-side rows whose keys cannot be in the set are
+    dropped AT THE SCAN STAGE, before any shuffle. Zero false
+    negatives (Bloom's guarantee) makes the result IDENTICAL to the
+    plain join — false positives only cost wasted shuffle rows, bounded
+    by the classic (1-e^{-kn/m})^k rate. This is the hand-rolled,
+    engine-portable twin of Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.*), usable when the
+    optimizer declines (disjoint stages, non-obvious selectivity) and
+    replayable as a plain join by any SQL oracle.
+
+    Plan shape: bitmap aggregation over the small side (bounded by
+    m_bits/31 rows) -> one-row broadcast -> k salted-md5 probes as
+    scan-stage column expressions -> filter -> ordinary join."""
+    bloom = bloom_build(small.select(key_col).distinct(), key_col, m_bits, k, salt)
+    bitmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word_idx"), F.col("bits")))
+        ).alias("__bm")
+    )
+    probed = big.join(F.broadcast(bitmap))
+    test = F.lit(True)
+    pcols = []
+    for i in range(k):
+        pc = f"__blp{i}"
+        pcols.append(pc)
+        probed = probed.withColumn(
+            pc,
+            hash_bucket(
+                F.concat_ws("#", F.lit(str(i)), F.col(key_col).cast("string")),
+                m_bits,
+                salt=salt,
+            ),
+        )
+        word = F.element_at(
+            F.col("__bm"), (F.col(pc) / _WORD_BITS).cast("long")
+        )
+        mask = F.expr(f"shiftleft(1L, cast({pc} % {_WORD_BITS} as int))")
+        test = test & (F.coalesce(word, F.lit(0)).bitwiseAND(mask) != 0)
+    prefiltered = probed.filter(test).drop("__bm", *pcols)
+    return prefiltered.join(small, key_col, how)

@@ -261,3 +261,42 @@ def test_kmv_set_ops_recovers_planted_overlap(spark):
     assert abs(row["est_union"] - 6000) / 6000 < 0.15
     assert abs(row["jaccard"] - 1 / 3) < 0.1
     assert abs(row["est_intersection"] - 2000) / 2000 < 0.3
+
+
+def test_bloom_filtered_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.sketch import bloom_filtered_join
+
+    big = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("key"), F.lit(1).alias("v")
+    ).withColumnRenamed("key", "k").withColumn("k", F.concat(F.lit("k"), F.col("k")))
+    small = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in (3, 7, 11, 13)], "k string, w long"
+    )
+    got = sorted(
+        map(tuple, bloom_filtered_join(big, small, "k", m_bits=4096, k=4).collect())
+    )
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want and len(want) > 0
+
+
+def test_bloom_filtered_join_prefilters_before_join(spark):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.sketch import bloom_filtered_join
+
+    big = spark.range(10000).select(
+        F.concat(F.lit("k"), F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, w long")
+    out = bloom_filtered_join(big, small, "k", m_bits=1 << 14, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bitmap side must be broadcast and the probe filter must sit
+    # below the key join (a Filter containing the bitmap map access)
+    assert "BroadcastExchange" in plan
+    assert plan.count("shiftleft") >= 5  # k probe masks at scan stage
+    # semantics: equality with the plain join
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, big.join(small, "k").collect())
+    )
