@@ -1,6 +1,6 @@
 """Transactional table log — a minimal Delta-Lake-style commit
-protocol over plain parquet directories (public design: an ordered
-JSON action log + immutable data files; see the Delta Lake paper,
+protocol over plain parquet files (public design: an ordered JSON
+action log listing immutable data FILES; see the Delta Lake paper,
 VLDB 2020).
 
 Why the engine needs it: the mutable stores in this repo (rollup,
@@ -10,23 +10,27 @@ states and concurrent writers can interleave. The tx log gives:
 
 - **Atomic commits**: a version becomes visible only when its log
   entry ``_txlog/<version>.json`` is atomically created (O_EXCL on a
-  filesystem; a conditional PUT on an object store). Data directories
-  are immutable once committed.
-- **Snapshot isolation**: a reader resolves the active directory set
-  from the log ONCE; in-flight writers add new directories that no
-  existing snapshot references.
+  filesystem; a conditional PUT on an object store). Data files are
+  immutable once committed.
+- **Snapshot isolation**: a reader resolves the active file set from
+  the log ONCE; in-flight writers add new files that no existing
+  snapshot references.
 - **Optimistic concurrency**: two writers racing on version N — one
   wins the O_EXCL create, the loser re-reads the log and retries at
-  N+1 (its already-written data directory is still unreferenced, so
-  retrying is just another commit attempt).
+  N+1 (its already-written data files are unreferenced, so retrying
+  is just another commit attempt).
 - **Time travel**: any historical version replays the log prefix.
+- **File-granular copy-on-write**: the log tracks individual parquet
+  files (exactly as Delta does), so DELETE/MERGE rewrite only the
+  files that actually hold matching rows — after a key-clustered
+  :func:`tx_compact`, a point-key merge touches one file out of
+  thousands.
 
 Scale shape: the log is O(commits) tiny JSON; state resolution reads
-the log, never lists data; deletes are file-granular copy-on-write
-(`input_file_name()` finds touched directories in ONE scan — the
-untouched ones are re-linked, not rewritten). At 100 TB the same
-layout works with the log in a strongly-consistent store; periodic
-:func:`tx_compact` bounds both file count and log-replay length.
+the log, never lists data. At 100 TB the same layout works with the
+log in a strongly-consistent store; periodic :func:`tx_compact`
+bounds both file count and log-replay length (and with
+``cluster_by`` buys CoW locality + footer-stats pruning).
 """
 
 from __future__ import annotations
@@ -63,13 +67,13 @@ def _commits(root: str) -> list[dict]:
 
 
 def tx_history(root: str) -> list[dict]:
-    """The committed action log (version, mode, add/remove dirs)."""
+    """The committed action log (version, mode, add/remove files)."""
     return _commits(root)
 
 
-def _active_dirs(root: str, version: int | None = None) -> list[str]:
+def _active_files(root: str, version: int | None = None) -> list[str]:
     """Replay the log (to ``version`` inclusive, or fully) into the
-    set of live data directories."""
+    live data-file set (root-relative paths)."""
     active: list[str] = []
     for c in _commits(root):
         if version is not None and c["version"] > version:
@@ -78,9 +82,23 @@ def _active_dirs(root: str, version: int | None = None) -> list[str]:
             active = []
         elif c["mode"] == "replace":
             rm = set(c.get("remove", []))
-            active = [d for d in active if d not in rm]
+            active = [f for f in active if f not in rm]
         active.extend(c["add"])
     return active
+
+
+def _write_data(df: DataFrame, root: str) -> list[str]:
+    """Write ``df`` into a fresh immutable directory and return the
+    root-relative paths of its parquet part files — the unit the log
+    tracks (Delta's add-file actions)."""
+    rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    full = os.path.join(root, rel_dir)
+    df.write.parquet(full)
+    return sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(full)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
 
 
 def _commit(
@@ -91,9 +109,9 @@ def _commit(
     txn: str | None = None,
 ) -> int:
     """Atomically claim the next version. O_EXCL create IS the commit;
-    losing a race means re-reading the log and retrying — the data
-    dirs in ``add`` are unreferenced until the commit lands, so a
-    retry is safe.
+    losing a race means re-reading the log and retrying — the files in
+    ``add`` are unreferenced until the commit lands, so a retry is
+    safe.
 
     ``txn`` is an idempotence token (Delta's transaction-identifier
     mechanism): if any committed entry already carries it, the commit
@@ -126,13 +144,13 @@ def _commit(
 def tx_write(
     df: DataFrame, root: str, mode: str = "append", txn: str | None = None
 ) -> int:
-    """Write ``df`` as a new immutable data directory and commit it.
+    """Write ``df`` as new immutable data files and commit them.
 
     ``mode='append'`` adds to the snapshot; ``mode='overwrite'``
-    replaces it (prior directories stay on disk for time travel until
+    replaces it (prior files stay on disk for time travel until
     :func:`tx_vacuum`). ``txn`` makes the write idempotent: a replay
-    with the same token commits nothing (its freshly-written data dir
-    stays unreferenced for :func:`tx_vacuum`) — the exactly-once
+    with the same token commits nothing (its freshly-written files
+    stay unreferenced for :func:`tx_vacuum`) — the exactly-once
     handle for streaming/restart delivery. Returns the committed (or
     pre-existing, for a replayed txn) version."""
     if mode not in ("append", "overwrite"):
@@ -141,55 +159,59 @@ def tx_write(
         for c in _commits(root):
             if c.get("txn") == txn:
                 return c["version"]  # replay — skip the data write too
-    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-    df.write.parquet(os.path.join(root, rel))
-    return _commit(root, mode, [rel], [], txn=txn)
+    return _commit(root, mode, _write_data(df, root), [], txn=txn)
 
 
 def tx_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot read at the latest (or a historical) version."""
-    dirs = _active_dirs(root, version)
-    if not dirs:
+    """Snapshot read at the latest (or a historical) version — the
+    exact file list from the log, no directory listing."""
+    files = _active_files(root, version)
+    if not files:
         raise ValueError(
             f"txlog table {root} has no data"
             + (f" at version {version}" if version is not None else "")
         )
-    return spark.read.parquet(*[os.path.join(root, d) for d in dirs])
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def _touched_relpaths(root: str, rows) -> list[str]:
+    out = set()
+    for r in rows:
+        p = r["f"].removeprefix("file://")
+        out.add(os.path.relpath(p, root))
+    return sorted(out)
 
 
 def tx_delete_where(
     spark: SparkSession, root: str, condition: Column
 ) -> int:
     """File-granular copy-on-write delete: ONE scan with
-    ``input_file_name()`` finds the directories holding matching rows;
-    only those are rewritten (filtered), the rest survive untouched —
-    the Delta DELETE shape, where cost follows data locality, not
-    table size. Returns the committed version (a no-op delete still
-    commits, pinning the read snapshot it validated against)."""
+    ``input_file_name()`` finds the exact files holding matching rows;
+    only those are rewritten (filtered), every other file survives
+    untouched — the Delta DELETE shape, where cost follows data
+    locality, not table size. Returns the committed version (a no-op
+    delete still commits, pinning the snapshot it validated
+    against)."""
     from pyspark.sql import functions as F
 
-    touched_files = (
+    touched = _touched_relpaths(
+        root,
         tx_read(spark, root)
         .filter(condition)
         .select(F.input_file_name().alias("f"))
         .distinct()
-        .collect()
+        .collect(),
     )
-    touched = set()
-    for r in touched_files:
-        p = r["f"].removeprefix("file://")
-        rel = os.path.relpath(os.path.dirname(p), root)
-        touched.add(rel)
     add: list[str] = []
-    for d in sorted(touched):
-        kept = spark.read.parquet(os.path.join(root, d)).filter(~condition)
+    if touched:
+        kept = spark.read.parquet(
+            *[os.path.join(root, f) for f in touched]
+        ).filter(~condition)
         if kept.head(1):
-            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-            kept.write.parquet(os.path.join(root, rel))
-            add.append(rel)
-    return _commit(root, "replace", add, sorted(touched))
+            add = _write_data(kept, root)
+    return _commit(root, "replace", add, touched)
 
 
 def tx_merge(
@@ -202,12 +224,12 @@ def tx_merge(
     same-key rows in the table; new keys are inserted. File-granular
     copy-on-write, same shape as :func:`tx_delete_where`: ONE
     broadcast-semi-join scan with ``input_file_name()`` finds the
-    directories holding matched keys; only those are rewritten (with
+    exact files holding matched keys; only those are rewritten (with
     matched rows anti-joined away), everything else survives
-    untouched, and the source lands as one new directory. Cost follows
-    how many files the matched keys live in, not table size — with
-    key-clustered layout (compact sorted by key) a point-key merge
-    touches one file.
+    untouched, and the source lands as new files. Cost follows how
+    many files the matched keys live in, not table size — after a
+    key-clustered :func:`tx_compact`, a point-key merge touches one
+    file (pinned by test).
 
     The whole rewrite set + insert commits as ONE atomic version: a
     reader sees either the old snapshot or the fully-merged one."""
@@ -220,55 +242,73 @@ def tx_merge(
     tagged = tx_read(spark, root).select(
         F.input_file_name().alias("f"), *key_cols
     )
-    touched_files = (
+    touched = _touched_relpaths(
+        root,
         tagged.join(F.broadcast(keys), key_cols, "left_semi")
         .select("f")
         .distinct()
-        .collect()
+        .collect(),
     )
-    touched = set()
-    for r in touched_files:
-        p = r["f"].removeprefix("file://")
-        touched.add(os.path.relpath(os.path.dirname(p), root))
     add: list[str] = []
-    for d in sorted(touched):
-        kept = spark.read.parquet(os.path.join(root, d)).join(
-            F.broadcast(keys), key_cols, "left_anti"
-        )
+    if touched:
+        kept = spark.read.parquet(
+            *[os.path.join(root, f) for f in touched]
+        ).join(F.broadcast(keys), key_cols, "left_anti")
         if kept.head(1):
-            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-            kept.write.parquet(os.path.join(root, rel))
-            add.append(rel)
-    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-    source.write.parquet(os.path.join(root, rel))
-    add.append(rel)
-    return _commit(root, "replace", add, sorted(touched))
+            add.extend(_write_data(kept, root))
+    add.extend(_write_data(source, root))
+    return _commit(root, "replace", add, touched)
 
 
-def tx_compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
-    """Rewrite the live snapshot into ``n_files`` coalesced files and
-    commit a replace — bounds file count AND log-replay length (a
-    reader after compaction resolves one add). Old directories stay
-    for time travel until :func:`tx_vacuum`."""
-    dirs = _active_dirs(root)
-    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-    tx_read(spark, root).coalesce(n_files).write.parquet(
-        os.path.join(root, rel)
-    )
-    return _commit(root, "replace", [rel], dirs)
+def tx_compact(
+    spark: SparkSession,
+    root: str,
+    n_files: int = 1,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Rewrite the live snapshot into ``n_files`` files and commit a
+    replace — bounds file count AND log-replay length (a reader after
+    compaction resolves one add set). Old files stay for time travel
+    until :func:`tx_vacuum`.
+
+    ``cluster_by`` range-partitions and sorts the rewrite on the given
+    key columns (Delta's OPTIMIZE clustering in the 1-D case): each
+    output file then holds a disjoint key range, so a later
+    :func:`tx_merge`/:func:`tx_delete_where` on clustered keys
+    rewrites only the files whose ranges contain them, and parquet
+    min/max footer stats prune snapshot reads — this is what turns
+    the CoW cost from O(table) into O(touched data)."""
+    files = _active_files(root)
+    snap = tx_read(spark, root)
+    if cluster_by:
+        snap = snap.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        snap = snap.coalesce(n_files)
+    return _commit(root, "replace", _write_data(snap, root), files)
 
 
 def tx_vacuum(root: str) -> list[str]:
-    """Delete data directories not referenced by the LATEST snapshot.
-    Destroys time travel to versions that referenced them (Delta's
-    vacuum contract). Returns the removed directory names."""
-    live = {os.path.normpath(d) for d in _active_dirs(root)}
+    """Delete data files not referenced by the LATEST snapshot (and
+    prune emptied directories). Destroys time travel to versions that
+    referenced them (Delta's vacuum contract). Returns the removed
+    file paths."""
+    live = {os.path.normpath(f) for f in _active_files(root)}
     datad = os.path.join(root, _DATA_DIR)
     removed = []
     if os.path.isdir(datad):
         for d in os.listdir(datad):
-            rel = os.path.normpath(os.path.join(_DATA_DIR, d))
-            if rel not in live:
-                shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
-                removed.append(rel)
+            sub = os.path.join(datad, d)
+            if not os.path.isdir(sub):
+                continue
+            for f in os.listdir(sub):
+                rel = os.path.normpath(os.path.join(_DATA_DIR, d, f))
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(root, rel))
+                    removed.append(rel)
+            if not any(
+                f.endswith(".parquet") for f in os.listdir(sub)
+            ):
+                shutil.rmtree(sub, ignore_errors=True)
     return removed

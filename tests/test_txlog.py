@@ -45,30 +45,32 @@ def test_overwrite_replaces_snapshot_keeps_history(spark, tmp_path):
     assert tx_read(spark, root, version=1).count() == 10  # time travel
 
 
-def test_delete_where_rewrites_only_touched_dirs(spark, tmp_path):
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     root = str(tmp_path / "t")
     tx_write(_df(spark, 0, 10, "a"), root)      # ids 0-9
     tx_write(_df(spark, 100, 110, "b"), root)   # ids 100-109 — untouched
     before = tx_history(root)
-    untouched_dir = before[1]["add"][0]
+    first_files, second_files = set(before[0]["add"]), set(before[1]["add"])
     tx_delete_where(spark, root, F.col("id") < 5)
     got = sorted(r["id"] for r in tx_read(spark, root).collect())
     assert got == list(range(5, 10)) + list(range(100, 110))
     last = tx_history(root)[-1]
     assert last["mode"] == "replace"
-    # file-granular CoW: the directory with no matching rows is NOT in
-    # the remove set (it was never rewritten)
-    assert untouched_dir not in last["remove"]
-    assert len(last["remove"]) == 1
+    # file-granular CoW: only files of the FIRST append (where ids < 5
+    # live) may be rewritten; the second append's files survive
+    assert set(last["remove"]) <= first_files
+    assert set(last["remove"]).isdisjoint(second_files)
+    assert len(last["remove"]) >= 1
 
 
-def test_delete_where_dropping_whole_dir_adds_nothing(spark, tmp_path):
+def test_delete_where_dropping_all_matching_files_adds_nothing(spark, tmp_path):
     root = str(tmp_path / "t")
     tx_write(_df(spark, 0, 10, "a"), root)
     tx_write(_df(spark, 100, 110, "b"), root)
-    tx_delete_where(spark, root, F.col("id") < 50)  # empties dir 1
+    first_files = set(tx_history(root)[0]["add"])
+    tx_delete_where(spark, root, F.col("id") < 50)  # empties append 1
     last = tx_history(root)[-1]
-    assert last["add"] == [] and len(last["remove"]) == 1
+    assert last["add"] == [] and set(last["remove"]) == first_files
     assert sorted(r["id"] for r in tx_read(spark, root).collect()) == list(
         range(100, 110)
     )
@@ -90,20 +92,22 @@ def test_compact_and_vacuum(spark, tmp_path):
     root = str(tmp_path / "t")
     for i in range(4):
         tx_write(_df(spark, i * 10, i * 10 + 10, f"t{i}"), root)
+    n_precompact = sum(len(c["add"]) for c in tx_history(root))
     tx_compact(spark, root, n_files=1)
     assert tx_read(spark, root).count() == 40
     removed = tx_vacuum(root)
-    assert len(removed) == 4  # the four pre-compaction dirs
+    assert len(removed) == n_precompact  # every pre-compaction file
     assert tx_read(spark, root).count() == 40  # latest snapshot intact
     datad = os.path.join(root, "data")
-    assert len(os.listdir(datad)) == 1
+    assert len(os.listdir(datad)) == 1  # emptied dirs pruned
 
 
-def test_merge_upserts_and_rewrites_only_matched_dirs(spark, tmp_path):
+def test_merge_upserts_and_rewrites_only_matched_files(spark, tmp_path):
     root = str(tmp_path / "t")
     tx_write(_df(spark, 0, 10, "a"), root)      # ids 0-9
     tx_write(_df(spark, 100, 110, "b"), root)   # ids 100-109 — no matches
-    untouched_dir = tx_history(root)[1]["add"][0]
+    hist = tx_history(root)
+    first_files, second_files = set(hist[0]["add"]), set(hist[1]["add"])
     # update ids 3,4 and insert ids 200,201
     src = spark.createDataFrame(
         [(3, "new"), (4, "new"), (200, "new"), (201, "new")],
@@ -116,8 +120,9 @@ def test_merge_upserts_and_rewrites_only_matched_dirs(spark, tmp_path):
     assert rows[5] == "a" and rows[105] == "b"
     last = tx_history(root)[-1]
     assert last["mode"] == "replace"
-    assert untouched_dir not in last["remove"]  # CoW: no matches → untouched
-    assert len(last["remove"]) == 1
+    # CoW: only files of the first append (where ids 3,4 live) rewritten
+    assert set(last["remove"]) <= first_files
+    assert set(last["remove"]).isdisjoint(second_files)
     # atomicity: pre-merge snapshot unchanged
     assert tx_read(spark, root, version=2).count() == 20
 
@@ -158,3 +163,22 @@ def test_stream_txlog_append_exactly_once_across_restart(spark, tmp_path):
     q2 = stream_txlog_append(stream2, root, ck2, app_id="ingest")
     q2.awaitTermination(120)
     assert tx_read(spark, root).count() == 100  # no duplicates
+
+
+def test_clustered_compact_localizes_merge(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # 4 appends with interleaved keys -> every dir holds every range
+    for i in range(4):
+        tx_write(
+            spark.range(i, 4000, 4).select(F.col("id"), F.lit(f"t{i}").alias("tag")),
+            root,
+        )
+    tx_compact(spark, root, n_files=4, cluster_by=["id"])
+    assert len(tx_history(root)[-1]["add"]) == 4  # 4 range-disjoint files
+    # point-merge on two adjacent keys must touch exactly ONE file
+    src = spark.createDataFrame([(10, "new"), (11, "new")], "id long, tag string")
+    tx_merge(spark, root, src, ["id"])
+    last = tx_history(root)[-1]
+    assert len(last["remove"]) == 1  # clustered: one touched file of 4
+    rows = {r["id"]: r["tag"] for r in tx_read(spark, root).collect()}
+    assert len(rows) == 4000 and rows[10] == rows[11] == "new" and rows[12] != "new"
