@@ -87,6 +87,32 @@ def _active_files(root: str, version: int | None = None) -> list[str]:
     return active
 
 
+def _canonical_schema(df: DataFrame) -> list[list[str]]:
+    """(name, type) pairs, nullability ignored — the schema identity
+    the log enforces."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _check_schema(root: str, df: DataFrame) -> list[list[str]]:
+    """Schema enforcement on write (Delta's contract): every write
+    must match the table's canonical schema exactly (names + types,
+    order-sensitive like parquet itself). A mixed-schema table is
+    silently corrupt — an INT file in a BIGINT column fails only at
+    read time, on whichever file a scan touches first — so mismatch
+    is an error at WRITE time, where the caller can still fix it."""
+    schema = _canonical_schema(df)
+    for c in _commits(root):
+        if "schema" in c:
+            if c["schema"] != schema:
+                raise ValueError(
+                    f"schema mismatch writing to txlog table {root}: "
+                    f"table has {c['schema']}, write has {schema} "
+                    "(cast/rename to match, or start a new table)"
+                )
+            return schema
+    return schema
+
+
 def _write_data(df: DataFrame, root: str) -> list[str]:
     """Write ``df`` into a fresh immutable directory and return the
     root-relative paths of its parquet part files — the unit the log
@@ -107,6 +133,7 @@ def _commit(
     add: list[str],
     remove: list[str],
     txn: str | None = None,
+    schema: list[list[str]] | None = None,
 ) -> int:
     """Atomically claim the next version. O_EXCL create IS the commit;
     losing a race means re-reading the log and retrying — the files in
@@ -129,6 +156,8 @@ def _commit(
         entry = {"version": version, "mode": mode, "add": add, "remove": remove}
         if txn is not None:
             entry["txn"] = txn
+        if schema is not None:
+            entry["schema"] = schema
         claim = os.path.join(logd, f"{version:020d}.json")
         try:
             with open(claim, "x") as fh:
@@ -159,7 +188,8 @@ def tx_write(
         for c in _commits(root):
             if c.get("txn") == txn:
                 return c["version"]  # replay — skip the data write too
-    return _commit(root, mode, _write_data(df, root), [], txn=txn)
+    schema = _check_schema(root, df)
+    return _commit(root, mode, _write_data(df, root), [], txn=txn, schema=schema)
 
 
 def tx_read(
@@ -211,7 +241,10 @@ def tx_delete_where(
         ).filter(~condition)
         if kept.head(1):
             add = _write_data(kept, root)
-    return _commit(root, "replace", add, touched)
+    return _commit(
+        root, "replace", add, touched,
+        schema=_canonical_schema(tx_read(spark, root)),
+    )
 
 
 def tx_merge(
@@ -235,6 +268,7 @@ def tx_merge(
     reader sees either the old snapshot or the fully-merged one."""
     from pyspark.sql import functions as F
 
+    schema = _check_schema(root, source)
     keys = source.select(*key_cols).distinct()
     # input_file_name() must be projected BEFORE the join: Spark
     # rejects it in plans with more than one file source, so tag each
@@ -257,7 +291,7 @@ def tx_merge(
         if kept.head(1):
             add.extend(_write_data(kept, root))
     add.extend(_write_data(source, root))
-    return _commit(root, "replace", add, touched)
+    return _commit(root, "replace", add, touched, schema=schema)
 
 
 def tx_compact(
@@ -286,7 +320,10 @@ def tx_compact(
         )
     else:
         snap = snap.coalesce(n_files)
-    return _commit(root, "replace", _write_data(snap, root), files)
+    return _commit(
+        root, "replace", _write_data(snap, root), files,
+        schema=_canonical_schema(snap),
+    )
 
 
 def tx_vacuum(root: str) -> list[str]:

@@ -182,3 +182,17 @@ def test_clustered_compact_localizes_merge(spark, tmp_path):
     assert len(last["remove"]) == 1  # clustered: one touched file of 4
     rows = {r["id"]: r["tag"] for r in tx_read(spark, root).collect()}
     assert len(rows) == 4000 and rows[10] == rows[11] == "new" and rows[12] != "new"
+
+
+def test_schema_enforcement_rejects_mismatched_writes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)  # id long, tag string
+    bad_type = spark.createDataFrame([(1, 2)], "id long, tag int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tx_write(bad_type, root)
+    bad_name = spark.createDataFrame([(1, "x")], "id long, label string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tx_merge(spark, root, bad_name, ["id"])
+    # matching write still lands
+    tx_write(_df(spark, 10, 12, "b"), root)
+    assert tx_read(spark, root).count() == 12

@@ -73,7 +73,7 @@ def main():
 
     timed("txlog 10 x 1M-row append commits", appends)
     src = spark.range(500).select(
-        (F.col("id") * 20_000).alias("id"), F.lit(-1).alias("k")
+        (F.col("id") * 20_000).alias("id"), F.lit(-1).cast("long").alias("k")
     )
     timed(
         "txlog merge 500 keys into 10M rows (CoW)",
