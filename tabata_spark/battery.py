@@ -97,6 +97,7 @@ _CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 
 
 _QVEC_CACHE: dict[str, list[float]] = {}
+_KMV_SK_CACHE: dict[str, "DataFrame"] = {}
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -9891,10 +9892,16 @@ def q_kmv_overlap(spark, sf_dir):
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
     )
-    # persist: the sketch is <= 512 rows but its upstream (distinct
-    # hashes of every token) is the expensive part — three consumers
-    # (estimate + both set-op sides) must not rescan the corpus
-    sk = kmv_build(toks, "tok", k=256, group_cols=["source"]).persist()
+    # persist + cache per sf_dir: the sketch is <= 512 rows but its
+    # upstream (distinct hashes of every token) is the expensive part —
+    # three consumers (estimate + both set-op sides) must not rescan
+    # the corpus, and re-invocations must not stack fresh persisted
+    # copies in the session (the _QVEC_CACHE discipline)
+    if sf_dir not in _KMV_SK_CACHE:
+        _KMV_SK_CACHE[sf_dir] = kmv_build(
+            toks, "tok", k=256, group_cols=["source"]
+        ).persist()
+    sk = _KMV_SK_CACHE[sf_dir]
     est = kmv_estimate(sk, k=256, group_cols=["source"])
     wide = est.agg(
         F.max(F.when(F.col("source") == "src0", F.col("est_distinct"))).alias(

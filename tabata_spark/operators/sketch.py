@@ -181,9 +181,12 @@ def bloom_might_contain(
 
 
 def _cms_meta_path(store_path: str) -> str:
-    import os
-
-    return os.path.join(store_path, "_cms_meta.json")
+    # SIBLING of the store directory, not inside it: an overwrite
+    # write deletes the whole directory first, and a crash between
+    # that delete and a sidecar rewrite would silently strip the
+    # store of its geometry record — permanently disabling the
+    # validation the sidecar exists for
+    return store_path.rstrip("/") + ".meta.json"
 
 
 def _cms_check_meta(store_path: str, geometry: dict) -> None:
@@ -192,7 +195,12 @@ def _cms_check_meta(store_path: str, geometry: dict) -> None:
     depth, width) are meaningless under another — a probe or upsert
     with mismatched geometry silently returns/merges wrong counts and
     breaks the never-underestimate guarantee, so mismatch is an
-    error, not a warning."""
+    error, not a warning.
+
+    Only the keys PRESENT in ``geometry`` are compared, so a caller
+    checking just ``hasher='xxhash64'`` validates that one axis (and
+    unfilled parameters don't spuriously fail against the stored
+    values)."""
     import json
     import os
 
@@ -201,11 +209,17 @@ def _cms_check_meta(store_path: str, geometry: dict) -> None:
         return
     with open(p) as f:
         stored = json.load(f)
-    if stored != geometry:
+    bad = {
+        k: (stored.get(k), v)
+        for k, v in geometry.items()
+        if k in stored and stored[k] != v
+    }
+    if bad:
         raise ValueError(
-            f"CMS store {store_path} was built with {stored}, "
-            f"called with {geometry} — counters are not comparable "
-            "across geometries"
+            f"CMS store {store_path} was built with "
+            f"{ {k: s for k, (s, _) in bad.items()} }, called with "
+            f"{ {k: g for k, (_, g) in bad.items()} } — counters are "
+            "not comparable across geometries"
         )
 
 
@@ -239,14 +253,21 @@ def cms_upsert(
     part = cms_build(batch, key_col, depth, width, salt, hasher)
     if not part.head(1):
         return
+    # claim the geometry BEFORE the data write (atomic tmp+replace):
+    # a crash after the overwrite but before a later sidecar write
+    # would otherwise leave counters with no geometry record
+    meta = _cms_meta_path(store_path)
+    if not os.path.exists(meta):
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(geometry, f)
+        os.replace(tmp, meta)
     if os.path.isdir(store_path) and any(
         f.endswith(".parquet") for f in os.listdir(store_path)
     ):
         stored = spark.read.parquet(store_path)
         part = cms_merge(part, stored)
     part.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
-    with open(_cms_meta_path(store_path), "w") as f:
-        json.dump(geometry, f)
 
 
 def load_cms(
@@ -257,15 +278,21 @@ def load_cms(
     salt: str | None = None,
     hasher: str | None = None,
 ) -> DataFrame:
-    """Read a stored count-min sketch. Pass the geometry you intend
-    to probe with (the same depth/width/salt/hasher you will give
-    :func:`cms_estimate`) to have it validated against the store's
-    ``_cms_meta.json`` sidecar."""
-    if depth is not None:
-        _cms_check_meta(
-            store_path,
-            {"depth": depth, "width": width, "salt": salt, "hasher": hasher},
+    """Read a stored count-min sketch. Pass whichever geometry
+    parameters you intend to probe with (the same values you will
+    give :func:`cms_estimate`) — each PROVIDED parameter is validated
+    against the store's sidecar, so ``load_cms(spark, p,
+    hasher='xxhash64')`` checks exactly the axis that matters without
+    requiring the rest."""
+    provided = {
+        k: v
+        for k, v in (
+            ("depth", depth), ("width", width), ("salt", salt), ("hasher", hasher)
         )
+        if v is not None
+    }
+    if provided:
+        _cms_check_meta(store_path, provided)
     return spark.read.parquet(store_path)
 
 
@@ -504,7 +531,18 @@ def bloom_filtered_join(
 
     Plan shape: bitmap aggregation over the small side (bounded by
     m_bits/31 rows) -> one-row broadcast -> k salted-md5 probes as
-    scan-stage column expressions -> filter -> ordinary join."""
+    scan-stage column expressions -> filter -> ordinary join.
+
+    Only ``inner`` and ``left_semi`` are accepted: any join type that
+    keeps unmatched big-side rows (left/full/anti) would have them
+    silently dropped by the prefilter — a wrong answer, not a slow
+    one."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            f"bloom_filtered_join supports inner/left_semi, got {how!r}: "
+            "the prefilter drops unmatched big-side rows, which any "
+            "outer/anti join type must keep"
+        )
     bloom = bloom_build(small.select(key_col).distinct(), key_col, m_bits, k, salt)
     bitmap = bloom.agg(
         F.map_from_entries(

@@ -127,6 +127,12 @@ def _write_data(df: DataFrame, root: str) -> list[str]:
     )
 
 
+class TxConflictError(RuntimeError):
+    """A replace commit's read snapshot was invalidated by a
+    concurrent non-append commit — re-run the operation against the
+    new snapshot (Delta's ConcurrentModificationException)."""
+
+
 def _commit(
     root: str,
     mode: str,
@@ -134,16 +140,30 @@ def _commit(
     remove: list[str],
     txn: str | None = None,
     schema: list[list[str]] | None = None,
+    base_version: int | None = None,
 ) -> int:
-    """Atomically claim the next version. O_EXCL create IS the commit;
-    losing a race means re-reading the log and retrying — the files in
-    ``add`` are unreferenced until the commit lands, so a retry is
-    safe.
+    """Atomically claim the next version. The claim is a fully-written
+    temp file hard-linked into the ``<version>.json`` name — link(2)
+    fails if the name exists, and the entry is never visible
+    half-written (an open('x') + write would expose a partial/empty
+    file to concurrent readers, and a crash between the two would
+    brick the version forever). Losing a race means re-reading the
+    log and retrying — the files in ``add`` are unreferenced until
+    the commit lands, so a retry is safe.
 
     ``txn`` is an idempotence token (Delta's transaction-identifier
     mechanism): if any committed entry already carries it, the commit
     is a no-op returning that version — the retry loop re-checks after
-    every lost race, so exactly one writer of a txn ever lands."""
+    every lost race, so exactly one writer of a txn ever lands.
+
+    ``base_version`` is the snapshot a replace commit computed its
+    remove set against. If any NON-APPEND commit landed after it, the
+    remove/add sets are stale (e.g. a concurrent compact already
+    removed the same files — blindly committing would resurrect
+    deleted rows and duplicate survivors), so the commit raises
+    :class:`TxConflictError` instead of corrupting the table.
+    Concurrent appends are tolerated: they add files the replace
+    never read, matching Delta's WriteSerializable level."""
     logd = _log_path(root)
     os.makedirs(logd, exist_ok=True)
     for _ in range(_MAX_RETRIES):
@@ -152,6 +172,14 @@ def _commit(
             for c in commits:
                 if c.get("txn") == txn:
                     return c["version"]
+        if base_version is not None:
+            for c in commits:
+                if c["version"] > base_version and c["mode"] != "append":
+                    raise TxConflictError(
+                        f"txlog {root}: concurrent {c['mode']} commit "
+                        f"v{c['version']} invalidated this operation's "
+                        f"snapshot v{base_version} — re-run it"
+                    )
         version = (commits[-1]["version"] + 1) if commits else 1
         entry = {"version": version, "mode": mode, "add": add, "remove": remove}
         if txn is not None:
@@ -159,12 +187,18 @@ def _commit(
         if schema is not None:
             entry["schema"] = schema
         claim = os.path.join(logd, f"{version:020d}.json")
+        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            with open(claim, "x") as fh:
-                json.dump(entry, fh)
+            os.link(tmp, claim)  # atomic claim of a fully-written entry
             return version
         except FileExistsError:
             continue  # lost the race — recompute version, retry
+        finally:
+            os.unlink(tmp)
     raise RuntimeError(
         f"txlog commit contention: {_MAX_RETRIES} straight losses at {root}"
     )
@@ -214,6 +248,11 @@ def _touched_relpaths(root: str, rows) -> list[str]:
     return sorted(out)
 
 
+def _latest_version(root: str) -> int:
+    commits = _commits(root)
+    return commits[-1]["version"] if commits else 0
+
+
 def tx_delete_where(
     spark: SparkSession, root: str, condition: Column
 ) -> int:
@@ -222,14 +261,16 @@ def tx_delete_where(
     only those are rewritten (filtered), every other file survives
     untouched — the Delta DELETE shape, where cost follows data
     locality, not table size. Returns the committed version (a no-op
-    delete still commits, pinning the snapshot it validated
-    against)."""
+    delete still commits, pinning the snapshot it validated against).
+    Raises :class:`TxConflictError` if a concurrent non-append commit
+    invalidated the snapshot."""
     from pyspark.sql import functions as F
 
+    base = _latest_version(root)
+    snap = tx_read(spark, root)
     touched = _touched_relpaths(
         root,
-        tx_read(spark, root)
-        .filter(condition)
+        snap.filter(condition)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect(),
@@ -243,7 +284,7 @@ def tx_delete_where(
             add = _write_data(kept, root)
     return _commit(
         root, "replace", add, touched,
-        schema=_canonical_schema(tx_read(spark, root)),
+        schema=_canonical_schema(snap), base_version=base,
     )
 
 
@@ -265,10 +306,27 @@ def tx_merge(
     file (pinned by test).
 
     The whole rewrite set + insert commits as ONE atomic version: a
-    reader sees either the old snapshot or the fully-merged one."""
+    reader sees either the old snapshot or the fully-merged one.
+    Raises ValueError when ``source`` carries duplicate keys (Delta's
+    multiple-source-matches error — silently inserting both would
+    leave the table permanently violating key uniqueness), and
+    :class:`TxConflictError` on a concurrent non-append commit."""
     from pyspark.sql import functions as F
 
+    base = _latest_version(root)
     schema = _check_schema(root, source)
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .head(1)
+    )
+    if dup:
+        raise ValueError(
+            f"tx_merge source has duplicate keys on {key_cols} "
+            f"(e.g. {tuple(dup[0][k] for k in key_cols)}) — an upsert "
+            "with ambiguous sources has no well-defined result"
+        )
     keys = source.select(*key_cols).distinct()
     # input_file_name() must be projected BEFORE the join: Spark
     # rejects it in plans with more than one file source, so tag each
@@ -291,7 +349,9 @@ def tx_merge(
         if kept.head(1):
             add.extend(_write_data(kept, root))
     add.extend(_write_data(source, root))
-    return _commit(root, "replace", add, touched, schema=schema)
+    return _commit(
+        root, "replace", add, touched, schema=schema, base_version=base
+    )
 
 
 def tx_compact(
@@ -312,6 +372,7 @@ def tx_compact(
     rewrites only the files whose ranges contain them, and parquet
     min/max footer stats prune snapshot reads — this is what turns
     the CoW cost from O(table) into O(touched data)."""
+    base = _latest_version(root)
     files = _active_files(root)
     snap = tx_read(spark, root)
     if cluster_by:
@@ -322,17 +383,28 @@ def tx_compact(
         snap = snap.coalesce(n_files)
     return _commit(
         root, "replace", _write_data(snap, root), files,
-        schema=_canonical_schema(snap),
+        schema=_canonical_schema(snap), base_version=base,
     )
 
 
-def tx_vacuum(root: str) -> list[str]:
+def tx_vacuum(root: str, retention_s: float = 3600.0) -> list[str]:
     """Delete data files not referenced by the LATEST snapshot (and
     prune emptied directories). Destroys time travel to versions that
     referenced them (Delta's vacuum contract). Returns the removed
-    file paths."""
+    file paths.
+
+    ``retention_s`` protects IN-FLIGHT writers (Delta's retention
+    window): a writer inside ``tx_write``/``tx_merge`` has written
+    data files that no snapshot references YET — its commit lands a
+    moment later. Only unreferenced files older than the window are
+    deleted; vacuuming with ``retention_s=0`` while any writer is
+    active can delete files a succeeding commit then references,
+    bricking the snapshot."""
+    import time
+
     live = {os.path.normpath(f) for f in _active_files(root)}
     datad = os.path.join(root, _DATA_DIR)
+    cutoff = time.time() - retention_s
     removed = []
     if os.path.isdir(datad):
         for d in os.listdir(datad):
@@ -341,8 +413,13 @@ def tx_vacuum(root: str) -> list[str]:
                 continue
             for f in os.listdir(sub):
                 rel = os.path.normpath(os.path.join(_DATA_DIR, d, f))
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(root, rel))
+                full = os.path.join(root, rel)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in live
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.remove(full)
                     removed.append(rel)
             if not any(
                 f.endswith(".parquet") for f in os.listdir(sub)

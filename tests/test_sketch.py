@@ -116,7 +116,12 @@ def test_cms_upsert_rejects_geometry_mismatch(spark, tmp_path):
         cms_upsert(spark, store, a, "k", depth=3, width=64)
     with pytest.raises(ValueError, match="not comparable"):
         load_cms(spark, store, depth=3, width=32, salt="cms", hasher="xxhash64")
-    # matching geometry still loads (and ignores the sidecar file)
+    # hasher-only probe validates that one axis (the exact mismatch
+    # the sidecar exists to catch — review finding r7)
+    with pytest.raises(ValueError, match="not comparable"):
+        load_cms(spark, store, hasher="xxhash64")
+    # partial matching params don't spuriously fail on unfilled ones
+    assert load_cms(spark, store, depth=3, width=32).count() > 0
     assert load_cms(spark, store, depth=3, width=32, salt="cms", hasher="md5").count() > 0
 
 
@@ -279,6 +284,13 @@ def test_bloom_filtered_join_equals_plain_join(spark):
     )
     want = sorted(map(tuple, big.join(small, "k").collect()))
     assert got == want and len(want) > 0
+    # join types that keep unmatched big-side rows must be refused —
+    # the prefilter would silently drop them (review finding r7)
+    import pytest
+
+    for how in ("left", "full", "left_anti"):
+        with pytest.raises(ValueError, match="inner/left_semi"):
+            bloom_filtered_join(big, small, "k", how=how)
 
 
 def test_bloom_filtered_join_prefilters_before_join(spark):

@@ -95,7 +95,9 @@ def test_compact_and_vacuum(spark, tmp_path):
     n_precompact = sum(len(c["add"]) for c in tx_history(root))
     tx_compact(spark, root, n_files=1)
     assert tx_read(spark, root).count() == 40
-    removed = tx_vacuum(root)
+    # retention window (in-flight-writer protection) keeps fresh files
+    assert tx_vacuum(root) == []
+    removed = tx_vacuum(root, retention_s=0)
     assert len(removed) == n_precompact  # every pre-compaction file
     assert tx_read(spark, root).count() == 40  # latest snapshot intact
     datad = os.path.join(root, "data")
@@ -195,4 +197,48 @@ def test_schema_enforcement_rejects_mismatched_writes(spark, tmp_path):
         tx_merge(spark, root, bad_name, ["id"])
     # matching write still lands
     tx_write(_df(spark, 10, 12, "b"), root)
+    assert tx_read(spark, root).count() == 12
+
+
+def test_concurrent_replace_conflict_detected(spark, tmp_path):
+    """The review-found corruption: a replace committed against a
+    snapshot that a concurrent compact invalidated must raise, not
+    resurrect deleted rows / duplicate survivors."""
+    from tabata_spark.sources.txlog import TxConflictError, _commit, _latest_version
+
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 100, "a"), root)
+    base = _latest_version(root)
+    files_before = set(tx_history(root)[0]["add"])
+    # writer A compacts (a replace lands after our base)
+    tx_compact(spark, root, n_files=1)
+    # writer B tries to commit its stale delete
+    with pytest.raises(TxConflictError, match="invalidated"):
+        _commit(root, "replace", [], sorted(files_before), base_version=base)
+    # and the high-level ops re-read the log, so a fresh delete works
+    tx_delete_where(spark, root, F.col("id") < 10)
+    assert tx_read(spark, root).count() == 90
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)
+    dup = spark.createDataFrame(
+        [(3, "x"), (3, "y")], "id long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tx_merge(spark, root, dup, ["id"])
+    assert tx_read(spark, root).count() == 10  # table untouched
+
+
+def test_partial_commit_file_is_ignored_and_version_not_bricked(spark, tmp_path):
+    """A crashed writer's empty claim must not brick the table: with
+    link-based commits a half-written entry can only exist under a
+    .tmp name, which _commits ignores."""
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)
+    logd = os.path.join(root, "_txlog")
+    open(os.path.join(logd, ".tmp-deadbeef"), "w").close()  # crashed writer
+    assert tx_read(spark, root).count() == 10  # reads unaffected
+    tx_write(_df(spark, 10, 12, "b"), root)  # writes unaffected
     assert tx_read(spark, root).count() == 12
