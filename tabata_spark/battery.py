@@ -9971,3 +9971,60 @@ def q_bloom_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_shortest_paths",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM part WHERE p_partkey <= 3),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.d, d0.dist + 1 FROM d0 JOIN edges e ON d0.node = e.s
+           ) GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.d, d1.dist + 1 FROM d1 JOIN edges e ON d1.node = e.s
+           ) GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.d, d2.dist + 1 FROM d2 JOIN edges e ON d2.node = e.s
+           ) GROUP BY node)
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node
+    """,
+)
+def q_shortest_paths(spark, sf_dir):
+    """Bounded shortest paths (3 hops) from seed parts {1,2,3} over
+    the co-purchase graph — distributed Bellman-Ford relaxation rounds
+    (operators/graph.py:bounded_shortest_paths, the PageRank round
+    discipline: persisted edges, per-round lineage truncation, exact
+    BIGINT distances). The oracle unrolls the identical three rounds;
+    'within k links of a trusted seed set' is the crawl-quality signal
+    this powers at web scale."""
+    from tabata_spark.operators.graph import bounded_shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 3).select(
+        F.col("p_partkey").alias("node")
+    )
+    return bounded_shortest_paths(edges, seeds, max_hops=3).orderBy("node")

@@ -171,3 +171,51 @@ def pagerank(
         F.col("rank_fp").cast("long").alias("rank_fp"),
         (F.col("rank_fp").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    weight: str | None = None,
+) -> DataFrame:
+    """Exact shortest-path distances from a source-node set, bounded
+    to ``max_hops`` edges — distributed Bellman-Ford as join-aggregate
+    relaxation rounds, the same round structure as :func:`pagerank`
+    (persisted edges, one shuffle per round, frontier vector tiny
+    relative to the edge list). The LLM-data use: "within k links of a
+    trusted seed set" quality signals over the crawl host graph (the
+    bounded-hop form is the one that terminates deterministically at
+    web scale — full SSSP is unbounded on adversarial graphs).
+
+    ``weight`` (integer column) switches hop counting to min-plus
+    relaxation; distances stay exact BIGINTs either way, so the result
+    is bit-identical under any partitioning and any SQL engine (the
+    DuckDB oracle unrolls the identical rounds). Returns (node, dist)
+    for every node reachable within the bound."""
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    ).persist()
+    dist = sources.select(
+        F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for i in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # truncate lineage each round (the vector is O(reached nodes),
+        # tiny next to the edge list) — without this the plan doubles
+        # per round, the PageRank discipline
+        dist = nxt.localCheckpoint(eager=True)
+    e.unpersist()
+    return dist

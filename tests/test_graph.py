@@ -75,3 +75,37 @@ def test_empty_edges_raise(spark):
 
     with pytest.raises(ValueError, match="empty edge list"):
         pagerank(spark.createDataFrame([], "src string, dst string"))
+
+
+def test_bounded_shortest_paths_weighted_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.graph import bounded_shortest_paths
+
+    # 1 -> 2 -> 3 -> 4 chain (w=1 each) plus a heavy direct 1 -> 3 (w=5)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 3, 5)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    hops = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(edges, seeds, max_hops=2).collect()
+    }
+    assert hops == {1: 0, 2: 1, 3: 1, 4: 2}  # unweighted: direct 1->3 is 1 hop
+
+    wdist = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(
+            edges, seeds, max_hops=3, weight="w"
+        ).collect()
+    }
+    # min-plus: 1->2->3 (2) beats direct 1->3 (5); 4 via chain = 3
+    assert wdist == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    one_hop = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(edges, seeds, max_hops=1).collect()
+    }
+    assert 4 not in one_hop  # bound respected
