@@ -296,3 +296,73 @@ def stream_txlog_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rollup_txlog(
+    sdf: DataFrame,
+    root: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    key: str = "event_type",
+    distinct_col: str | None = None,
+    app_id: str = "rollup",
+):
+    """Continuous rollup maintenance with NO double-count window: the
+    store is a transactional table (sources/txlog.py) and each
+    micro-batch commits the merged state as one atomic overwrite with
+    ``txn=f"{app_id}:{batch_id}"``. A crash anywhere before the log
+    claim leaves the store at the previous version and the replayed
+    batch merges against exactly that state; a replay after the claim
+    finds its txn token and is a no-op. This is the closure of the
+    documented ledger-sink caveat (``stream_rollup_maintain``): there,
+    the idempotence marker lands AFTER the upsert, so a crash in the
+    gap double-counts one batch — here the commit IS the marker.
+
+    The store holds the mergeable rollup state (O(buckets x keys)
+    partial aggregates, small by construction — that is the point of
+    a rollup), so the per-batch overwrite rewrites state, not
+    history; readers get snapshot isolation and time travel over the
+    rollup's own evolution for free."""
+    from tabata_spark.operators.rollup import rollup_events
+    from tabata_spark.sources.txlog import tx_read, tx_write
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = rollup_events(batch_df, width, key, distinct_col)
+        if not part.head(1):
+            return
+        merge_aggs = [
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ]
+        if distinct_col is not None:
+            merge_aggs.append(
+                F.hll_union_agg(f"{distinct_col}_hll").alias(f"{distinct_col}_hll")
+            )
+        try:
+            stored = tx_read(spark, root)
+            merged = (
+                part.unionByName(stored)
+                .groupBy("win_start", "win_date", key)
+                .agg(*merge_aggs)
+            )
+        except ValueError:  # fresh store
+            merged = part
+        # materialize BEFORE the overwrite commit: the merged plan
+        # reads the store's current files, which the new version
+        # replaces — same discipline as cms_upsert's localCheckpoint
+        tx_write(
+            merged.localCheckpoint(eager=True),
+            root,
+            mode="overwrite",
+            txn=f"{app_id}:{batch_id}",
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

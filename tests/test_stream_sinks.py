@@ -166,3 +166,54 @@ def test_stream_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in read_rollup(spark, store).collect()
     )
     assert second == first
+
+
+def test_stream_rollup_txlog_matches_batch_and_replays_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """The transactional rollup sink: converges to the one-shot batch
+    rollup AND a full replay (fresh checkpoint, same store) is a no-op
+    via txn tokens — no ledger files, no marker crash window."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.rollup import rollup_events
+    from tabata_spark.sources.relational import _normalize_ts
+    from tabata_spark.sources.txlog import tx_read
+    from tabata_spark.streaming.sinks import stream_rollup_txlog
+
+    src_dir = str(tmp_path / "src")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(3, F.pmod("event_id", F.lit(3))).write.parquet(src_dir)
+    root = str(tmp_path / "roll")
+
+    def run(ck_name):
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = stream_rollup_txlog(
+            _normalize_ts(stream), root, str(tmp_path / ck_name),
+            distinct_col="user_id",
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    want = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in rollup_events(
+            _normalize_ts(raw), distinct_col="user_id"
+        ).collect()
+    }
+    got = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in tx_read(spark, root).collect()
+    }
+    assert got == want and got
+
+    run("ck2")  # full replay with a fresh checkpoint: batch ids repeat
+    again = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in tx_read(spark, root).collect()
+    }
+    assert again == want  # txn tokens swallowed every replayed batch
