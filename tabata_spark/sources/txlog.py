@@ -426,3 +426,32 @@ def tx_vacuum(root: str, retention_s: float = 3600.0) -> list[str]:
             ):
                 shutil.rmtree(sub, ignore_errors=True)
     return removed
+
+
+def tx_restore(spark: SparkSession, root: str, version: int) -> int:
+    """Restore the table to a historical version's snapshot (Delta
+    RESTORE): commits a replace whose file set equals that version's —
+    no data is copied, the old files are simply re-referenced, and the
+    restore itself is one more versioned commit (so it can in turn be
+    time-traveled past or restored away). Raises if any needed file
+    was already vacuumed."""
+    target = _active_files(root, version)
+    if not target:
+        raise ValueError(f"txlog table {root} has no version {version}")
+    missing = [f for f in target if not os.path.exists(os.path.join(root, f))]
+    if missing:
+        raise ValueError(
+            f"cannot restore {root} to v{version}: {len(missing)} of its "
+            f"files were vacuumed (e.g. {missing[0]})"
+        )
+    base = _latest_version(root)
+    current = _active_files(root)
+    cur = set(current)
+    tgt = set(target)
+    return _commit(
+        root,
+        "replace",
+        [f for f in target if f not in cur],
+        [f for f in current if f not in tgt],
+        base_version=base,
+    )

@@ -242,3 +242,22 @@ def test_partial_commit_file_is_ignored_and_version_not_bricked(spark, tmp_path)
     assert tx_read(spark, root).count() == 10  # reads unaffected
     tx_write(_df(spark, 10, 12, "b"), root)  # writes unaffected
     assert tx_read(spark, root).count() == 12
+
+
+def test_restore_returns_to_old_snapshot_as_new_version(spark, tmp_path):
+    from tabata_spark.sources.txlog import tx_restore
+
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)           # v1
+    tx_write(_df(spark, 10, 30, "b"), root)          # v2
+    tx_delete_where(spark, root, F.col("id") < 20)   # v3: only 20-29 left
+    assert tx_read(spark, root).count() == 10
+    v = tx_restore(spark, root, 2)
+    assert v == 4  # restore is itself a commit
+    assert tx_read(spark, root).count() == 30  # v2 snapshot back
+    assert tx_read(spark, root, version=3).count() == 10  # history intact
+    # restoring past vacuumed files raises
+    tx_compact(spark, root)
+    tx_vacuum(root, retention_s=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_restore(spark, root, 1)
