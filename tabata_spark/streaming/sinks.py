@@ -366,3 +366,48 @@ def stream_rollup_txlog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_txlog(
+    sdf: DataFrame,
+    root: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+    hasher: str = "md5",
+    app_id: str = "cms",
+):
+    """Count-min-sketch maintenance with NO double-count window — the
+    txlog twin of ``stream_cms_maintain``, same closure as
+    ``stream_rollup_txlog``: each micro-batch commits the merged
+    sketch as one atomic overwrite with ``txn=f"{app_id}:{batch_id}"``
+    (the commit IS the idempotence marker). The sketch geometry rides
+    in the table's enforced schema plus the txlog history; state is
+    bounded by depth*width rows regardless of stream length."""
+    from tabata_spark.operators.sketch import cms_build, cms_merge
+    from tabata_spark.sources.txlog import tx_read, tx_write
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = cms_build(batch_df, key_col, depth, width, salt, hasher)
+        if not part.head(1):
+            return
+        try:
+            part = cms_merge(part, tx_read(spark, root))
+        except ValueError:  # fresh store
+            pass
+        tx_write(
+            part.localCheckpoint(eager=True),
+            root,
+            mode="overwrite",
+            txn=f"{app_id}:{batch_id}",
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -217,3 +217,32 @@ def test_stream_rollup_txlog_matches_batch_and_replays_exactly_once(
         for r in tx_read(spark, root).collect()
     }
     assert again == want  # txn tokens swallowed every replayed batch
+
+
+def test_stream_cms_txlog_matches_batch_and_replays_exactly_once(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.sketch import cms_build
+    from tabata_spark.sources.txlog import tx_read
+    from tabata_spark.streaming.sinks import stream_cms_txlog
+
+    rows = [(i, f"k{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    src = str(tmp_path / "src")
+    df.repartition(3, F.pmod("id", F.lit(3))).write.parquet(src)
+    root = str(tmp_path / "cms")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_cms_txlog(stream, root, str(tmp_path / ck), "k", depth=3, width=16)
+        q.awaitTermination()
+
+    run("ck1")
+    want = sorted(map(tuple, cms_build(df, "k", depth=3, width=16).collect()))
+    assert sorted(map(tuple, tx_read(spark, root).collect())) == want
+    run("ck2")  # replay with fresh checkpoint — txn tokens make it a no-op
+    assert sorted(map(tuple, tx_read(spark, root).collect())) == want
