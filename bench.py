@@ -149,6 +149,7 @@ HEADLINE = [
     # the md5 variants above are the oracle-parity versions
     "dedup_simhash_prod",
     "a_bootstrap_ci_prod",
+    "q_bloom_join_prod",
 ]
 
 

@@ -10028,3 +10028,38 @@ def q_shortest_paths(spark, sf_dir):
         F.col("p_partkey").alias("node")
     )
     return bounded_shortest_paths(edges, seeds, max_hops=3).orderBy("node")
+
+
+@_bench_extra("q_bloom_join_prod")
+def q_bloom_join_prod(spark, sf_dir):
+    """Production twin of q_bloom_join: xxhash64 probe positions (one
+    JVM hash per probe instead of an md5 + hex-conv chain — the
+    CMS/simhash prod/parity split). Same no-false-negative guarantee,
+    same result as the plain join; only the md5 variant is DuckDB-
+    replayable, so this one is bench-only."""
+    from tabata_spark.operators.sketch import bloom_filtered_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.to_date("o_orderdate") >= F.lit("1997-03-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = bloom_filtered_join(
+        li, o, "l_orderkey", m_bits=1 << 18, k=5, hasher="xxhash64"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        )
+        .cast("decimal(28,4)")
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -109,8 +109,21 @@ def cms_estimate(
     )
 
 
-def _bloom_positions(key: Column, m_bits: int, k: int, salt: str) -> Column:
-    """Array of k bit positions for a key (salted-md5 derived)."""
+def _bloom_positions(
+    key: Column, m_bits: int, k: int, salt: str, hasher: str = "md5"
+) -> Column:
+    """Array of k bit positions for a key. ``'md5'`` is the
+    engine-portable parity construction (DuckDB replays it);
+    ``'xxhash64'`` is the production fast path — one JVM hash call per
+    probe instead of an md5 + hex-conv chain (the CMS/simhash
+    prod/parity split)."""
+    if hasher == "xxhash64":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.pmod(
+                F.xxhash64(F.lit(salt), i, key.cast("string")), F.lit(m_bits)
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: hash_bucket(
@@ -127,13 +140,15 @@ def bloom_build(
     m_bits: int = 1 << 16,
     k: int = 5,
     salt: str = "bloom",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Bloom filter of the key set as (word_idx, bits) rows —
-    at most ceil(m_bits/31) rows, mergeable by bit_or."""
+    at most ceil(m_bits/31) rows, mergeable by bit_or. Build and
+    probe must share ``hasher`` (see :func:`_bloom_positions`)."""
     pos = df.select(
         F.explode(
             F.array_distinct(
-                _bloom_positions(F.col(key_col), m_bits, k, salt)
+                _bloom_positions(F.col(key_col), m_bits, k, salt, hasher)
             )
         ).alias("p")
     )
@@ -515,6 +530,7 @@ def bloom_filtered_join(
     k: int = 5,
     how: str = "inner",
     salt: str = "bloom",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Equi-join with a Bloom pre-filter on the big side — the
     shuffle-volume reducer for selective joins at 100 TB: the small
@@ -543,7 +559,9 @@ def bloom_filtered_join(
             "the prefilter drops unmatched big-side rows, which any "
             "outer/anti join type must keep"
         )
-    bloom = bloom_build(small.select(key_col).distinct(), key_col, m_bits, k, salt)
+    bloom = bloom_build(
+        small.select(key_col).distinct(), key_col, m_bits, k, salt, hasher
+    )
     bitmap = bloom.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("word_idx"), F.col("bits")))
@@ -555,14 +573,22 @@ def bloom_filtered_join(
     for i in range(k):
         pc = f"__blp{i}"
         pcols.append(pc)
-        probed = probed.withColumn(
-            pc,
-            hash_bucket(
+        if hasher == "xxhash64":
+            # must match _bloom_positions' transform probe i: the
+            # sequence element is an INT column, so hash an int literal
+            probe = F.pmod(
+                F.xxhash64(
+                    F.lit(salt), F.lit(i), F.col(key_col).cast("string")
+                ),
+                F.lit(m_bits),
+            )
+        else:
+            probe = hash_bucket(
                 F.concat_ws("#", F.lit(str(i)), F.col(key_col).cast("string")),
                 m_bits,
                 salt=salt,
-            ),
-        )
+            )
+        probed = probed.withColumn(pc, probe)
         word = F.element_at(
             F.col("__bm"), (F.col(pc) / _WORD_BITS).cast("long")
         )

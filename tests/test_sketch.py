@@ -312,3 +312,25 @@ def test_bloom_filtered_join_prefilters_before_join(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, big.join(small, "k").collect())
     )
+
+
+def test_bloom_filtered_join_xxhash_prod_path_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.sketch import bloom_filtered_join
+
+    big = spark.range(8000).select(
+        F.concat(F.lit("k"), F.col("id") % 400).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}", i) for i in (5, 17, 230)], "k string, w long"
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloom_filtered_join(
+                big, small, "k", m_bits=1 << 14, k=5, hasher="xxhash64"
+            ).collect(),
+        )
+    )
+    assert got == sorted(map(tuple, big.join(small, "k").collect()))
