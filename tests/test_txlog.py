@@ -261,3 +261,66 @@ def test_restore_returns_to_old_snapshot_as_new_version(spark, tmp_path):
     tx_vacuum(root, retention_s=0)
     with pytest.raises(ValueError, match="vacuumed"):
         tx_restore(spark, root, 1)
+
+
+def test_random_op_sequences_match_versioned_model(spark, tmp_path):
+    """Model-based check: random append/delete/merge/compact/restore
+    sequences against an in-memory versioned model — the snapshot
+    after every sequence AND time travel to every intermediate version
+    must equal the model's history."""
+    import random
+
+    from tabata_spark.sources.txlog import tx_restore
+
+    rnd = random.Random(1746)
+    for trial in range(3):
+        root = str(tmp_path / f"t{trial}")
+        # model_versions[v] = {id: tag} after version v (v0 = empty)
+        model = [{}]
+        next_id = 0
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, t) for i, t in rows], "id long, tag string"
+            )
+
+        ops = ["append", "delete", "merge", "compact", "restore"]
+        for step in range(7):
+            op = rnd.choice(ops if len(model) > 1 else ["append"])
+            cur = dict(model[-1])
+            if op == "append":
+                n = rnd.randint(3, 20)
+                rows = [(next_id + j, f"a{step}") for j in range(n)]
+                next_id += n
+                tx_write(mk(rows), root)
+                cur.update(rows)
+            elif op == "delete":
+                m = rnd.randint(2, 5)
+                tx_delete_where(spark, root, F.col("id") % m == 0)
+                cur = {i: t for i, t in cur.items() if i % m != 0}
+            elif op == "merge":
+                upd = rnd.sample(sorted(cur), min(len(cur), 4)) if cur else []
+                new = [next_id + j for j in range(3)]
+                next_id += 3
+                rows = [(i, f"m{step}") for i in upd + new]
+                tx_merge(spark, root, mk(rows), ["id"])
+                cur.update(rows)
+            elif op == "compact":
+                tx_compact(spark, root, n_files=2, cluster_by=["id"])
+                # state unchanged
+            elif op == "restore":
+                v = rnd.randint(1, len(model) - 1)
+                tx_restore(spark, root, v)
+                cur = dict(model[v])
+            model.append(cur)
+
+        got = {r["id"]: r["tag"] for r in tx_read(spark, root).collect()}
+        assert got == model[-1], f"trial {trial}: final snapshot diverged"
+        # time travel: two random intermediate versions must replay
+        for v in rnd.sample(range(1, len(model)), 2):
+            if model[v]:
+                tv = {
+                    r["id"]: r["tag"]
+                    for r in tx_read(spark, root, version=v).collect()
+                }
+                assert tv == model[v], f"trial {trial}: version {v} diverged"
