@@ -109,5 +109,48 @@ def main():
     spark.stop()
 
 
+
+
+def probe_sssp():
+    """Separate entry: 20M-edge bounded-BFS probe (run after main)."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.graph import bounded_shortest_paths
+    from tabata_spark.session import get_spark
+
+    spark = get_spark("r7-sssp-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="r7sssp_")
+    # 20 distinct out-edges per node (the first multiplier collapsed
+    # mod 1M and gave every node ONE dst — a chain, not a graph)
+    edges = spark.range(20_000_000).select(
+        (F.col("id") % 1_000_000).alias("src"),
+        (
+            (F.col("id") % 1_000_000) * 37
+            + (F.col("id") / 1_000_000).cast("long") * 1009
+            + 1
+        ).alias("dst"),
+    ).withColumn("dst", F.pmod(F.col("dst"), F.lit(1_000_000)))
+    ep = base + "/edges"
+    edges.write.parquet(ep)
+    e = spark.read.parquet(ep)
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    timed(
+        "bounded BFS 3 hops, 1M nodes / 20M edges",
+        lambda: bounded_shortest_paths(e, seeds, max_hops=3).count(),
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--sssp" in _sys.argv:
+        probe_sssp()
+    else:
+        main()
