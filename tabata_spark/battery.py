@@ -10063,3 +10063,61 @@ def q_bloom_join_prod(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_bitext_margin",
+    """
+    WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
+               FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 40),
+    t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
+          FROM embeddings WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT src_id, tgt_id,
+             round(list_cosine_similarity(sv, tv), 4) AS cosine
+      FROM s, t
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, tgt_id) AS rs,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY cosine DESC, src_id) AS rt
+      FROM pairs
+    ),
+    m AS (
+      SELECT src_id, tgt_id, cosine,
+             CAST(sum(CASE WHEN rs <= 4 THEN CAST(cosine AS DECIMAL(18,6)) END)
+                    OVER (PARTITION BY src_id) AS DOUBLE)
+               / sum(CASE WHEN rs <= 4 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY src_id) AS ms,
+             CAST(sum(CASE WHEN rt <= 4 THEN CAST(cosine AS DECIMAL(18,6)) END)
+                    OVER (PARTITION BY tgt_id) AS DOUBLE)
+               / sum(CASE WHEN rt <= 4 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY tgt_id) AS mt
+      FROM r
+    )
+    SELECT src_id, tgt_id, cosine,
+           round(cosine / ((ms + mt) / 2.0), 4) AS margin
+    FROM m ORDER BY margin DESC, src_id, tgt_id LIMIT 20
+    """,
+)
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (LASER/CCMatrix, Artetxe & Schwenk
+    2019) between the even- and odd-id halves of the embedding space:
+    cosine ratio-normalized by BOTH sides' k-NN neighborhood means, so
+    hub vectors near everything stop winning — the operator that
+    builds parallel-corpus training data (operators/similarity.py:
+    margin_mining; at corpus scale the tgt side is IVF/LSH-prefiltered
+    first). Top-20 mined pairs; the oracle replays rounding, both
+    ranking directions, exact-DECIMAL k-NN means, and the margin."""
+    from tabata_spark.operators.similarity import margin_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40))
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return (
+        margin_mining(src, tgt, k=4)
+        .orderBy(F.desc("margin"), "src_id", "tgt_id")
+        .limit(20)
+    )

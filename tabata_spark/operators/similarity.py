@@ -1091,3 +1091,61 @@ def srp_project(
         )
         cols.append((acc * F.lit(factor)).alias(f"{prefix}{j}"))
     return df.select("*", *cols)
+
+
+def margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (the LASER / CCMatrix criterion,
+    Artetxe & Schwenk 2019): candidate pair score is the cosine
+    RATIO-NORMALIZED by both sides' neighborhood densities,
+    margin(x, y) = cos(x, y) / ((meanK(x->tgt) + meanK(y->src)) / 2),
+    which suppresses hub vectors that are near everything — raw cosine
+    thresholds mine garbage precisely in the dense regions where most
+    text lives. This is the operator that builds parallel-corpus
+    training data from two monolingual embedding spaces.
+
+    Shape: the (small-by-construction) src batch broadcasts against
+    the tgt scan — knn_join's broadcast nested-loop pass — and BOTH
+    directions' k-NN means come from the one scored pair table (two
+    window passes, no second scan). At corpus scale, pre-filter tgt
+    per src with the IVF/LSH index (ivf_index_topk) so the scored set
+    is bucket-bounded, then apply the same margin windows.
+
+    Engine determinism: cosines rounded to 4 before ranking (ties on
+    ids), k-NN means as exact DECIMAL sums over the rounded values,
+    margin a fixed-order double expression — the DuckDB oracle
+    replays every step. Returns (src_id, tgt_id, cosine, margin)."""
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv"))
+    pairs = t.join(F.broadcast(s)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine_cols(F.col("__sv"), F.col("__tv")), 4).alias("cosine"),
+    )
+    ws = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "tgt_id")
+    wt = Window.partitionBy("tgt_id").orderBy(F.desc("cosine"), "src_id")
+    ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
+        "__rt", F.row_number().over(wt)
+    )
+    cdec = F.col("cosine").cast("decimal(18,6)")
+    ps = Window.partitionBy("src_id")
+    pt = Window.partitionBy("tgt_id")
+    ms = (
+        F.sum(F.when(F.col("__rs") <= k, cdec)).over(ps).cast("double")
+        / F.sum(F.when(F.col("__rs") <= k, 1).otherwise(0)).over(ps)
+    )
+    mt = (
+        F.sum(F.when(F.col("__rt") <= k, cdec)).over(pt).cast("double")
+        / F.sum(F.when(F.col("__rt") <= k, 1).otherwise(0)).over(pt)
+    )
+    return ranked.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        F.round(F.col("cosine") / ((ms + mt) / F.lit(2.0)), 4).alias("margin"),
+    )
