@@ -10121,3 +10121,60 @@ def q_bitext_margin(spark, sf_dir):
         .orderBy(F.desc("margin"), "src_id", "tgt_id")
         .limit(20)
     )
+
+
+@register(
+    "q_label_propagation",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM e0),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    c1 AS (SELECT e0.b AS node, l0.label, count(*) AS c
+           FROM e0 JOIN l0 ON e0.a = l0.node GROUP BY e0.b, l0.label),
+    a1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM c1) WHERE rn = 1),
+    l1 AS (SELECT n.node, coalesce(a1.label, n.node) AS label
+           FROM nodes n LEFT JOIN a1 ON n.node = a1.node),
+    c2 AS (SELECT e0.b AS node, l1.label, count(*) AS c
+           FROM e0 JOIN l1 ON e0.a = l1.node GROUP BY e0.b, l1.label),
+    a2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM c2) WHERE rn = 1),
+    l2 AS (SELECT n.node, coalesce(a2.label, n.node) AS label
+           FROM nodes n LEFT JOIN a2 ON n.node = a2.node)
+    SELECT node, label FROM l2 ORDER BY node
+    """,
+)
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (2 rounds) over the
+    co-purchase graph — community labels finer than connected
+    components (one bridge edge merges CC blobs, LPA keeps dense cores
+    apart; the per-community-cap use in dedup/sampling). Most-frequent
+    neighbor label, ties to the smallest, the PageRank round
+    discipline (operators/graph.py:label_propagation). The oracle
+    unrolls both rounds exactly."""
+    from tabata_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=2).orderBy("node")

@@ -219,3 +219,61 @@ def bounded_shortest_paths(
         dist = nxt.localCheckpoint(eager=True)
     e.unpersist()
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al.
+    2007), made DETERMINISTIC: every node adopts the most frequent
+    label among its neighbors, ties broken by smallest label, for a
+    FIXED number of rounds — classic LPA's random update order and
+    random tie-breaks make it irreproducible, which is useless for a
+    correctness-gated engine (and the fixed-round synchronous form is
+    also what parallelizes: each round is one join + one count
+    aggregation + one per-node argmax window over persisted,
+    symmetrized edges, the PageRank round discipline).
+
+    The LLM-data use: community labels over the crawl host graph (or
+    the doc similarity graph) group near-duplicate ecosystems for
+    per-community caps/sampling, finer than connected components —
+    a single bridge edge merges two CC blobs but LPA keeps the dense
+    cores apart. Returns (node, label); isolated label regions keep
+    their minimum member id by induction from the node-id seed."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    labels = nodes.withColumn("label", F.col("node"))
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        nb = und.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        adopted = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(adopted.withColumnRenamed("label", "__new"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    nodes.unpersist()
+    return labels

@@ -109,3 +109,22 @@ def test_bounded_shortest_paths_weighted_and_bounded(spark):
         for r in bounded_shortest_paths(edges, seeds, max_hops=1).collect()
     }
     assert 4 not in one_hop  # bound respected
+
+
+def test_label_propagation_separates_dense_cores(spark):
+    from tabata_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by ONE bridge edge: connected components
+    # would merge them; LPA must keep the cores apart
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    out = {r["node"]: r["label"] for r in label_propagation(edges, rounds=3).collect()}
+    assert len(out) == 8
+    lab1 = {out[n] for n in range(4)}
+    lab2 = {out[n] for n in range(10, 14)}
+    assert len(lab1) == 1 and len(lab2) == 1  # each clique converged
+    assert lab1 != lab2  # bridge did not merge them
+    # determinism: a second run is bit-identical
+    again = {r["node"]: r["label"] for r in label_propagation(edges, rounds=3).collect()}
+    assert again == out
