@@ -10178,3 +10178,98 @@ def q_label_propagation(spark, sf_dir):
         .distinct()
     )
     return label_propagation(edges, rounds=2).orderBy("node")
+
+
+@register(
+    "q_conformal_coverage",
+    """
+    WITH yhat AS (
+      SELECT event_type,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS yhat
+      FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    ),
+    cal AS (
+      SELECT e.event_type, e.event_id,
+             round(abs(e.value - y.yhat), 6) AS s
+      FROM events e JOIN yhat y USING (event_type)
+      WHERE e.event_id % 3 = 1
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY s, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM cal
+    ),
+    qh AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_cal, s AS q_hat
+      FROM r WHERE rn = least(n, (9 * (n + 1) + 9) // 10)
+    ),
+    ev AS (
+      SELECT e.event_type, round(abs(e.value - y.yhat), 6) AS s
+      FROM events e JOIN yhat y USING (event_type)
+      WHERE e.event_id % 3 = 2
+    )
+    SELECT event_type, n_cal, q_hat,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS coverage
+    FROM ev JOIN qh USING (event_type)
+    GROUP BY event_type, n_cal, q_hat
+    ORDER BY event_type
+    """,
+)
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction intervals end to end (Vovk et al.;
+    operators/stats.py:conformal_qhat): a per-type mean predictor fit
+    on split 0, calibration residual quantile q_hat on split 1 at the
+    exact rational alpha = 1/10, and the distribution-free coverage
+    guarantee CHECKED on held-out split 2 — the modern uncertainty
+    recipe for any model's outputs, no distribution assumptions. Every
+    step is exact-rank / DECIMAL / fixed-order arithmetic, replayed by
+    the oracle."""
+    from tabata_spark.operators.stats import conformal_qhat
+
+    ev = _t(spark, sf_dir, "events")
+    yhat = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("yhat")
+        )
+    )
+    resid = F.round(F.abs(F.col("value") - F.col("yhat")), 6)
+    cal = (
+        ev.filter(F.col("event_id") % 3 == 1)
+        .join(F.broadcast(yhat), "event_type")
+        .select("event_type", "event_id", resid.alias("s"))
+    )
+    qh = conformal_qhat(
+        cal, "s", alpha_num=1, alpha_den=10,
+        group_cols=["event_type"], order_col="event_id",
+    )
+    evl = (
+        ev.filter(F.col("event_id") % 3 == 2)
+        .join(F.broadcast(yhat), "event_type")
+        .select("event_type", resid.alias("s"))
+    )
+    return (
+        evl.join(F.broadcast(qh), "event_type")
+        .groupBy("event_type", "n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(
+                F.sum(
+                    F.when(F.col("s") <= F.col("q_hat"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+        .select("event_type", "n_cal", "q_hat", "n_eval", "coverage")
+        .orderBy("event_type")
+    )

@@ -223,3 +223,60 @@ def psi_drift(
         .cast("double")
         .alias("psi"),
     )
+
+
+def conformal_qhat(
+    cal: DataFrame,
+    score_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    group_cols: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Split-conformal calibration quantile (Vovk et al.; the modern
+    distribution-free interval recipe): q_hat is the k-th smallest
+    calibration score with k = ceil((n+1)(1-alpha)) — predictions
+    +/- q_hat then cover with probability >= 1-alpha under
+    exchangeability, NO model or distribution assumptions. The
+    miscoverage level is the exact rational alpha_num/alpha_den and k
+    is computed in integer arithmetic (((n+1)(den-num) + den-1) DIV
+    den, clamped to n): a double (n+1)*(1-alpha) would flip the ceil
+    on representation error at exactly the boundary ranks that matter.
+
+    One rank window per group over the calibration scores — O(cal)
+    work, any group count. Returns (group_cols..., n_cal, q_hat)."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    order = [F.col(score_col).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wn = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    keep = alpha_den - alpha_num
+    ranked = cal.select(
+        *group_cols,
+        F.col(score_col).alias("__s"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    # integer ceil division (values far below 2^52, so the double
+    # floor is exact): k = ceil((n+1)*keep / den), clamped to n
+    k = F.least(
+        F.col("__n"),
+        F.floor(
+            ((F.col("__n") + 1) * keep + alpha_den - 1) / F.lit(alpha_den)
+        ).cast("long"),
+    )
+    return (
+        ranked.filter(F.col("__rn") == k)
+        .select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n_cal"),
+            F.col("__s").alias("q_hat"),
+        )
+    )

@@ -109,3 +109,44 @@ def test_psi_zero_for_identical_distributions(spark):
     out = psi_drift(df, "bkt", "grp", ("a", "b")).collect()[0]
     assert out["psi"] == 0.0
     assert out["n_buckets"] == 7
+
+
+def test_conformal_qhat_exact_rank_and_coverage(spark):
+    import numpy as np
+
+    from tabata_spark.operators.stats import conformal_qhat
+
+    rng = np.random.RandomState(3)
+    scores = np.abs(rng.randn(200)).round(6)
+    cal = spark.createDataFrame(
+        [(int(i), float(s)) for i, s in enumerate(scores)], "id long, s double"
+    )
+    row = conformal_qhat(cal, "s", alpha_num=1, alpha_den=10, order_col="id").collect()[0]
+    # exact: k = ceil(201 * 9 / 10) = ceil(180.9) = 181 -> 181st smallest
+    k = -(-201 * 9 // 10)
+    want = float(np.sort(scores)[k - 1])
+    assert row["n_cal"] == 200 and row["q_hat"] == pytest.approx(want, abs=1e-12)
+    # coverage guarantee on a fresh exchangeable sample: >= 1 - alpha
+    # (deterministic given the fixed seed)
+    fresh = np.abs(rng.randn(2000))
+    assert (fresh <= row["q_hat"]).mean() >= 0.88
+
+
+def test_conformal_qhat_grouped_small_n_clamps(spark):
+    from tabata_spark.operators.stats import conformal_qhat
+
+    cal = spark.createDataFrame(
+        [("g1", i, float(i)) for i in range(5)]
+        + [("g2", i, float(10 * i)) for i in range(40)],
+        "g string, id long, s double",
+    )
+    rows = {
+        r["g"]: (r["n_cal"], r["q_hat"])
+        for r in conformal_qhat(
+            cal, "s", group_cols=["g"], order_col="id"
+        ).collect()
+    }
+    # g1: k = min(5, ceil(6*9/10)=6) = 5 -> max score
+    assert rows["g1"] == (5, 4.0)
+    # g2: k = ceil(41*9/10) = 37 -> 37th smallest = 360.0
+    assert rows["g2"] == (40, 360.0)
