@@ -10273,3 +10273,36 @@ def q_conformal_coverage(spark, sf_dir):
         .select("event_type", "n_cal", "q_hat", "n_eval", "coverage")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_mutual_info",
+    """
+    WITH cells AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS x, event_type AS y,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT x, sum(o) AS rx FROM cells GROUP BY x),
+    ct AS (SELECT y, sum(o) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT sum(o) AS n FROM cells)
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(round(
+             (o::DOUBLE / n) * ln(o::DOUBLE * n / (rx::DOUBLE * cy)), 6)
+             AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS mi_nats
+    FROM cells JOIN rt USING (x) JOIN ct USING (y) CROSS JOIN tot
+    """,
+)
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between the bucketed event value and the
+    event type (operators/stats.py:mutual_information) — the
+    feature-relevance screen that ranks ACROSS features where chi2's
+    unnormalized statistic cannot. Exact integer count ratios,
+    fixed-order double terms DECIMAL-quantized before the sum; one
+    cell aggregation + two broadcast marginals."""
+    from tabata_spark.operators.stats import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    return mutual_information(
+        ev, F.floor(F.col("value") / 20).cast("long"), "event_type"
+    )

@@ -280,3 +280,50 @@ def conformal_qhat(
             F.col("__s").alias("q_hat"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    row_col,
+    col_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mutual information I(X;Y) = sum p_xy * ln(p_xy / (p_x * p_y))
+    over the joint distribution of two categorical columns (pass a
+    pre-binned expression for a numeric X) — the feature-relevance
+    screen ("how much does this bucketed feature tell us about the
+    label") that chi-squared's unnormalized statistic cannot rank
+    across features. Zero cells contribute 0 (the 0*ln0 limit), so
+    unlike chi2 no grid completion is needed; the p's are exact
+    integer count ratios and each term is a fixed-order double
+    quantized to DECIMAL before the (order-independent) sum. One
+    count aggregation + two broadcast marginals. Returns one row
+    (n, mi_nats)."""
+    rc = row_col if not isinstance(row_col, str) else F.col(row_col)
+    cells = (
+        df.select(rc.alias("__x"), F.col(col_col).alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    rt = cells.groupBy("__x").agg(F.sum("__o").alias("__rx"))
+    ct = cells.groupBy("__y").agg(F.sum("__o").alias("__cy"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    pxy = F.col("__o").cast("double") / F.col("__n")
+    ratio = (
+        F.col("__o").cast("double") * F.col("__n")
+        / (F.col("__rx").cast("double") * F.col("__cy"))
+    )
+    term = pxy * F.log(ratio)
+    dec = f"decimal(28,{decimals})"
+    return (
+        cells.join(F.broadcast(rt), "__x")
+        .join(F.broadcast(ct), "__y")
+        .join(F.broadcast(tot))
+        .agg(
+            F.first("__n").cast("long").alias("n"),
+            F.sum(F.round(term, decimals).cast(dec))
+            .cast(dec)
+            .cast("double")
+            .alias("mi_nats"),
+        )
+    )

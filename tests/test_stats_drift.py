@@ -150,3 +150,34 @@ def test_conformal_qhat_grouped_small_n_clamps(spark):
     assert rows["g1"] == (5, 4.0)
     # g2: k = ceil(41*9/10) = 37 -> 37th smallest = 360.0
     assert rows["g2"] == (40, 360.0)
+
+
+def test_mutual_information_reference_values(spark):
+    import math
+
+    from tabata_spark.operators.stats import mutual_information
+
+    # independent -> MI == 0 exactly
+    rows = [(f"x{i % 4}", f"y{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert mutual_information(df, "a", "b").collect()[0]["mi_nats"] == 0.0
+
+    # perfectly dependent (y = f(x), uniform over 4 values) -> ln(4)
+    rows = [(f"x{i % 4}", f"y{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_information(df, "a", "b").collect()[0]["mi_nats"]
+    assert abs(got - math.log(4)) < 1e-4
+
+    # hand-computed 2x2: joint [[30,10],[10,50]]
+    rows = (
+        [("a", "p")] * 30 + [("a", "q")] * 10
+        + [("b", "p")] * 10 + [("b", "q")] * 50
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    n = 100.0
+    want = sum(
+        (o / n) * math.log((o / n) / (rx / n * cy / n))
+        for o, rx, cy in [(30, 40, 40), (10, 40, 60), (10, 60, 40), (50, 60, 60)]
+    )
+    got = mutual_information(df, "a", "b").collect()[0]["mi_nats"]
+    assert abs(got - want) < 1e-4
