@@ -10306,3 +10306,42 @@ def q_mutual_info(spark, sf_dir):
     return mutual_information(
         ev, F.floor(F.col("value") / 20).cast("long"), "event_type"
     )
+
+
+@register(
+    "q_quantile_normalize",
+    """
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS N
+      FROM events
+    ),
+    b AS (SELECT *, CAST(floor((rn * 20 + N - 1) / N) AS BIGINT) AS j FROM r),
+    g AS (SELECT event_type, j, max(value) AS gv FROM b GROUP BY event_type, j),
+    ref AS (SELECT j, round(CAST(sum(CAST(gv AS DECIMAL(18,6))) AS DOUBLE)
+                            / count(*), 6) AS q_value
+            FROM g GROUP BY j)
+    SELECT b.event_type, b.event_id, round(b.value, 6) AS value, ref.q_value
+    FROM b JOIN ref USING (j) ORDER BY event_type, event_id
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of event values across event types
+    (Bolstad et al. 2003 — operators/stats.py:quantile_normalize):
+    every type's distribution maps onto the mean of the per-type
+    quantile grids, the batch-effect correction that makes
+    per-source feature scales comparable before mixing. Within-group
+    windows only (no global sort), 20-cell grid, exact-DECIMAL
+    reference means."""
+    from tabata_spark.operators.stats import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_normalize(ev, "value", "event_type", "event_id", n_grid=20)
+    return out.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "q_value",
+    ).orderBy("event_type", "event_id")

@@ -327,3 +327,59 @@ def mutual_information(
             .alias("mi_nats"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_grid: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003, the microarray /
+    batch-effect-correction standard): every group's value
+    distribution is mapped onto the SAME reference distribution — the
+    mean of the per-group quantile grids — so downstream consumers see
+    comparable feature scales across sources ("source A scores run
+    hot" stops mattering). A row keeps its within-group RANK and takes
+    the reference value at that rank's grid cell.
+
+    Scale shape: within-group windows only (partitioned, parallel —
+    no global sort anywhere); the grids are n_grid rows per group,
+    their mean is a tiny aggregation broadcast back. Grid cell
+    j = ceil(rank * n_grid / N) in integer arithmetic; cell value is
+    the group's max value in the cell (quantile-disc convention);
+    reference is the exact-DECIMAL mean over the groups present in
+    that cell — every step engine-replayable. Returns
+    (group_col, id_col, value_col, q_value)."""
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        id_col,
+        value_col,
+        F.row_number().over(wg).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__N"),
+    ).withColumn(
+        "__j",
+        F.floor(
+            (F.col("__rn") * n_grid + F.col("__N") - 1) / F.col("__N")
+        ).cast("long"),
+    )
+    grid = ranked.groupBy(group_col, "__j").agg(
+        F.max(value_col).alias("__gv")
+    )
+    ref = grid.groupBy("__j").agg(
+        F.round(
+            F.sum(F.col("__gv").cast(f"decimal(18,{decimals})"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            decimals,
+        ).alias("q_value")
+    )
+    return ranked.join(F.broadcast(ref), "__j").select(
+        group_col, id_col, value_col, "q_value"
+    )

@@ -181,3 +181,25 @@ def test_mutual_information_reference_values(spark):
     )
     got = mutual_information(df, "a", "b").collect()[0]["mi_nats"]
     assert abs(got - want) < 1e-4
+
+
+def test_quantile_normalize_aligns_group_distributions(spark):
+    import numpy as np
+
+    from tabata_spark.operators.stats import quantile_normalize
+
+    rng = np.random.RandomState(5)
+    # group a ~ N(0,1), group b ~ N(5,3): wildly different scales
+    rows = [("a", i, float(rng.randn())) for i in range(500)] + [
+        ("b", 1000 + i, float(5 + 3 * rng.randn())) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = quantile_normalize(df, "v", "g", "id", n_grid=50).toPandas()
+    qa = np.sort(out[out.g == "a"].q_value.values)
+    qb = np.sort(out[out.g == "b"].q_value.values)
+    # after normalization both groups live on the SAME reference grid
+    assert set(out[out.g == "a"].q_value) == set(out[out.g == "b"].q_value)
+    assert abs(qa.mean() - qb.mean()) < 1e-9
+    # rank order within each group is preserved
+    a = out[out.g == "a"].sort_values("v")
+    assert (a.q_value.values == np.sort(a.q_value.values)).all()
