@@ -137,6 +137,12 @@ HEADLINE = [
     "w_lttb_downsample",
     "q_kmv_overlap",
     "q_bloom_join",
+    "q_bitext_margin",
+    "q_conformal_coverage",
+    "q_mutual_info",
+    "q_quantile_normalize",
+    "q_label_propagation",
+    "q_shortest_paths",
     # q_txlog_orders / q_txlog_merge rebuild their transactional store
     # from scratch per call (protocol exercise, not query cost) — probe-
     # documented in SCALE.md (r7: 10x1M appends 3.0s, CoW merge 8.4s,
