@@ -10345,3 +10345,64 @@ def q_quantile_normalize(spark, sf_dir):
         F.round("value", 6).alias("value"),
         "q_value",
     ).orderBy("event_type", "event_id")
+
+
+@register(
+    "q_oov_rate",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 1000
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tok)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary coverage per source: out-of-vocabulary token rate
+    against the corpus top-1000 vocabulary — the tokenizer-fit /
+    domain-shift number a data report pairs with fertility
+    (text_fertility): a source whose OOV rate spikes is one the
+    tokenizer (or the reference corpus) underserves. The vocabulary
+    is a deterministic top-k (count desc, token asc), broadcast into
+    a left join at the scan; exact integer counts, one aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
