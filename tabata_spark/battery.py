@@ -10099,18 +10099,23 @@ def q_bloom_join_prod(spark, sf_dir):
     ),
     m AS (
       SELECT src_id, tgt_id, cosine,
-             CAST(sum(CASE WHEN rs <= 4 THEN CAST(cosine AS DECIMAL(18,6)) END)
+             round((1.0 + cosine) / 2.0, 6) AS s,
+             CAST(sum(CASE WHEN rs <= 4
+                      THEN CAST(round((1.0 + cosine) / 2.0, 6)
+                                AS DECIMAL(18,6)) END)
                     OVER (PARTITION BY src_id) AS DOUBLE)
                / sum(CASE WHEN rs <= 4 THEN 1 ELSE 0 END)
                     OVER (PARTITION BY src_id) AS ms,
-             CAST(sum(CASE WHEN rt <= 4 THEN CAST(cosine AS DECIMAL(18,6)) END)
+             CAST(sum(CASE WHEN rt <= 4
+                      THEN CAST(round((1.0 + cosine) / 2.0, 6)
+                                AS DECIMAL(18,6)) END)
                     OVER (PARTITION BY tgt_id) AS DOUBLE)
                / sum(CASE WHEN rt <= 4 THEN 1 ELSE 0 END)
                     OVER (PARTITION BY tgt_id) AS mt
       FROM r
     )
     SELECT src_id, tgt_id, cosine,
-           round(cosine / ((ms + mt) / 2.0), 4) AS margin
+           round(s / greatest((ms + mt) / 2.0, 0.000001), 4) AS margin
     FROM m ORDER BY margin DESC, src_id, tgt_id LIMIT 20
     """,
 )
@@ -10176,7 +10181,12 @@ def q_label_propagation(spark, sf_dir):
     unrolls both rounds exactly."""
     from tabata_spark.operators.graph import label_propagation
 
-    edges = _copurchase_symmetric(spark, sf_dir)
+    # the canonical p1<p2 half — label_propagation symmetrizes
+    # internally, so feeding the pre-symmetrized form would union+
+    # distinct 4E rows for nothing (review finding r7 pass 2)
+    edges = _copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    )
     return label_propagation(edges, rounds=2).orderBy("node")
 
 

@@ -1116,10 +1116,18 @@ def margin_mining(
     per src with the IVF/LSH index (ivf_index_topk) so the scored set
     is bucket-bounded, then apply the same margin windows.
 
+    Sign robustness: the ratio is computed over similarities shifted
+    to [0, 1] (s = (1+cos)/2) — raw-cosine neighborhood means can go
+    NEGATIVE (a source anti-correlated with everything), which flips
+    the ratio's sign and ranks the WORST pairs first; the shifted
+    means are nonnegative and the denominator is clamped at 1e-6, so
+    ordering is always sane and never divides by zero.
+
     Engine determinism: cosines rounded to 4 before ranking (ties on
-    ids), k-NN means as exact DECIMAL sums over the rounded values,
-    margin a fixed-order double expression — the DuckDB oracle
-    replays every step. Returns (src_id, tgt_id, cosine, margin)."""
+    ids), k-NN means as exact DECIMAL sums over the rounded-6 shifted
+    similarities, margin a fixed-order clamped double expression — the
+    DuckDB oracle replays every step. Returns
+    (src_id, tgt_id, cosine, margin)."""
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv"))
     pairs = t.join(F.broadcast(s)).select(
@@ -1132,20 +1140,22 @@ def margin_mining(
     ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
         "__rt", F.row_number().over(wt)
     )
-    cdec = F.col("cosine").cast("decimal(18,6)")
+    s = F.round((F.lit(1.0) + F.col("cosine")) / F.lit(2.0), 6)
+    sdec = s.cast("decimal(18,6)")
     ps = Window.partitionBy("src_id")
     pt = Window.partitionBy("tgt_id")
     ms = (
-        F.sum(F.when(F.col("__rs") <= k, cdec)).over(ps).cast("double")
+        F.sum(F.when(F.col("__rs") <= k, sdec)).over(ps).cast("double")
         / F.sum(F.when(F.col("__rs") <= k, 1).otherwise(0)).over(ps)
     )
     mt = (
-        F.sum(F.when(F.col("__rt") <= k, cdec)).over(pt).cast("double")
+        F.sum(F.when(F.col("__rt") <= k, sdec)).over(pt).cast("double")
         / F.sum(F.when(F.col("__rt") <= k, 1).otherwise(0)).over(pt)
     )
+    den = F.greatest((ms + mt) / F.lit(2.0), F.lit(1e-6))
     return ranked.select(
         "src_id",
         "tgt_id",
         "cosine",
-        F.round(F.col("cosine") / ((ms + mt) / F.lit(2.0)), 4).alias("margin"),
+        F.round(s / den, 4).alias("margin"),
     )

@@ -169,13 +169,16 @@ def bloom_might_contain(
     m_bits: int = 1 << 16,
     k: int = 5,
     salt: str = "bloom",
+    hasher: str = "md5",
 ) -> DataFrame:
-    """Membership probe: adds ``might_contain`` (no false negatives).
+    """Membership probe: adds ``might_contain`` (no false negatives —
+    PROVIDED the probe uses the same ``hasher`` (and m_bits/k/salt)
+    as the build; mismatched positions silently break the guarantee).
 
     The bitmap is broadcast; the probe side is scanned once and
     re-aggregated on its own key."""
     probes = df.select(F.col(key_col)).withColumn(
-        "p", F.explode(_bloom_positions(F.col(key_col), m_bits, k, salt))
+        "p", F.explode(_bloom_positions(F.col(key_col), m_bits, k, salt, hasher))
     )
     hit = probes.select(
         key_col,

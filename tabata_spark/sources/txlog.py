@@ -428,23 +428,32 @@ def tx_vacuum(root: str, retention_s: float = 3600.0) -> list[str]:
     return removed
 
 
-def tx_restore(spark: SparkSession, root: str, version: int) -> int:
+def tx_restore(root: str, version: int) -> int:
     """Restore the table to a historical version's snapshot (Delta
     RESTORE): commits a replace whose file set equals that version's —
     no data is copied, the old files are simply re-referenced, and the
     restore itself is one more versioned commit (so it can in turn be
-    time-traveled past or restored away). Raises if any needed file
-    was already vacuumed."""
+    time-traveled past or restored away). Raises for a version the
+    table never had, or if any needed file was already vacuumed.
+    Pure log/filesystem work — no SparkSession involved (like
+    :func:`tx_vacuum`)."""
+    latest = _latest_version(root)
+    if not 1 <= version <= latest:
+        # existence must be checked against the VERSION RANGE, not the
+        # file set: a too-high version replays the whole log and would
+        # silently "restore" the current snapshot, and a real version
+        # whose snapshot is legitimately empty (delete-all) would be
+        # wrongly rejected
+        raise ValueError(
+            f"txlog table {root} has no version {version} (latest: {latest})"
+        )
     target = _active_files(root, version)
-    if not target:
-        raise ValueError(f"txlog table {root} has no version {version}")
     missing = [f for f in target if not os.path.exists(os.path.join(root, f))]
     if missing:
         raise ValueError(
             f"cannot restore {root} to v{version}: {len(missing)} of its "
             f"files were vacuumed (e.g. {missing[0]})"
         )
-    base = _latest_version(root)
     current = _active_files(root)
     cur = set(current)
     tgt = set(target)
@@ -453,5 +462,5 @@ def tx_restore(spark: SparkSession, root: str, version: int) -> int:
         "replace",
         [f for f in target if f not in cur],
         [f for f in current if f not in tgt],
-        base_version=base,
+        base_version=latest,
     )

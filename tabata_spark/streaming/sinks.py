@@ -383,14 +383,34 @@ def stream_cms_txlog(
     txlog twin of ``stream_cms_maintain``, same closure as
     ``stream_rollup_txlog``: each micro-batch commits the merged
     sketch as one atomic overwrite with ``txn=f"{app_id}:{batch_id}"``
-    (the commit IS the idempotence marker). The sketch geometry rides
-    in the table's enforced schema plus the txlog history; state is
-    bounded by depth*width rows regardless of stream length."""
-    from tabata_spark.operators.sketch import cms_build, cms_merge
+    (the commit IS the idempotence marker). The sketch GEOMETRY
+    (depth/width/salt/hasher) is validated against the same sidecar
+    ``cms_upsert`` keeps — the txlog's schema enforcement cannot see
+    it (every geometry shares the (row, bucket, c) schema), and
+    merging buckets hashed under different geometry silently corrupts
+    every later estimate. State is bounded by depth*width rows
+    regardless of stream length."""
+    from tabata_spark.operators.sketch import (
+        _cms_check_meta,
+        _cms_meta_path,
+        cms_build,
+        cms_merge,
+    )
     from tabata_spark.sources.txlog import tx_read, tx_write
 
+    geometry = {"depth": depth, "width": width, "salt": salt, "hasher": hasher}
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
         spark = batch_df.sparkSession
+        _cms_check_meta(root, geometry)
+        meta = _cms_meta_path(root)
+        if not os.path.exists(meta):
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(geometry, f)
+            os.replace(tmp, meta)
         part = cms_build(batch_df, key_col, depth, width, salt, hasher)
         if not part.head(1):
             return

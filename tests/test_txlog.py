@@ -252,15 +252,38 @@ def test_restore_returns_to_old_snapshot_as_new_version(spark, tmp_path):
     tx_write(_df(spark, 10, 30, "b"), root)          # v2
     tx_delete_where(spark, root, F.col("id") < 20)   # v3: only 20-29 left
     assert tx_read(spark, root).count() == 10
-    v = tx_restore(spark, root, 2)
+    v = tx_restore(root, 2)
     assert v == 4  # restore is itself a commit
     assert tx_read(spark, root).count() == 30  # v2 snapshot back
     assert tx_read(spark, root, version=3).count() == 10  # history intact
     # restoring past vacuumed files raises
-    tx_compact(spark, root)
+    # a version the table never had must be rejected, not silently
+    # no-op'd (review finding r7 pass 2)
+    with pytest.raises(ValueError, match="no version"):
+        tx_restore(root, 99)
+    # restoring a legitimately-EMPTY snapshot works
+    tx_delete_where(spark, root, F.lit(True))
+    empty_v = tx_history(root)[-1]["version"]
+    tx_write(_df(spark, 0, 5, "z"), root)
+    tx_restore(root, empty_v)
+    with pytest.raises(ValueError, match="no data"):
+        tx_read(spark, root)
+    tx_compact_ok = False
+    try:
+        tx_compact(spark, root)
+    except ValueError:
+        tx_compact_ok = True  # compacting an empty table raises no-data
+    assert tx_compact_ok
+    tx_restore(root, 2)  # back to a populated snapshot
+    assert tx_read(spark, root).count() == 30
+    tx_vacuum(root, retention_s=0)
+    # v1's files survive (still referenced by the restored snapshot? no —
+    # v1 files are a subset of v2's actives) — restore to a version whose
+    # files were vacuumed must raise
+    tx_delete_where(spark, root, F.col("id") >= 0)
     tx_vacuum(root, retention_s=0)
     with pytest.raises(ValueError, match="vacuumed"):
-        tx_restore(spark, root, 1)
+        tx_restore(root, 2)
 
 
 def test_random_op_sequences_match_versioned_model(spark, tmp_path):
@@ -310,7 +333,7 @@ def test_random_op_sequences_match_versioned_model(spark, tmp_path):
                 # state unchanged
             elif op == "restore":
                 v = rnd.randint(1, len(model) - 1)
-                tx_restore(spark, root, v)
+                tx_restore(root, v)
                 cur = dict(model[v])
             model.append(cur)
 
