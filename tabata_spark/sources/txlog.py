@@ -93,24 +93,53 @@ def _canonical_schema(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
-def _check_schema(root: str, df: DataFrame) -> list[list[str]]:
+def _latest_schema(root: str) -> list[list[str]] | None:
+    """The canonical schema of the most recent commit that recorded
+    one (schema evolution makes later commits authoritative)."""
+    out = None
+    for c in _commits(root):
+        if "schema" in c:
+            out = c["schema"]
+    return out
+
+
+def _check_schema(
+    root: str, df: DataFrame, evolve: bool = False
+) -> list[list[str]]:
     """Schema enforcement on write (Delta's contract): every write
     must match the table's canonical schema exactly (names + types,
     order-sensitive like parquet itself). A mixed-schema table is
     silently corrupt — an INT file in a BIGINT column fails only at
     read time, on whichever file a scan touches first — so mismatch
-    is an error at WRITE time, where the caller can still fix it."""
+    is an error at WRITE time, where the caller can still fix it.
+
+    ``evolve=True`` permits ADDITIVE evolution (Delta's mergeSchema):
+    the write may introduce new columns, but every existing table
+    column must keep its name and type — old files then read with
+    nulls in the new columns. Type changes and drops stay errors."""
     schema = _canonical_schema(df)
-    for c in _commits(root):
-        if "schema" in c:
-            if c["schema"] != schema:
-                raise ValueError(
-                    f"schema mismatch writing to txlog table {root}: "
-                    f"table has {c['schema']}, write has {schema} "
-                    "(cast/rename to match, or start a new table)"
-                )
-            return schema
-    return schema
+    table = _latest_schema(root)
+    if table is None or table == schema:
+        return schema
+    if evolve:
+        new = dict(map(tuple, schema))
+        bad = [
+            [n, t]
+            for n, t in map(tuple, table)
+            if n not in new or new[n] != t
+        ]
+        if not bad:
+            return schema  # additive: new canonical schema
+        raise ValueError(
+            f"schema evolution on txlog table {root} may only ADD "
+            f"columns: existing {bad} changed or dropped"
+        )
+    raise ValueError(
+        f"schema mismatch writing to txlog table {root}: "
+        f"table has {table}, write has {schema} "
+        "(cast/rename to match, pass evolve=True to add columns, "
+        "or start a new table)"
+    )
 
 
 def _write_data(df: DataFrame, root: str) -> list[str]:
@@ -205,7 +234,11 @@ def _commit(
 
 
 def tx_write(
-    df: DataFrame, root: str, mode: str = "append", txn: str | None = None
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    txn: str | None = None,
+    evolve: bool = False,
 ) -> int:
     """Write ``df`` as new immutable data files and commit them.
 
@@ -214,15 +247,18 @@ def tx_write(
     :func:`tx_vacuum`). ``txn`` makes the write idempotent: a replay
     with the same token commits nothing (its freshly-written files
     stay unreferenced for :func:`tx_vacuum`) — the exactly-once
-    handle for streaming/restart delivery. Returns the committed (or
-    pre-existing, for a replayed txn) version."""
+    handle for streaming/restart delivery. ``evolve=True`` allows the
+    write to ADD columns (see :func:`_check_schema`); readers then
+    merge schemas and old rows surface nulls in the new columns.
+    Returns the committed (or pre-existing, for a replayed txn)
+    version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn is not None:
         for c in _commits(root):
             if c.get("txn") == txn:
                 return c["version"]  # replay — skip the data write too
-    schema = _check_schema(root, df)
+    schema = _check_schema(root, df, evolve=evolve)
     return _commit(root, mode, _write_data(df, root), [], txn=txn, schema=schema)
 
 
@@ -230,14 +266,38 @@ def tx_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read at the latest (or a historical) version — the
-    exact file list from the log, no directory listing."""
+    exact file list from the log, no directory listing. After schema
+    evolution the scan merges file schemas (footer reads — only paid
+    when the log actually records more than one schema) and columns
+    come back in the canonical (latest-schema) order with nulls where
+    old files predate a column."""
     files = _active_files(root, version)
     if not files:
         raise ValueError(
             f"txlog table {root} has no data"
             + (f" at version {version}" if version is not None else "")
         )
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    # schema as of the requested version (Delta time travel presents
+    # each version under its own era's schema)
+    schemas = [
+        c["schema"]
+        for c in _commits(root)
+        if "schema" in c and (version is None or c["version"] <= version)
+    ]
+    reader = spark.read
+    evolved = any(s != schemas[-1] for s in schemas) if schemas else False
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(root, f) for f in files])
+    if evolved:
+        from pyspark.sql import functions as F
+
+        cols = [
+            F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
+            for n, t in map(tuple, schemas[-1])
+        ]
+        df = df.select(*cols)
+    return df
 
 
 def _touched_relpaths(root: str, rows) -> list[str]:

@@ -347,3 +347,30 @@ def test_random_op_sequences_match_versioned_model(spark, tmp_path):
                     for r in tx_read(spark, root, version=v).collect()
                 }
                 assert tv == model[v], f"trial {trial}: version {v} diverged"
+
+
+def test_schema_evolution_adds_columns_with_nulls(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), root)  # id, tag
+    wide = spark.createDataFrame(
+        [(100 + i, "b", float(i)) for i in range(5)],
+        "id long, tag string, score double",
+    )
+    # without evolve: refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tx_write(wide, root)
+    tx_write(wide, root, evolve=True)
+    out = tx_read(spark, root)
+    assert out.columns == ["id", "tag", "score"]  # canonical order
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert len(rows) == 15
+    assert rows[0] is None and rows[100] == 0.0  # old rows -> nulls
+    # time travel shows version 1 under ITS era's schema
+    assert tx_read(spark, root, version=1).columns == ["id", "tag"]
+    # evolution may only ADD: type change / drop still refused
+    bad = spark.createDataFrame([(1, 2, 0.0)], "id long, tag int, score double")
+    with pytest.raises(ValueError, match="ADD"):
+        tx_write(bad, root, evolve=True)
+    # a later compact converges every file to the wide schema
+    tx_compact(spark, root)
+    assert tx_read(spark, root).count() == 15
