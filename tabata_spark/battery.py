@@ -10416,3 +10416,40 @@ def q_oov_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "a_theilsen_trend",
+    SIGNALS_CTE
+    + """
+    , nn AS (SELECT record_id, count(*) AS N FROM signals GROUP BY record_id),
+    js AS (SELECT record_id, N, unnest(generate_series(0, 63)) AS j
+           FROM nn WHERE N >= 2),
+    pr AS (SELECT record_id, N, j,
+             ('0x' || substr(md5('tsena' || ':' || j::VARCHAR || ':'
+                                 || record_id), 1, 15))::BIGINT % N AS i1,
+             ('0x' || substr(md5('tsenb' || ':' || j::VARCHAR || ':'
+                                 || record_id), 1, 15))::BIGINT % (N - 1) AS d
+           FROM js),
+    pp AS (SELECT record_id, N, i1, (i1 + 1 + d) % N AS i2 FROM pr),
+    sl AS (SELECT pp.record_id, pp.N,
+                  (s2.value - s1.value) / CAST(pp.i2 - pp.i1 AS DOUBLE) AS slope
+           FROM pp
+           JOIN signals s1 ON pp.record_id = s1.record_id AND pp.i1 = s1.seq
+           JOIN signals s2 ON pp.record_id = s2.record_id AND pp.i2 = s2.seq)
+    SELECT record_id, CAST(max(N) AS BIGINT) AS n,
+           round(median(slope), 6) AS ts_slope
+    FROM sl GROUP BY record_id ORDER BY record_id
+    """,
+)
+def a_theilsen_trend(spark, sf_dir):
+    """Sampled Theil-Sen robust trend per record (operators/stats.py:
+    theilsen_slope) — the outlier-proof sibling of a_record_trend's
+    OLS slope: the median of 64 hash-derived pairwise slopes, O(m) per
+    series instead of full Theil-Sen's O(N^2), bit-deterministic via
+    the derived-randomness discipline. The oracle replays the pair
+    hashes, both position joins, and the interpolating median."""
+    from tabata_spark.operators.stats import theilsen_slope
+
+    sig = _signals(spark, sf_dir)
+    return theilsen_slope(sig, n_pairs=64).orderBy("record_id")

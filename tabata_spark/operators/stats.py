@@ -383,3 +383,101 @@ def quantile_normalize(
     return ranked.join(F.broadcast(ref), "__j").select(
         group_col, id_col, value_col, "q_value"
     )
+
+
+def theilsen_slope(
+    signals: DataFrame,
+    n_pairs: int = 64,
+    salt: str = "tsen",
+    key_col: str = "record_id",
+    seq_col: str = "seq",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Sampled Theil-Sen trend slope per series: the median of
+    pairwise slopes over ``n_pairs`` HASH-DERIVED point pairs — the
+    robust alternative to the OLS slope (a_record_trend): a handful
+    of outliers moves OLS arbitrarily but shifts a slope median by at
+    most its rank weight (~29% breakdown for full Theil-Sen; the
+    sampled estimator inherits it at m pairs). Full Theil-Sen is
+    O(N^2) pairs per series — hash-sampling m pairs keeps it O(m) per
+    series at any length, and deriving the pairs from salted md5 of
+    (j, key) makes the estimate a pure function of the data, bit-equal
+    under any partitioning and replayable by the SQL oracle (the
+    engine's derived-randomness discipline, operators/sampling.py).
+
+    Pair j of a length-N series: i1 = H('a', j, key) % N and
+    i2 = (i1 + 1 + H('b', j, key) % (N-1)) % N — distinct by
+    construction. Requires the series' ``seq_col`` to be the dense
+    0..N-1 position (the signal-set layout). Returns
+    (key_col, n, ts_slope)."""
+
+    def _h(tag: str) -> "F.Column":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt + tag),
+                        F.col("__j").cast("string"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    counts = signals.groupBy(key_col).agg(F.count(F.lit(1)).alias("__N"))
+    pairs = (
+        counts.filter(F.col("__N") >= 2)
+        .select(
+            key_col,
+            "__N",
+            F.explode(F.sequence(F.lit(0), F.lit(n_pairs - 1))).alias("__j"),
+        )
+        .select(
+            key_col,
+            "__N",
+            "__j",
+            (_h("a") % F.col("__N")).alias("__i1"),
+        )
+        .withColumn(
+            "__i2",
+            (F.col("__i1") + 1 + _h("b") % (F.col("__N") - 1)) % F.col("__N"),
+        )
+    )
+    s1 = signals.select(
+        F.col(key_col).alias("__k1"),
+        F.col(seq_col).alias("__p1"),
+        F.col(value_col).alias("__v1"),
+    )
+    s2 = signals.select(
+        F.col(key_col).alias("__k2"),
+        F.col(seq_col).alias("__p2"),
+        F.col(value_col).alias("__v2"),
+    )
+    joined = (
+        pairs.join(
+            s1,
+            (pairs[key_col] == s1["__k1"]) & (pairs["__i1"] == s1["__p1"]),
+        )
+        .join(
+            s2,
+            (pairs[key_col] == s2["__k2"]) & (pairs["__i2"] == s2["__p2"]),
+        )
+        .select(
+            pairs[key_col].alias(key_col),
+            "__N",
+            (
+                (F.col("__v2") - F.col("__v1"))
+                / (F.col("__i2") - F.col("__i1")).cast("double")
+            ).alias("__slope"),
+        )
+    )
+    return joined.groupBy(key_col).agg(
+        F.max("__N").cast("long").alias("n"),
+        F.round(F.expr("percentile(__slope, 0.5)"), decimals).alias("ts_slope"),
+    )

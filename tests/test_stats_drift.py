@@ -203,3 +203,23 @@ def test_quantile_normalize_aligns_group_distributions(spark):
     # rank order within each group is preserved
     a = out[out.g == "a"].sort_values("v")
     assert (a.q_value.values == np.sort(a.q_value.values)).all()
+
+
+def test_theilsen_recovers_slope_under_outliers(spark):
+    import numpy as np
+
+    from tabata_spark.operators.stats import theilsen_slope
+
+    rng = np.random.RandomState(9)
+    vals = [2.5 * i + 3.0 + 0.01 * rng.randn() for i in range(300)]
+    for i in range(0, 300, 23):  # ~13 gross outliers
+        vals[i] += 500.0
+    rows = [("r1", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "record_id string, seq long, value double")
+    row = theilsen_slope(df, n_pairs=64).collect()[0]
+    assert row["n"] == 300
+    # OLS would be wrecked by the +500 spikes; the slope median holds
+    assert abs(row["ts_slope"] - 2.5) < 0.25
+    # determinism: bit-identical on re-run
+    again = theilsen_slope(df, n_pairs=64).collect()[0]
+    assert again["ts_slope"] == row["ts_slope"]
