@@ -156,6 +156,89 @@ def _write_data(df: DataFrame, root: str) -> list[str]:
     )
 
 
+def _file_stats(root: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max of ``cols`` from the parquet FOOTERS (pyarrow
+    metadata — no data read): the Delta add-file stats that let
+    readers prune files from the log alone. Values are JSON-encoded;
+    non-primitive or statless columns are simply absent."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mn, mx = s.min, s.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8", "replace"), mx.decode(
+                        "utf-8", "replace"
+                    )
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                stats[c] = [lo, hi]
+        if stats:
+            out[rel] = stats
+    return out
+
+
+def _commit_stats(root: str) -> dict:
+    """Union of every commit's recorded file stats (later commits
+    never re-stat existing files, so entries are disjoint)."""
+    out: dict = {}
+    for c in _commits(root):
+        out.update(c.get("stats", {}))
+    return out
+
+
+def tx_files_for_range(
+    root: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """Data skipping from the LOG alone (no footer reads at query
+    time): the active files whose recorded [min, max] for ``col``
+    intersects [lo, hi] — files with no recorded stats are kept
+    conservatively. Returns (kept_files, n_skipped)."""
+    stats = _commit_stats(root)
+    kept, skipped = [], 0
+    for f in _active_files(root, version):
+        s = stats.get(f, {}).get(col)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            skipped += 1
+            continue
+        kept.append(f)
+    return kept, skipped
+
+
+def tx_read_range(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> DataFrame:
+    """Range-predicate snapshot read with log-level data skipping:
+    files whose stats exclude [lo, hi] never reach the scan (on top
+    of parquet's own row-group pruning within the files that do).
+    After a ``cluster_by`` compact with ``stats_cols`` on the same
+    key, a point/range read touches only the files owning that
+    range — O(selectivity), not O(table)."""
+    from pyspark.sql import functions as F
+
+    files, _ = tx_files_for_range(root, col, lo, hi)
+    if not files:
+        return tx_read(spark, root).filter(F.lit(False))
+    return (
+        spark.read.parquet(*[os.path.join(root, f) for f in files])
+        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    )
+
+
 class TxConflictError(RuntimeError):
     """A replace commit's read snapshot was invalidated by a
     concurrent non-append commit — re-run the operation against the
@@ -170,6 +253,7 @@ def _commit(
     txn: str | None = None,
     schema: list[list[str]] | None = None,
     base_version: int | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Atomically claim the next version. The claim is a fully-written
     temp file hard-linked into the ``<version>.json`` name — link(2)
@@ -215,6 +299,8 @@ def _commit(
             entry["txn"] = txn
         if schema is not None:
             entry["schema"] = schema
+        if stats:
+            entry["stats"] = stats
         claim = os.path.join(logd, f"{version:020d}.json")
         tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -239,6 +325,7 @@ def tx_write(
     mode: str = "append",
     txn: str | None = None,
     evolve: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as new immutable data files and commit them.
 
@@ -259,7 +346,11 @@ def tx_write(
             if c.get("txn") == txn:
                 return c["version"]  # replay — skip the data write too
     schema = _check_schema(root, df, evolve=evolve)
-    return _commit(root, mode, _write_data(df, root), [], txn=txn, schema=schema)
+    files = _write_data(df, root)
+    stats = _file_stats(root, files, stats_cols) if stats_cols else None
+    return _commit(
+        root, mode, files, [], txn=txn, schema=schema, stats=stats
+    )
 
 
 def tx_read(
@@ -419,6 +510,7 @@ def tx_compact(
     root: str,
     n_files: int = 1,
     cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the live snapshot into ``n_files`` files and commit a
     replace — bounds file count AND log-replay length (a reader after
@@ -441,9 +533,15 @@ def tx_compact(
         )
     else:
         snap = snap.coalesce(n_files)
+    out_files = _write_data(snap, root)
+    # clustered compaction records stats for its cluster keys by
+    # default — disjoint per-file ranges are exactly what data
+    # skipping (tx_files_for_range) feeds on
+    cols = stats_cols if stats_cols is not None else (cluster_by or [])
+    stats = _file_stats(root, out_files, cols) if cols else None
     return _commit(
-        root, "replace", _write_data(snap, root), files,
-        schema=_canonical_schema(snap), base_version=base,
+        root, "replace", out_files, files,
+        schema=_canonical_schema(snap), base_version=base, stats=stats,
     )
 
 

@@ -374,3 +374,36 @@ def test_schema_evolution_adds_columns_with_nulls(spark, tmp_path):
     # a later compact converges every file to the wide schema
     tx_compact(spark, root)
     assert tx_read(spark, root).count() == 15
+
+
+def test_data_skipping_prunes_files_from_log_stats(spark, tmp_path):
+    from tabata_spark.sources.txlog import tx_files_for_range, tx_read_range
+
+    root = str(tmp_path / "t")
+    for i in range(4):
+        tx_write(
+            spark.range(i, 4000, 4).select(F.col("id"), F.lit(f"t{i}").alias("tag")),
+            root,
+        )
+    tx_compact(spark, root, n_files=4, cluster_by=["id"])  # auto-stats on id
+    stats = tx_history(root)[-1].get("stats", {})
+    assert len(stats) == 4 and all("id" in s for s in stats.values())
+
+    kept, skipped = tx_files_for_range(root, "id", 100, 120)
+    assert len(kept) == 1 and skipped == 3  # disjoint ranges: one file
+
+    got = sorted(r["id"] for r in tx_read_range(spark, root, "id", 100, 120).collect())
+    assert got == list(range(100, 121))
+
+    # out-of-range read returns empty, not an error
+    assert tx_read_range(spark, root, "id", 10_000, 20_000).count() == 0
+
+
+def test_data_skipping_conservative_without_stats(spark, tmp_path):
+    from tabata_spark.sources.txlog import tx_files_for_range
+
+    root = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 100, "a"), root)  # no stats_cols -> no stats
+    kept, skipped = tx_files_for_range(root, "id", 5, 6)
+    assert skipped == 0  # statless files are kept conservatively
+    assert len(kept) >= 1
