@@ -143,6 +143,8 @@ HEADLINE = [
     "q_quantile_normalize",
     "q_label_propagation",
     "q_shortest_paths",
+    "a_theilsen_trend",
+    "q_oov_rate",
     # q_txlog_orders / q_txlog_merge rebuild their transactional store
     # from scratch per call (protocol exercise, not query cost) — probe-
     # documented in SCALE.md (r7: 10x1M appends 3.0s, CoW merge 8.4s,
