@@ -10453,3 +10453,99 @@ def a_theilsen_trend(spark, sf_dir):
 
     sig = _signals(spark, sf_dir)
     return theilsen_slope(sig, n_pairs=64).orderBy("record_id")
+
+
+@register(
+    "q_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (SELECT from_type, sum(n) AS nf FROM tr GROUP BY from_type)
+    SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+           round(CAST(tr.n AS DOUBLE) / tot.nf, 6) AS p
+    FROM tr JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: for
+    every (from, to) event-type pair, the transition count and
+    conditional probability P(to | from) over each user's
+    (ts, event_id)-ordered stream — the behavior model behind
+    next-event prediction and funnel-leak diagnosis. One user-
+    partitioned lead window + two tiny aggregations; exact integer
+    counts, one fixed-order double division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("nf"))
+    return (
+        tr.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("nf"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "q_type_entropy_daily",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT d, sum(o) AS n FROM cells GROUP BY d)
+    SELECT cells.d AS day, CAST(any_value(tot.n) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(round(
+             -(o::DOUBLE / tot.n) * ln(o::DOUBLE / tot.n), 6)
+             AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS entropy_nats
+    FROM cells JOIN tot USING (d)
+    GROUP BY cells.d ORDER BY day
+    """,
+)
+def q_type_entropy_daily(spark, sf_dir):
+    """Daily Shannon entropy of the event-type mix — the composition-
+    drift monitor (an entropy drop = one type crowding out the rest;
+    a spike = new behavior appearing), the time-series companion to
+    the chi2/PSI snapshot tests. Exact integer cell counts, fixed-
+    order double terms DECIMAL-quantized before the per-day sum."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.groupBy("day").agg(F.sum("o").alias("n"))
+    p = F.col("o").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 6)
+    return (
+        cells.join(F.broadcast(tot), "day")
+        .groupBy("day")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(term.cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("entropy_nats"),
+        )
+        .orderBy("day")
+    )
