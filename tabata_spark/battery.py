@@ -10549,3 +10549,85 @@ def q_type_entropy_daily(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_lorenz_customers",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    dec AS (
+      SELECT o_custkey, r,
+             ntile(10) OVER (ORDER BY r, o_custkey) AS decile
+      FROM rev
+    ),
+    agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(r) AS DECIMAL(28,2)) AS rev
+      FROM dec GROUP BY decile
+    ),
+    tot AS (SELECT CAST(sum(rev) AS DECIMAL(28,2)) AS t FROM agg)
+    SELECT decile, n_customers,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+           round(CAST(CAST(sum(rev) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(28,2)) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             AS cum_share
+    FROM agg CROSS JOIN tot ORDER BY decile
+    """,
+)
+def q_lorenz_customers(spark, sf_dir):
+    """Lorenz concentration curve of customer revenue: deciles by the
+    (revenue, custkey) total order, each decile's share and cumulative
+    share of total revenue — the "top 10% of customers drive X%"
+    number, and for a data pipeline the same shape answers "how
+    concentrated is my corpus across domains". Exact DECIMAL sums end
+    to end (the window cumulative re-quantized before the double
+    boundary); engine-identical ntile on the deterministic order.
+
+    Scale note: the global ntile window runs over the per-CUSTOMER
+    aggregate (|entities| rows — orders of magnitude below the fact
+    table), the same entity-level single-pass trade as q_zipf_fit's
+    rank; at billions of entities swap it for the equi-depth
+    two-phase bucketing of q_histogram_depth per shard."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("r")
+    )
+    dec = rev.select(
+        "o_custkey",
+        "r",
+        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").cast("decimal(28,2)").alias("rev"),
+    )
+    tot = agg.agg(F.sum("rev").cast("decimal(28,2)").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("rev").over(wc).cast("decimal(28,2)").cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
