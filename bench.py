@@ -145,6 +145,9 @@ HEADLINE = [
     "q_shortest_paths",
     "a_theilsen_trend",
     "q_oov_rate",
+    "q_markov_transitions",
+    "q_type_entropy_daily",
+    "q_lorenz_customers",
     # q_txlog_orders / q_txlog_merge rebuild their transactional store
     # from scratch per call (protocol exercise, not query cost) — probe-
     # documented in SCALE.md (r7: 10x1M appends 3.0s, CoW merge 8.4s,
