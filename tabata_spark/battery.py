@@ -10631,3 +10631,47 @@ def q_lorenz_customers(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_purchase_cadence",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM p
+    )
+    SELECT CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.25) / 3600000000.0, 4) AS p25_h,
+           round(quantile_cont(gap_us, 0.50) / 3600000000.0, 4) AS p50_h,
+           round(quantile_cont(gap_us, 0.90) / 3600000000.0, 4) AS p90_h
+    FROM g
+    """,
+)
+def q_purchase_cadence(spark, sf_dir):
+    """Purchase-cadence distribution: per-user inter-purchase gaps
+    (exact µs integers from the (ts, event_id)-ordered stream), then
+    the interpolated p25/p50/p90 in hours — the engagement-frequency
+    number behind retention targets. Spark's percentile and DuckDB's
+    quantile_cont share the linear-interpolation definition (the
+    a_user_summary median precedent); gaps stay BIGINT until the one
+    fixed-order division at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    hours = 3600000000.0
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.25)") / hours, 4).alias("p25_h"),
+        F.round(F.expr("percentile(gap_us, 0.50)") / hours, 4).alias("p50_h"),
+        F.round(F.expr("percentile(gap_us, 0.90)") / hours, 4).alias("p90_h"),
+    )
