@@ -10675,3 +10675,99 @@ def q_purchase_cadence(spark, sf_dir):
         F.round(F.expr("percentile(gap_us, 0.50)") / hours, 4).alias("p50_h"),
         F.round(F.expr("percentile(gap_us, 0.90)") / hours, 4).alias("p90_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-audit window rotation (round 8).
+#
+# The per-round correctness driver value-hashes exactly the FIRST 50
+# entries of queries() in iteration order (verified r5:
+# CORRECTNESS_r05.json keys == registration-order prefix). Rounds 4-7
+# all audited the same first-50 slice; every one of those 50 is
+# hash-green in CORRECTNESS_r07.json, and all 201 oracles passed the
+# HUGEINT/DECIMAL type lint (ORACLE_LOCAL_r7.txt), so rotating is
+# zero-risk by the round-6 brief's own precondition. Rotate a SECOND,
+# fully DISJOINT 50-query slice into the driver's view so the battery's
+# long tail gets independent driver confirmation: txlog, KMV/sketches,
+# Bloom-prefiltered join, graph (PageRank/shortest-paths/LPA/triangles),
+# drift & eval stats, bitext mining, SCD2/PIT/CDC, as-of joins, and the
+# TPC-H long tail. Decorator source order is untouched — only the dict
+# iteration order rotates. Pinned in tests/test_battery_window.py.
+
+_DRIVER_WINDOW_R8 = [
+    # TPC-H long tail + relational surface never driver-hashed before
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q2_min_cost_supp",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q20_qualified_suppliers",
+    "q_pivot_orders",
+    "q_grouping_sets",
+    "q_quantiles",
+    "q_corr_stats",
+    "q_window_rank",
+    "a_salted_agg",
+    "a_normalize",
+    # as-of / interval joins
+    "j_asof_purchase",
+    "j_interval_attrib",
+    # transactional table log
+    "q_txlog_orders",
+    "q_txlog_merge",
+    # sketches + sketch-powered join
+    "q_kmv_overlap",
+    "q_bloom_join",
+    "sketch_cms_tokens",
+    "sketch_bloom_customers",
+    "sketch_dd_quantiles",
+    "sketch_join_cardinality",
+    # graph
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_shortest_paths",
+    "q_label_propagation",
+    "q_triangles",
+    # drift / eval stats
+    "q_chi2_source_lang",
+    "q_psi_sources",
+    "q_ks_sources",
+    "q_mannwhitney_sources",
+    "q_gini_sources",
+    "q_mutual_info",
+    "q_conformal_coverage",
+    "q_quantile_normalize",
+    "a_theilsen_trend",
+    "a_bootstrap_ci",
+    # bitext mining
+    "q_bitext_margin",
+    # SCD2 / PIT / CDC
+    "q_scd2_customers",
+    "q_pit_orders",
+    "q_snapshot_diff",
+    # text retrieval / tokenization long tail
+    "text_bm25",
+    "text_inverted",
+    "text_decontaminate",
+    "text_bpe_merges",
+    # sampling + end-to-end pipeline
+    "sample_stratified",
+    "pipeline_end_to_end",
+]
+
+
+def _rotate_driver_window(window: list[str]) -> None:
+    missing = [n for n in window if n not in QUERIES]
+    if missing:
+        raise AssertionError(f"driver-window names not registered: {missing}")
+    head = set(window)
+    order = list(window) + [n for n in QUERIES if n not in head]
+    for d in (QUERIES, ORACLES):
+        snapshot = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(snapshot)
+
+
+_rotate_driver_window(_DRIVER_WINDOW_R8)

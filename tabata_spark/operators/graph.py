@@ -195,28 +195,57 @@ def bounded_shortest_paths(
     relaxation; distances stay exact BIGINTs either way, so the result
     is bit-identical under any partitioning and any SQL engine (the
     DuckDB oracle unrolls the identical rounds). Returns (node, dist)
-    for every node reachable within the bound."""
+    for every node reachable within the bound.
+
+    Delta-frontier relaxation (VERDICT r7): round i joins only the
+    FRONTIER — nodes whose distance improved in round i-1 — against
+    the edge table, not the whole settled set. A node's distance can
+    only improve through a neighbor that itself just improved (else it
+    would have improved in an earlier round), so the per-round dist
+    tables are identical to full re-relaxation while the join volume
+    tracks the expanding wave, not the accumulated reach — on a
+    high-diameter graph with a large settled interior this is the
+    difference between O(wave × avg-degree) and O(reached × avg-degree)
+    per round. An empty frontier means convergence: remaining rounds
+    are exited early (full relaxation would just re-derive the same
+    minima)."""
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
     ).persist()
     dist = sources.select(
         F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
-    )
+    ).localCheckpoint(eager=True)
+    frontier = dist  # round 0: every seed just "improved" (to 0)
     for i in range(max_hops):
+        if not frontier.head(1):
+            break  # converged before the hop bound — nothing to relax
         relaxed = (
-            dist.join(e, dist["node"] == e["__s"])
-            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
-        )
-        nxt = (
-            dist.unionByName(relaxed)
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        # truncate lineage each round (the vector is O(reached nodes),
-        # tiny next to the edge list) — without this the plan doubles
-        # per round, the PageRank discipline
-        dist = nxt.localCheckpoint(eager=True)
+        # strict improvements only: new nodes, or a shorter distance
+        improved = (
+            relaxed.alias("r")
+            .join(dist.alias("o"), "node", "left")
+            .filter(F.col("o.dist").isNull() | (F.col("r.dist") < F.col("o.dist")))
+            .select("node", F.col("r.dist").alias("dist"))
+        )
+        # truncate lineage each round (both vectors are O(reached
+        # nodes), tiny next to the edge list) — without this the plan
+        # doubles per round, the PageRank discipline
+        frontier = improved.localCheckpoint(eager=True)
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
     e.unpersist()
     return dist
 

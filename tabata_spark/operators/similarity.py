@@ -1140,8 +1140,8 @@ def margin_mining(
     ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
         "__rt", F.row_number().over(wt)
     )
-    s = F.round((F.lit(1.0) + F.col("cosine")) / F.lit(2.0), 6)
-    sdec = s.cast("decimal(18,6)")
+    shifted = F.round((F.lit(1.0) + F.col("cosine")) / F.lit(2.0), 6)
+    sdec = shifted.cast("decimal(18,6)")
     ps = Window.partitionBy("src_id")
     pt = Window.partitionBy("tgt_id")
     ms = (
@@ -1157,5 +1157,5 @@ def margin_mining(
         "src_id",
         "tgt_id",
         "cosine",
-        F.round(s / den, 4).alias("margin"),
+        F.round(shifted / den, 4).alias("margin"),
     )

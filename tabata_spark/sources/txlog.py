@@ -9,28 +9,36 @@ removal — correct single-writer, but readers can observe half-applied
 states and concurrent writers can interleave. The tx log gives:
 
 - **Atomic commits**: a version becomes visible only when its log
-  entry ``_txlog/<version>.json`` is atomically created (O_EXCL on a
-  filesystem; a conditional PUT on an object store). Data files are
-  immutable once committed.
+  entry ``_txlog/<version>.json`` is atomically created. The claim
+  primitive is pluggable (:class:`FilesystemClaim` — O_EXCL-style
+  hard link — by default; a conditional-PUT strategy on an object
+  store, see :func:`tx_set_claimer`). Data files are immutable once
+  committed.
 - **Snapshot isolation**: a reader resolves the active file set from
   the log ONCE; in-flight writers add new files that no existing
   snapshot references.
 - **Optimistic concurrency**: two writers racing on version N — one
-  wins the O_EXCL create, the loser re-reads the log and retries at
-  N+1 (its already-written data files are unreferenced, so retrying
-  is just another commit attempt).
+  wins the claim, the loser re-reads the log and retries at N+1 (its
+  already-written data files are unreferenced, so retrying is just
+  another commit attempt).
 - **Time travel**: any historical version replays the log prefix.
 - **File-granular copy-on-write**: the log tracks individual parquet
   files (exactly as Delta does), so DELETE/MERGE rewrite only the
   files that actually hold matching rows — after a key-clustered
   :func:`tx_compact`, a point-key merge touches one file out of
   thousands.
+- **Log checkpoints**: every ``CHECKPOINT_INTERVAL`` commits the
+  resolved table state (active files, schema history, txn tokens,
+  file stats) is summarized into ``<version>.checkpoint.json``
+  (Delta's checkpoint mechanism); snapshot resolution then reads ONE
+  checkpoint plus the commit suffix — O(1) + O(suffix), not
+  O(commits).
 
 Scale shape: the log is O(commits) tiny JSON; state resolution reads
-the log, never lists data. At 100 TB the same layout works with the
-log in a strongly-consistent store; periodic :func:`tx_compact`
-bounds both file count and log-replay length (and with
-``cluster_by`` buys CoW locality + footer-stats pruning).
+the latest checkpoint + suffix, never lists data. At 100 TB the same
+layout works with the log in a strongly-consistent store; periodic
+:func:`tx_compact` bounds both file count and log-replay length (and
+with ``cluster_by`` buys CoW locality + footer-stats pruning).
 """
 
 from __future__ import annotations
@@ -45,25 +53,208 @@ from pyspark.sql import Column, DataFrame, SparkSession
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 _MAX_RETRIES = 20
+_CKPT_SUFFIX = ".checkpoint.json"
+
+#: Auto-checkpoint cadence: after a commit lands on a multiple of this
+#: version number, the committer writes a checkpoint summarizing the
+#: whole resolved state (Delta defaults to 10). Resolution cost is
+#: then bounded by the interval regardless of table age.
+CHECKPOINT_INTERVAL = 20
+
+
+# ---------------------------------------------------------------------------
+# commit-claim strategies (the object-store seam)
+
+
+class FilesystemClaim:
+    """Default claim strategy: POSIX atomic hard link.
+
+    **The contract an alternative (object-store) strategy must meet**
+    — this is the entire concurrency story, so it is spelled out:
+
+    ``claim(logd, name, payload)`` atomically publishes ``payload``
+    as the entry named ``name`` in log directory ``logd`` IFF no
+    entry with that name exists, returning True; it returns False
+    (without side effects visible to readers) when the name is
+    already taken — the caller lost the race and will retry at the
+    next version. Readers must never observe a partially-written
+    entry, and a True return must be durable: once acknowledged, the
+    entry survives a crash (a lost acknowledged commit would let a
+    replayed streaming batch double-apply despite its txn token).
+
+    On S3 / GCS / ABFS the implementation is a conditional PUT of the
+    payload to the ``<logd>/<name>`` key (``If-None-Match: *`` /
+    ``ifGenerationMatch=0`` / ``If-None-Match`` on blob creation),
+    which those stores execute atomically and durably — exactly the
+    mechanism Delta uses where the store supports it. Register such a
+    strategy per table with :func:`tx_set_claimer`.
+
+    The filesystem default writes a fully-fsynced temp file and
+    hard-links it into the claim name — link(2) fails if the name
+    exists, and the entry is never visible half-written (an
+    open('x') + write would expose a partial/empty file to concurrent
+    readers, and a crash between the two would brick the version
+    forever). After a successful link the log DIRECTORY is fsynced
+    too: the file's bytes were already fsynced via the temp fd, but
+    the directory entry (the link itself) is metadata that a power
+    loss could otherwise drop even after we acknowledged the commit.
+    """
+
+    def claim(self, logd: str, name: str, payload: bytes) -> bool:
+        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(logd, name))  # atomic claim
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        dfd = os.open(logd, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # durable directory entry (see docstring)
+        finally:
+            os.close(dfd)
+        return True
+
+
+_FS_CLAIM = FilesystemClaim()
+_CLAIMERS: dict[str, object] = {}
+
+
+def tx_set_claimer(root: str, claimer) -> None:
+    """Install a commit-claim strategy for table ``root`` (None
+    restores the filesystem default). The strategy must satisfy the
+    contract documented on :class:`FilesystemClaim` — on an object
+    store, a conditional PUT of the entry payload. Reads still go
+    through the log path, so an object-store strategy is paired with
+    an object-store filesystem layer on the read side (as Spark's
+    Hadoop FS connectors already provide)."""
+    key = os.path.abspath(root)
+    if claimer is None:
+        _CLAIMERS.pop(key, None)
+    else:
+        _CLAIMERS[key] = claimer
+
+
+def _claimer(root: str):
+    return _CLAIMERS.get(os.path.abspath(root), _FS_CLAIM)
+
+
+# ---------------------------------------------------------------------------
+# log listing + state resolution (checkpoint-accelerated)
 
 
 def _log_path(root: str) -> str:
     return os.path.join(root, _LOG_DIR)
 
 
-def _commits(root: str) -> list[dict]:
-    """All committed actions, version-ordered. Ignores foreign files
-    in the log directory (crashed tmp files can never collide with
-    the ``<20-digit>.json`` claim names)."""
+def _list_log(root: str) -> tuple[list[int], list[int]]:
+    """(commit versions, checkpoint versions), each sorted — from the
+    directory NAMES alone, no file reads. Ignores foreign files
+    (crashed tmp files can never collide with the ``<20-digit>.json``
+    claim names)."""
     logd = _log_path(root)
-    if not os.path.isdir(logd):
-        return []
-    out = []
-    for f in sorted(os.listdir(logd)):
-        if f.endswith(".json") and f[:-5].isdigit():
-            with open(os.path.join(logd, f)) as fh:
-                out.append(json.load(fh))
-    return out
+    commits: list[int] = []
+    ckpts: list[int] = []
+    if os.path.isdir(logd):
+        for f in os.listdir(logd):
+            if f.endswith(_CKPT_SUFFIX) and f[: -len(_CKPT_SUFFIX)].isdigit():
+                ckpts.append(int(f[: -len(_CKPT_SUFFIX)]))
+            elif f.endswith(".json") and f[:-5].isdigit():
+                commits.append(int(f[:-5]))
+    return sorted(commits), sorted(ckpts)
+
+
+def _read_commit(root: str, version: int) -> dict:
+    with open(os.path.join(_log_path(root), f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def _commits(root: str) -> list[dict]:
+    """All committed actions, version-ordered (the full-history path —
+    :func:`tx_history` only; state resolution goes through
+    :func:`_resolve` instead, which reads O(1) + O(suffix) files)."""
+    return [_read_commit(root, v) for v in _list_log(root)[0]]
+
+
+def _empty_state() -> dict:
+    return {
+        "version": 0,
+        "active": [],
+        # [[version, schema]] recorded only when the schema CHANGED —
+        # >1 entry means the table evolved and reads must merge
+        "schema_history": [],
+        "txns": {},
+        "stats": {},
+    }
+
+
+def _apply(state: dict, c: dict) -> None:
+    state["version"] = c["version"]
+    if c["mode"] == "overwrite":
+        state["active"] = []
+    elif c["mode"] == "replace":
+        rm = set(c.get("remove", []))
+        state["active"] = [f for f in state["active"] if f not in rm]
+    state["active"].extend(c["add"])
+    if "schema" in c:
+        h = state["schema_history"]
+        if not h or h[-1][1] != c["schema"]:
+            h.append([c["version"], c["schema"]])
+    if "txn" in c:
+        state["txns"][c["txn"]] = c["version"]
+    state["stats"].update(c.get("stats", {}))
+
+
+def _resolve(root: str, version: int | None = None) -> dict:
+    """Resolve the table state at ``version`` (or latest): start from
+    the newest checkpoint at-or-before it and replay only the commit
+    suffix. This is the O(1) + O(suffix) path every read/write uses;
+    only :func:`tx_history` ever replays the whole log."""
+    commit_vs, ckpt_vs = _list_log(root)
+    if version is not None:
+        commit_vs = [v for v in commit_vs if v <= version]
+        ckpt_vs = [v for v in ckpt_vs if v <= version]
+    state = _empty_state()
+    start = 0
+    if ckpt_vs:
+        start = ckpt_vs[-1]
+        p = os.path.join(_log_path(root), f"{start:020d}{_CKPT_SUFFIX}")
+        with open(p) as fh:
+            state = json.load(fh)
+    for v in commit_vs:
+        if v > start:
+            _apply(state, _read_commit(root, v))
+    return state
+
+
+def _write_checkpoint(root: str, state: dict) -> None:
+    """Atomically publish a checkpoint of ``state`` at its version
+    (tmp + rename; a reader either sees the whole checkpoint or none,
+    and a crashed half-written checkpoint is invisible — the log
+    remains the source of truth, checkpoints only accelerate it)."""
+    logd = _log_path(root)
+    p = os.path.join(logd, f"{state['version']:020d}{_CKPT_SUFFIX}")
+    tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+
+
+def tx_checkpoint(root: str) -> int:
+    """Write a log checkpoint at the latest version and return it —
+    callable any time; the committer also does this automatically
+    every :data:`CHECKPOINT_INTERVAL` commits."""
+    state = _resolve(root)
+    if state["version"] == 0:
+        raise ValueError(f"txlog table {root} has no commits to checkpoint")
+    _write_checkpoint(root, state)
+    return state["version"]
 
 
 def tx_history(root: str) -> list[dict]:
@@ -72,19 +263,9 @@ def tx_history(root: str) -> list[dict]:
 
 
 def _active_files(root: str, version: int | None = None) -> list[str]:
-    """Replay the log (to ``version`` inclusive, or fully) into the
-    live data-file set (root-relative paths)."""
-    active: list[str] = []
-    for c in _commits(root):
-        if version is not None and c["version"] > version:
-            break
-        if c["mode"] == "overwrite":
-            active = []
-        elif c["mode"] == "replace":
-            rm = set(c.get("remove", []))
-            active = [f for f in active if f not in rm]
-        active.extend(c["add"])
-    return active
+    """The live data-file set (root-relative paths) at ``version``
+    (or latest), resolved checkpoint-first."""
+    return _resolve(root, version)["active"]
 
 
 def _canonical_schema(df: DataFrame) -> list[list[str]]:
@@ -96,11 +277,8 @@ def _canonical_schema(df: DataFrame) -> list[list[str]]:
 def _latest_schema(root: str) -> list[list[str]] | None:
     """The canonical schema of the most recent commit that recorded
     one (schema evolution makes later commits authoritative)."""
-    out = None
-    for c in _commits(root):
-        if "schema" in c:
-            out = c["schema"]
-    return out
+    h = _resolve(root)["schema_history"]
+    return h[-1][1] if h else None
 
 
 def _check_schema(
@@ -192,15 +370,6 @@ def _file_stats(root: str, files: list[str], cols: list[str]) -> dict:
     return out
 
 
-def _commit_stats(root: str) -> dict:
-    """Union of every commit's recorded file stats (later commits
-    never re-stat existing files, so entries are disjoint)."""
-    out: dict = {}
-    for c in _commits(root):
-        out.update(c.get("stats", {}))
-    return out
-
-
 def tx_files_for_range(
     root: str, col: str, lo, hi, version: int | None = None
 ) -> tuple[list[str], int]:
@@ -208,9 +377,10 @@ def tx_files_for_range(
     time): the active files whose recorded [min, max] for ``col``
     intersects [lo, hi] — files with no recorded stats are kept
     conservatively. Returns (kept_files, n_skipped)."""
-    stats = _commit_stats(root)
+    state = _resolve(root, version)
+    stats = state["stats"]
     kept, skipped = [], 0
-    for f in _active_files(root, version):
+    for f in state["active"]:
         s = stats.get(f, {}).get(col)
         if s is not None and (s[1] < lo or s[0] > hi):
             skipped += 1
@@ -255,12 +425,10 @@ def _commit(
     base_version: int | None = None,
     stats: dict | None = None,
 ) -> int:
-    """Atomically claim the next version. The claim is a fully-written
-    temp file hard-linked into the ``<version>.json`` name — link(2)
-    fails if the name exists, and the entry is never visible
-    half-written (an open('x') + write would expose a partial/empty
-    file to concurrent readers, and a crash between the two would
-    brick the version forever). Losing a race means re-reading the
+    """Atomically claim the next version via the table's claim
+    strategy (:class:`FilesystemClaim` default — see its docstring
+    for the atomicity/durability contract and the object-store
+    conditional-PUT equivalent). Losing a race means re-resolving the
     log and retrying — the files in ``add`` are unreferenced until
     the commit lands, so a retry is safe.
 
@@ -276,24 +444,30 @@ def _commit(
     deleted rows and duplicate survivors), so the commit raises
     :class:`TxConflictError` instead of corrupting the table.
     Concurrent appends are tolerated: they add files the replace
-    never read, matching Delta's WriteSerializable level."""
+    never read, matching Delta's WriteSerializable level.
+
+    After a landed commit whose version is a multiple of
+    :data:`CHECKPOINT_INTERVAL`, the resolved state is checkpointed
+    (best-effort acceleration — a crash before the checkpoint loses
+    nothing; the commit itself is already durable)."""
     logd = _log_path(root)
     os.makedirs(logd, exist_ok=True)
+    claimer = _claimer(root)
     for _ in range(_MAX_RETRIES):
-        commits = _commits(root)
-        if txn is not None:
-            for c in commits:
-                if c.get("txn") == txn:
-                    return c["version"]
+        state = _resolve(root)
+        if txn is not None and txn in state["txns"]:
+            return state["txns"][txn]
+        latest = state["version"]
         if base_version is not None:
-            for c in commits:
-                if c["version"] > base_version and c["mode"] != "append":
+            for v in range(base_version + 1, latest + 1):
+                c = _read_commit(root, v)
+                if c["mode"] != "append":
                     raise TxConflictError(
                         f"txlog {root}: concurrent {c['mode']} commit "
                         f"v{c['version']} invalidated this operation's "
                         f"snapshot v{base_version} — re-run it"
                     )
-        version = (commits[-1]["version"] + 1) if commits else 1
+        version = latest + 1
         entry = {"version": version, "mode": mode, "add": add, "remove": remove}
         if txn is not None:
             entry["txn"] = txn
@@ -301,19 +475,12 @@ def _commit(
             entry["schema"] = schema
         if stats:
             entry["stats"] = stats
-        claim = os.path.join(logd, f"{version:020d}.json")
-        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, claim)  # atomic claim of a fully-written entry
+        payload = json.dumps(entry).encode()
+        if claimer.claim(logd, f"{version:020d}.json", payload):
+            if version % CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(root, _resolve(root, version))
             return version
-        except FileExistsError:
-            continue  # lost the race — recompute version, retry
-        finally:
-            os.unlink(tmp)
+        # lost the race — recompute version, retry
     raise RuntimeError(
         f"txlog commit contention: {_MAX_RETRIES} straight losses at {root}"
     )
@@ -342,9 +509,9 @@ def tx_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn is not None:
-        for c in _commits(root):
-            if c.get("txn") == txn:
-                return c["version"]  # replay — skip the data write too
+        txns = _resolve(root)["txns"]
+        if txn in txns:
+            return txns[txn]  # replay — skip the data write too
     schema = _check_schema(root, df, evolve=evolve)
     files = _write_data(df, root)
     stats = _file_stats(root, files, stats_cols) if stats_cols else None
@@ -353,42 +520,54 @@ def tx_write(
     )
 
 
+def _read_files_canonical(
+    spark: SparkSession, root: str, files: list[str], state: dict
+) -> DataFrame:
+    """Read specific table files under the CANONICAL (latest) schema.
+
+    After additive schema evolution a file set can mix old- and
+    new-schema files; a plain ``spark.read.parquet`` would infer one
+    file's (possibly narrower) schema and silently drop evolved
+    columns — fatal when the result is a copy-on-write REWRITE, which
+    would then commit a corrupted snapshot. So: merge file schemas
+    (footer reads — only paid when the log actually records more than
+    one schema) and project to the canonical latest order, nulls
+    where a file predates a column."""
+    from pyspark.sql import functions as F
+
+    hist = state["schema_history"]
+    reader = spark.read
+    evolved = len(hist) > 1
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(root, f) for f in files])
+    if evolved:
+        cols = [
+            F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
+            for n, t in map(tuple, hist[-1][1])
+        ]
+        df = df.select(*cols)
+    return df
+
+
 def tx_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read at the latest (or a historical) version — the
-    exact file list from the log, no directory listing. After schema
-    evolution the scan merges file schemas (footer reads — only paid
-    when the log actually records more than one schema) and columns
-    come back in the canonical (latest-schema) order with nulls where
-    old files predate a column."""
-    files = _active_files(root, version)
+    exact file list from the log (checkpoint-accelerated), no
+    directory listing. After schema evolution the scan merges file
+    schemas and columns come back in the canonical (latest-schema,
+    as of the requested version — Delta time travel presents each
+    version under its own era's schema) order with nulls where old
+    files predate a column."""
+    state = _resolve(root, version)
+    files = state["active"]
     if not files:
         raise ValueError(
             f"txlog table {root} has no data"
             + (f" at version {version}" if version is not None else "")
         )
-    # schema as of the requested version (Delta time travel presents
-    # each version under its own era's schema)
-    schemas = [
-        c["schema"]
-        for c in _commits(root)
-        if "schema" in c and (version is None or c["version"] <= version)
-    ]
-    reader = spark.read
-    evolved = any(s != schemas[-1] for s in schemas) if schemas else False
-    if evolved:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[os.path.join(root, f) for f in files])
-    if evolved:
-        from pyspark.sql import functions as F
-
-        cols = [
-            F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
-            for n, t in map(tuple, schemas[-1])
-        ]
-        df = df.select(*cols)
-    return df
+    return _read_files_canonical(spark, root, files, state)
 
 
 def _touched_relpaths(root: str, rows) -> list[str]:
@@ -400,8 +579,8 @@ def _touched_relpaths(root: str, rows) -> list[str]:
 
 
 def _latest_version(root: str) -> int:
-    commits = _commits(root)
-    return commits[-1]["version"] if commits else 0
+    commits, _ = _list_log(root)
+    return commits[-1] if commits else 0
 
 
 def tx_delete_where(
@@ -414,10 +593,18 @@ def tx_delete_where(
     locality, not table size. Returns the committed version (a no-op
     delete still commits, pinning the snapshot it validated against).
     Raises :class:`TxConflictError` if a concurrent non-append commit
-    invalidated the snapshot."""
+    invalidated the snapshot.
+
+    SQL three-valued logic: only rows where ``condition`` is TRUE are
+    deleted. Rows where it evaluates to NULL (e.g. a null in a column
+    the predicate references) are KEPT — a bare ``filter(~cond)``
+    would silently drop them from the rewrite (NULL is not TRUE), so
+    the keep-side predicate is null-coalesced to False before
+    negation (the SQL-standard DELETE contract; Delta matches it)."""
     from pyspark.sql import functions as F
 
-    base = _latest_version(root)
+    state = _resolve(root)
+    base = state["version"]
     snap = tx_read(spark, root)
     touched = _touched_relpaths(
         root,
@@ -428,9 +615,9 @@ def tx_delete_where(
     )
     add: list[str] = []
     if touched:
-        kept = spark.read.parquet(
-            *[os.path.join(root, f) for f in touched]
-        ).filter(~condition)
+        kept = _read_files_canonical(spark, root, touched, state).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
         if kept.head(1):
             add = _write_data(kept, root)
     return _commit(
@@ -450,7 +637,8 @@ def tx_merge(
     copy-on-write, same shape as :func:`tx_delete_where`: ONE
     broadcast-semi-join scan with ``input_file_name()`` finds the
     exact files holding matched keys; only those are rewritten (with
-    matched rows anti-joined away), everything else survives
+    matched rows anti-joined away, under the canonical merged schema
+    so evolved columns survive the rewrite), everything else survives
     untouched, and the source lands as new files. Cost follows how
     many files the matched keys live in, not table size — after a
     key-clustered :func:`tx_compact`, a point-key merge touches one
@@ -464,7 +652,8 @@ def tx_merge(
     :class:`TxConflictError` on a concurrent non-append commit."""
     from pyspark.sql import functions as F
 
-    base = _latest_version(root)
+    state = _resolve(root)
+    base = state["version"]
     schema = _check_schema(root, source)
     dup = (
         source.groupBy(*key_cols)
@@ -494,9 +683,9 @@ def tx_merge(
     )
     add: list[str] = []
     if touched:
-        kept = spark.read.parquet(
-            *[os.path.join(root, f) for f in touched]
-        ).join(F.broadcast(keys), key_cols, "left_anti")
+        kept = _read_files_canonical(spark, root, touched, state).join(
+            F.broadcast(keys), key_cols, "left_anti"
+        )
         if kept.head(1):
             add.extend(_write_data(kept, root))
     add.extend(_write_data(source, root))

@@ -1,20 +1,25 @@
 """Pin the driver-audited query window and the output-encoding lint.
 
 The per-round correctness driver value-hashes exactly the FIRST 50
-registered battery queries (verified round 5: CORRECTNESS_r05.json keys
-== registration-order prefix). Reordering registrations silently swaps
-which queries get driver-audited, so the first-50 list is pinned here —
-change it only deliberately, after a full local oracle sweep.
+entries of queries() in iteration order (verified round 5:
+CORRECTNESS_r05.json keys == registration-order prefix). Rounds 4-7
+audited the same first-50 slice (all 50 hash-green in
+CORRECTNESS_r07.json); round 8 rotates a DISJOINT second slice into
+the window (battery._rotate_driver_window) so the long tail gets
+independent driver confirmation — VERDICT r7 item 1. Both windows are
+pinned here: the r8 window as the current first-50, the r7 window for
+the disjointness guarantee. Change only deliberately, after a full
+local oracle sweep.
 """
 
 from __future__ import annotations
 
 from tabata_spark.battery import ORACLES, QUERIES
 
-# The r5 driver-audited window (CORRECTNESS_r05.json key order). These
-# cover SURVEY §2's relational/window/signal core plus the
-# dedup/similarity/text headliners — keep them stable.
-DRIVER_WINDOW = [
+# The r4-r7 driver-audited window (CORRECTNESS_r07.json key order) —
+# SURVEY §2's relational/window/signal core plus the
+# dedup/similarity/text headliners. All 50 driver-hash-green in r7.
+R7_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -67,9 +72,80 @@ DRIVER_WINDOW = [
     "a_detect_error",
 ]
 
+# The r8 rotated window (battery._DRIVER_WINDOW_R8): txlog, sketches/
+# KMV, Bloom join, graph, drift/eval stats, bitext, SCD2/PIT/CDC,
+# as-of joins, TPC-H long tail — the families that until now had only
+# local-sweep evidence.
+DRIVER_WINDOW = [
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q2_min_cost_supp",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q20_qualified_suppliers",
+    "q_pivot_orders",
+    "q_grouping_sets",
+    "q_quantiles",
+    "q_corr_stats",
+    "q_window_rank",
+    "a_salted_agg",
+    "a_normalize",
+    "j_asof_purchase",
+    "j_interval_attrib",
+    "q_txlog_orders",
+    "q_txlog_merge",
+    "q_kmv_overlap",
+    "q_bloom_join",
+    "sketch_cms_tokens",
+    "sketch_bloom_customers",
+    "sketch_dd_quantiles",
+    "sketch_join_cardinality",
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_shortest_paths",
+    "q_label_propagation",
+    "q_triangles",
+    "q_chi2_source_lang",
+    "q_psi_sources",
+    "q_ks_sources",
+    "q_mannwhitney_sources",
+    "q_gini_sources",
+    "q_mutual_info",
+    "q_conformal_coverage",
+    "q_quantile_normalize",
+    "a_theilsen_trend",
+    "a_bootstrap_ci",
+    "q_bitext_margin",
+    "q_scd2_customers",
+    "q_pit_orders",
+    "q_snapshot_diff",
+    "text_bm25",
+    "text_inverted",
+    "text_decontaminate",
+    "text_bpe_merges",
+    "sample_stratified",
+    "pipeline_end_to_end",
+]
+
 
 def test_first_50_registration_order_is_pinned():
     assert list(QUERIES)[:50] == DRIVER_WINDOW
+
+
+def test_r8_window_is_disjoint_from_r7_window():
+    # VERDICT r7 asks for <=10 shared; we achieve 0 — every slot goes
+    # to a query that has never been driver-hashed.
+    assert len(R7_WINDOW) == 50
+    assert not set(DRIVER_WINDOW) & set(R7_WINDOW)
+
+
+def test_rotation_preserves_the_full_battery():
+    # Rotation must reorder, never drop/duplicate, and ORACLES must
+    # stay aligned with QUERIES.
+    assert len(QUERIES) == len(set(QUERIES)) == 201
+    assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
 def test_every_query_has_an_oracle():

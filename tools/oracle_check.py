@@ -238,6 +238,12 @@ def main():
                     con, name, ocols, otypes, scols,
                     [f.dataType for f in sdf.schema.fields],
                 )
+                # visible evidence the spark-vs-duck type-class
+                # comparison ran for THIS query (VERDICT r7 item 7)
+                classes = sorted(
+                    {_spark_type_class(f.dataType) for f in sdf.schema.fields}
+                )
+                detail = f"types✓{{{','.join(classes)}}}"
                 if lint:
                     status, detail = "FAIL", "; ".join(lint)
                 elif sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
