@@ -10677,6 +10677,62 @@ def q_purchase_cadence(spark, sf_dir):
     )
 
 
+@register(
+    "q_txlog_zorder",
+    """
+    SELECT count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(28,2)) AS DOUBLE) AS total,
+           min(o_orderkey) AS min_ok,
+           max(o_orderkey) AS max_ok
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 120
+      AND o_orderkey BETWEEN 50 AND 5000
+    """,
+)
+def q_txlog_zorder(spark, sf_dir):
+    """Z-order-clustered transactional store + multi-dimensional box
+    read (sources/txlog.py tx_compact(zorder_by=...) — Delta's
+    OPTIMIZE ZORDER BY — plus tx_files_for_box/tx_read_box; Morton
+    key machinery shared with core/maintenance.py). Orders land as
+    three shard appends, the compact re-clusters them by the bit
+    interleave of (o_custkey, o_orderkey) ranks into 8 files with
+    per-file log stats on BOTH columns, and the final read is a 2-D
+    box that prunes files via the log before any scan — the oracle is
+    the plain relational filter, so layout, stats, pruning, and the
+    post-filter must compose to exactness. Store rebuilds
+    deterministically per call under /tmp."""
+    import os
+    import shutil
+    import tempfile
+
+    from tabata_spark.sources.txlog import (
+        tx_compact,
+        tx_read_box,
+        tx_write,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"tabata_txzorder_battery_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    for shard in range(3):
+        tx_write(orders.filter(F.col("o_orderkey") % 3 == shard), root)
+    tx_compact(spark, root, n_files=8, zorder_by=["o_custkey", "o_orderkey"])
+    box = {"o_custkey": (10, 120), "o_orderkey": (50, 5000)}
+    return tx_read_box(spark, root, box).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderkey").alias("min_ok"),
+        F.max("o_orderkey").alias("max_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #

@@ -370,23 +370,60 @@ def _file_stats(root: str, files: list[str], cols: list[str]) -> dict:
     return out
 
 
-def tx_files_for_range(
-    root: str, col: str, lo, hi, version: int | None = None
+def tx_files_for_box(
+    root: str, box: dict, version: int | None = None
 ) -> tuple[list[str], int]:
-    """Data skipping from the LOG alone (no footer reads at query
-    time): the active files whose recorded [min, max] for ``col``
-    intersects [lo, hi] — files with no recorded stats are kept
-    conservatively. Returns (kept_files, n_skipped)."""
+    """Multi-dimensional data skipping from the LOG alone (no footer
+    reads at query time): the active files whose recorded [min, max]
+    intersects ``[lo, hi]`` on EVERY dimension of ``box`` ({col:
+    (lo, hi)}) — a file is skipped as soon as ANY dimension's range
+    excludes it, and files with no recorded stats for a dimension are
+    kept conservatively. After a :func:`tx_compact` with
+    ``zorder_by`` on the box's columns, every dimension's per-file
+    range is narrow, so a k-dimensional box prunes on all k
+    predicates at once (the Z-order payoff a 1-D ``cluster_by``
+    can't give). Returns (kept_files, n_skipped)."""
     state = _resolve(root, version)
     stats = state["stats"]
     kept, skipped = [], 0
     for f in state["active"]:
-        s = stats.get(f, {}).get(col)
-        if s is not None and (s[1] < lo or s[0] > hi):
-            skipped += 1
-            continue
-        kept.append(f)
+        fs = stats.get(f, {})
+        for col, (lo, hi) in box.items():
+            s = fs.get(col)
+            if s is not None and (s[1] < lo or s[0] > hi):
+                skipped += 1
+                break
+        else:
+            kept.append(f)
     return kept, skipped
+
+
+def tx_files_for_range(
+    root: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """1-D special case of :func:`tx_files_for_box`."""
+    return tx_files_for_box(root, {col: (lo, hi)}, version)
+
+
+def tx_read_box(
+    spark: SparkSession, root: str, box: dict
+) -> DataFrame:
+    """Box-predicate snapshot read with log-level data skipping:
+    files whose recorded stats exclude the box on any dimension never
+    reach the scan (on top of parquet's own row-group pruning within
+    the files that do), and the box predicates are applied to the
+    survivors so the result is exactly the rows inside the box. Reads
+    go through the canonical-schema path (evolved columns intact)."""
+    from pyspark.sql import functions as F
+
+    files, _ = tx_files_for_box(root, box)
+    if not files:
+        return tx_read(spark, root).filter(F.lit(False))
+    state = _resolve(root)
+    df = _read_files_canonical(spark, root, files, state)
+    for col, (lo, hi) in box.items():
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df
 
 
 def tx_read_range(
@@ -398,15 +435,7 @@ def tx_read_range(
     After a ``cluster_by`` compact with ``stats_cols`` on the same
     key, a point/range read touches only the files owning that
     range — O(selectivity), not O(table)."""
-    from pyspark.sql import functions as F
-
-    files, _ = tx_files_for_range(root, col, lo, hi)
-    if not files:
-        return tx_read(spark, root).filter(F.lit(False))
-    return (
-        spark.read.parquet(*[os.path.join(root, f) for f in files])
-        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
-    )
+    return tx_read_box(spark, root, {col: (lo, hi)})
 
 
 class TxConflictError(RuntimeError):
@@ -700,6 +729,7 @@ def tx_compact(
     n_files: int = 1,
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the live snapshot into ``n_files`` files and commit a
     replace — bounds file count AND log-replay length (a reader after
@@ -712,11 +742,48 @@ def tx_compact(
     :func:`tx_merge`/:func:`tx_delete_where` on clustered keys
     rewrites only the files whose ranges contain them, and parquet
     min/max footer stats prune snapshot reads — this is what turns
-    the CoW cost from O(table) into O(touched data)."""
+    the CoW cost from O(table) into O(touched data).
+
+    ``zorder_by`` (≥2 integer-valued columns, mutually exclusive with
+    ``cluster_by``) clusters by the Morton interleave of the columns'
+    integer ranks instead (Delta's OPTIMIZE ZORDER BY; key machinery
+    shared with :mod:`tabata_spark.core.maintenance`): every
+    participating column's per-file [min, max] comes out narrow —
+    ~n_files^(1/k) of its span with k dimensions — so a box predicate
+    on ANY subset of the columns prunes files via the recorded log
+    stats (:func:`tx_files_for_box`), where a 1-D cluster only ever
+    prunes on its leading key. Bounds come from one scalar
+    aggregation folded back as literals; the key is exact BIGINT
+    shift/mask arithmetic, so the layout is deterministic under any
+    partitioning. Stats are recorded for the z-order columns by
+    default."""
     base = _latest_version(root)
     files = _active_files(root)
     snap = tx_read(spark, root)
-    if cluster_by:
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from tabata_spark.core.maintenance import zorder_key, zorder_rank
+
+        row = snap.agg(
+            *[F.min(c).cast("long").alias(f"__mn_{c}") for c in zorder_by],
+            *[F.max(c).cast("long").alias(f"__mx_{c}") for c in zorder_by],
+        ).collect()[0]
+        allnull = [c for c in zorder_by if row[f"__mn_{c}"] is None]
+        if allnull:
+            raise ValueError(f"zorder_by columns are all-null: {allnull}")
+        ranked = [
+            zorder_rank(c, row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in zorder_by
+        ]
+        snap = (
+            snap.withColumn("__z", zorder_key(ranked))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif cluster_by:
         snap = snap.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -724,9 +791,9 @@ def tx_compact(
         snap = snap.coalesce(n_files)
     out_files = _write_data(snap, root)
     # clustered compaction records stats for its cluster keys by
-    # default — disjoint per-file ranges are exactly what data
-    # skipping (tx_files_for_range) feeds on
-    cols = stats_cols if stats_cols is not None else (cluster_by or [])
+    # default — disjoint (cluster) or narrow (z-order) per-file ranges
+    # are exactly what data skipping (tx_files_for_box) feeds on
+    cols = stats_cols if stats_cols is not None else (cluster_by or zorder_by or [])
     stats = _file_stats(root, out_files, cols) if cols else None
     return _commit(
         root, "replace", out_files, files,

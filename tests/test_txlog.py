@@ -598,3 +598,60 @@ def test_cow_rewrite_preserves_evolved_columns(spark, tmp_path):
     assert rows2[102] == ("m", 9.0)
     assert rows2[103] == ("b", 3.0)  # untouched new-era neighbor intact
     assert rows2[2] == ("m", None)
+
+
+def test_zorder_compact_prunes_boxes_on_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after a z-order compact on (x, y), log
+    stats prune multi-dim boxes AND single-dim ranges on either
+    column — where a 1-D cluster_by only ever prunes its leading key.
+    Box reads stay exact."""
+    from tabata_spark.sources.txlog import (
+        tx_compact,
+        tx_files_for_box,
+        tx_read_box,
+    )
+
+    # 64x64 grid, two independent dimensions
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+
+    zroot = str(tmp_path / "z")
+    tx_write(grid, zroot)
+    tx_compact(spark, zroot, n_files=16, zorder_by=["x", "y"])
+
+    # 2-dim box covering ~1/16 of the area: most files skipped
+    _, skipped = tx_files_for_box(zroot, {"x": (0, 15), "y": (0, 15)})
+    assert skipped >= 8
+    # single-dim boxes prune on BOTH columns (no leading-key bias)
+    _, skipped_x = tx_files_for_box(zroot, {"x": (0, 7)})
+    _, skipped_y = tx_files_for_box(zroot, {"y": (0, 7)})
+    assert skipped_x > 0 and skipped_y > 0
+
+    # exactness through the pruned scan
+    got = sorted(
+        r["v"]
+        for r in tx_read_box(spark, zroot, {"x": (0, 15), "y": (0, 15)}).collect()
+    )
+    exp = sorted(i for i in range(4096) if i % 64 <= 15 and i // 64 <= 15)
+    assert got == exp
+
+    # contrast: 1-D cluster on x prunes x but NOTHING on y
+    croot = str(tmp_path / "c")
+    tx_write(grid, croot)
+    tx_compact(spark, croot, n_files=16, cluster_by=["x"], stats_cols=["x", "y"])
+    _, c_skipped_x = tx_files_for_box(croot, {"x": (0, 7)})
+    _, c_skipped_y = tx_files_for_box(croot, {"y": (0, 7)})
+    assert c_skipped_x > 0
+    assert c_skipped_y == 0  # every file spans all of y
+
+    # guard rails
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tx_compact(spark, zroot, cluster_by=["x"], zorder_by=["x", "y"])
+    nulls = spark.createDataFrame([(None, 1)], "a long, b long")
+    nroot = str(tmp_path / "n")
+    tx_write(nulls, nroot)
+    with pytest.raises(ValueError, match="all-null"):
+        tx_compact(spark, nroot, zorder_by=["a", "b"])
