@@ -10733,6 +10733,137 @@ def q_txlog_zorder(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_ingest_pipeline",
+    """
+    WITH b1 AS (SELECT doc_id, text FROM documents),
+    b2 AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM b1),
+    sh1 AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM t1
+    ),
+    sz1 AS (SELECT id, count(*) AS n_sh FROM sh1 GROUP BY id),
+    p1 AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh1 a JOIN sh1 b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    drop1 AS (
+      SELECT DISTINCT p1.id_b AS id
+      FROM p1
+      JOIN sz1 sa ON sa.id = p1.id_a
+      JOIN sz1 sb ON sb.id = p1.id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    s1 AS (SELECT * FROM b1
+           WHERE doc_id NOT IN (SELECT id FROM drop1)),
+    u2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM b2),
+    t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM u2),
+    sh2 AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM t2
+    ),
+    sz2 AS (SELECT id, count(*) AS n_sh FROM sh2 GROUP BY id),
+    p2 AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    drop2 AS (
+      SELECT DISTINCT p2.id_b AS id
+      FROM p2
+      JOIN sz2 sa ON sa.id = p2.id_a
+      JOIN sz2 sb ON sb.id = p2.id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        AND p2.id_b >= 1000000
+    ),
+    final AS (
+      SELECT * FROM s1
+      UNION ALL
+      SELECT * FROM b2 WHERE doc_id NOT IN (SELECT id FROM drop2)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b1,
+           CAST(sum(CASE WHEN doc_id >= 1000000 AND doc_id < 2000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_b2a,
+           CAST(sum(CASE WHEN doc_id >= 2000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b2b,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(length(text)) AS BIGINT) AS len_sum
+    FROM final
+    """,
+)
+def dedup_ingest_pipeline(spark, sf_dir):
+    """Continuous-ingestion dedup with transactional exactly-once
+    storage, END-TO-END (operators/dedup.py dedup_ingest_batch over
+    sources/txlog.py): batch 1 = the documents table (organic
+    near-dups deduped internally, min-id survivor); batch 2 = every
+    5th doc re-arriving under id+1e6 plus every 10th under id+2e6
+    (so it collides with the STORED corpus and within itself); batch
+    2 is then REPLAYED under the same txn token (a broken
+    exactly-once path would double the counts and fail the hash).
+    Corpus docs and their minhash signatures live in ONE txlog table
+    — one atomic commit per ingest; the stored sig column is the
+    signature cache the next batch's candidate generation reads
+    (corpus text is never re-shingled). Oracle = all-pairs exact
+    n-gram-Jaccard ground truth replaying the same two-level greedy
+    drop rule (pair completeness of the LSH tier at these params is
+    separately hash-proven by dedup_minhash_lsh/dedup_incremental).
+    Store rebuilds deterministically per call under /tmp."""
+    import os
+    import shutil
+    import tempfile
+
+    from tabata_spark.operators.dedup import dedup_ingest_batch
+    from tabata_spark.sources.txlog import tx_read
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"tabata_ingest_battery_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b2 = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    dedup_ingest_batch(spark, root, docs, txn="ingest:b1")
+    dedup_ingest_batch(spark, root, b2, txn="ingest:b2")
+    dedup_ingest_batch(spark, root, b2, txn="ingest:b2")  # replay: no-op
+    corpus = tx_read(spark, root)
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") < 1000000, 1).otherwise(0)).alias("n_b1"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000), 1
+            ).otherwise(0)
+        ).alias("n_b2a"),
+        F.sum(F.when(F.col("doc_id") >= 2000000, 1).otherwise(0)).alias("n_b2b"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("len_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #

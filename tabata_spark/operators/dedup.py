@@ -915,6 +915,7 @@ def incremental_near_dup(
     max_bucket_size: int = 100,
     materialize: str | None = "persist",
     corpus_sigs: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch: new×corpus and new×new, never
     corpus×corpus — the recurring-ingest shape. A growing corpus must
@@ -935,7 +936,8 @@ def incremental_near_dup(
     """
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(corpus, text, id_col, num_hashes, shingle_n)
-    new_sigs = minhash_signatures(new, text, id_col, num_hashes, shingle_n)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new, text, id_col, num_hashes, shingle_n)
     band_arr = _band_hash_array(bands, rows)
     b_old = corpus_sigs.select(
         F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
@@ -1294,3 +1296,114 @@ def connected_components_star(
             .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Continuous-ingestion dedup with transactional, exactly-once storage
+# ---------------------------------------------------------------------------
+
+
+def dedup_ingest_batch(
+    spark,
+    root: str,
+    new: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    txn: str | None = None,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+    max_bucket_size: int = 100,
+) -> int:
+    """One production ingest step: near-dup-gate a NEW batch against
+    the stored corpus, then commit the survivors ATOMICALLY.
+
+    The corpus lives in ONE transactional table (sources/txlog.py)
+    whose rows are ``(id, text, sig)`` — the minhash signature is a
+    COLUMN of the document table, not a sibling table. That single
+    decision is what makes the pipeline exactly-once: survivors and
+    their signatures land in one atomic commit (no cross-table
+    transaction problem, no window where signatures exist for
+    documents that don't or vice versa), and the batch's ``txn``
+    token makes a replayed/crashed-and-retried ingest a no-op.
+    Parquet being columnar means dedup reads ``(id, sig)`` without
+    ever touching ``text`` bytes, and snapshot readers project the
+    documents without paying for signatures — the two "tables" were
+    only ever two projections.
+
+    Dedup semantics (deterministic, partitioning-independent): a new
+    document is dropped iff it near-dup-pairs (verified exact n-gram
+    Jaccard ≥ ``threshold`` over LSH candidates —
+    :func:`incremental_near_dup`, so corpus×corpus pairs are never
+    generated) with ANY stored corpus document, or with a smaller-id
+    document of its own batch (the same keep-min greedy rule the
+    batch dedup families use). Signatures are computed ONCE per batch
+    and reused for both candidate generation and storage.
+
+    Scale shape: cost per ingest is batch-sized (the corpus
+    contributes only bucket-colliding rows via a broadcast semi-join
+    on the batch's bucket keys; corpus signature recompute is avoided
+    entirely — the stored column IS the signature cache), and the
+    commit inherits the txlog's optimistic concurrency + checkpointed
+    O(1)-resolution. Returns the committed (or replayed) version."""
+    from tabata_spark.sources.txlog import tx_read, tx_write
+
+    new = new.select(F.col(id_col), F.col(text))
+    try:
+        stored = tx_read(spark, root)
+        corpus = stored.select(id_col, text)
+        corpus_sigs = stored.select(id_col, "sig")
+    except ValueError:  # first batch: empty corpus
+        corpus = spark.createDataFrame([], new.schema)
+        corpus_sigs = None
+    new_sigs = minhash_signatures(new, text, id_col, num_hashes, shingle_n)
+    pairs = incremental_near_dup(
+        corpus,
+        new,
+        text=text,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows=rows,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        corpus_sigs=corpus_sigs,
+        new_sigs=new_sigs,
+    )
+    flags = new.select(F.col(id_col).alias("__fid"), F.lit(True).alias("__new"))
+    tagged = (
+        pairs.join(
+            F.broadcast(flags.select(F.col("__fid").alias("id_a"), F.col("__new").alias("a_new"))),
+            "id_a",
+            "left",
+        )
+        .join(
+            F.broadcast(flags.select(F.col("__fid").alias("id_b"), F.col("__new").alias("b_new"))),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("a_new", F.lit(False)).alias("a_new"),
+            F.coalesce("b_new", F.lit(False)).alias("b_new"),
+        )
+    )
+    # mixed pair -> drop the new side; new-new pair (id_a < id_b by
+    # construction) -> drop the larger id
+    dropped = (
+        tagged.select(
+            F.when(F.col("a_new") & ~F.col("b_new"), F.col("id_a"))
+            .when(F.col("b_new"), F.col("id_b"))
+            .alias("__did")
+        )
+        .filter(F.col("__did").isNotNull())
+        .distinct()
+    )
+    survivors = new.join(
+        dropped, new[id_col] == dropped["__did"], "left_anti"
+    ).join(new_sigs.select(F.col(id_col), F.col("sig")), id_col)
+    return tx_write(survivors.select(id_col, text, "sig"), root, txn=txn)

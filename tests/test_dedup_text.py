@@ -961,3 +961,47 @@ def test_bigram_ppl_detects_shuffled_text(spark):
     )
     out = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(docs).collect()}
     assert out[100] > out[101]
+
+
+def test_dedup_ingest_batch_atomic_exactly_once(spark, tmp_path):
+    """Continuous-ingestion dedup gate over ONE transactional table
+    holding (doc_id, text, sig): batch-internal dups keep the min id,
+    new docs near-dupping the stored corpus are dropped, signatures
+    land in the same atomic commit as their documents, and replaying
+    a batch under its txn token is a no-op (exactly-once)."""
+    from tabata_spark.operators.dedup import dedup_ingest_batch
+    from tabata_spark.sources.txlog import tx_history, tx_read
+
+    root = str(tmp_path / "corpus")
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq1 = "completely different text about spark dataframes and shuffles here"
+    uniq2 = "a brand new unique document mentioning catalyst and tungsten engines"
+
+    b1 = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, uniq1)], "doc_id long, text string"
+    )
+    v1 = dedup_ingest_batch(spark, root, b1, txn="b1")
+    assert v1 == 1
+    assert sorted(r["doc_id"] for r in tx_read(spark, root).collect()) == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [(10, dup), (11, uniq2), (12, uniq2)], "doc_id long, text string"
+    )
+    v2 = dedup_ingest_batch(spark, root, b2, txn="b2")
+    # 10 near-dups stored doc 1 -> dropped; 12 dups batch-mate 11 -> dropped
+    assert sorted(r["doc_id"] for r in tx_read(spark, root).collect()) == [1, 3, 11]
+
+    # signatures live in the SAME table/commit (one atomic action),
+    # and are the real minhash of the text
+    stored = {r["doc_id"]: r["sig"] for r in tx_read(spark, root).collect()}
+    from tabata_spark.operators.dedup import minhash_signatures
+
+    expect11 = minhash_signatures(
+        b2.filter(F.col("doc_id") == 11)
+    ).collect()[0]["sig"]
+    assert stored[11] == expect11
+
+    # exactly-once: replaying batch 2 returns its version, adds nothing
+    assert dedup_ingest_batch(spark, root, b2, txn="b2") == v2
+    assert tx_read(spark, root).count() == 3
+    assert len(tx_history(root)) == 2  # no third commit
