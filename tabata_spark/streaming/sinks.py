@@ -431,3 +431,59 @@ def stream_cms_txlog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_ingest(
+    sdf: DataFrame,
+    root: str,
+    checkpoint: str,
+    app_id: str = "ingest",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+):
+    """Exactly-once streaming NEAR-dup corpus building: each
+    micro-batch runs the full continuous-ingestion gate
+    (operators/dedup.dedup_ingest_batch — LSH candidates against the
+    stored corpus signatures, exact-Jaccard verify, deterministic
+    min-id survivor rule) and commits survivors + their minhash
+    signatures in ONE atomic txlog commit carrying
+    ``txn=f"{app_id}:{batch_id}"``. The composition inherits both
+    guarantees wholesale: a replayed batch finds its txn token and
+    writes nothing (exactly-once, no crash window — the log claim is
+    the single atomic point), and dedup state IS the store's sig
+    column (no side state to checkpoint, restore, or drift: restart
+    from a fresh streaming checkpoint and the corpus still refuses
+    everything it already holds, exact or near). This is
+    stream_dedup_append's near-dup generalization — that sink's
+    anti-join on exact content hashes becomes the banded-LSH +
+    verify pipeline, with the same column-pruned corpus-side scan
+    shape (ids + signatures only, never stored text bytes).
+
+    Contract (all txn-token sinks): idempotence keys on
+    ``(app_id, batch_id)``, which presumes a batch id re-delivers the
+    SAME rows. Restarts of a growing source must resume from the same
+    streaming checkpoint (new files become new batch ids); starting a
+    fresh checkpoint is only exactly-once over an unchanged source —
+    over a grown one it would re-compose batches under
+    already-committed ids and silently swallow the new rows
+    (test-pinned in test_stream_sinks.py)."""
+    from tabata_spark.operators.dedup import dedup_ingest_batch
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df.sparkSession,
+            root,
+            batch_df,
+            text=text_col,
+            id_col=id_col,
+            txn=f"{app_id}:{batch_id}",
+            threshold=threshold,
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -246,3 +246,74 @@ def test_stream_cms_txlog_matches_batch_and_replays_exactly_once(spark, tmp_path
     assert sorted(map(tuple, tx_read(spark, root).collect())) == want
     run("ck2")  # replay with fresh checkpoint — txn tokens make it a no-op
     assert sorted(map(tuple, tx_read(spark, root).collect())) == want
+
+
+def test_stream_dedup_ingest_near_dup_exactly_once(spark, tmp_path):
+    """Streaming near-dup corpus building: micro-batches pass through
+    the full LSH+verify ingest gate, survivors + signatures commit
+    atomically with a batch txn token, and a restart from a FRESH
+    checkpoint (full replay) changes nothing. Dedup state is the
+    store itself — no side state beside the corpus table."""
+    from tabata_spark.sources.txlog import tx_history, tx_read
+    from tabata_spark.streaming.sinks import stream_dedup_ingest
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq1 = "completely different text about spark dataframes and shuffles"
+    uniq2 = "a brand new unique document mentioning catalyst and tungsten"
+
+    src_dir = str(tmp_path / "src")
+    root = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, dup), (2, dup), (3, uniq1), (4, uniq2)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_dedup_ingest(stream, root, str(tmp_path / "ck"), app_id="ing")
+    q.awaitTermination(120)
+    # 2 near-dups 1 (batch-internal, min id survives)
+    assert sorted(r["doc_id"] for r in tx_read(spark, root).collect()) == [1, 3, 4]
+    assert tx_read(spark, root).columns == ["doc_id", "text", "sig"]
+
+    # worst-case replay: a FRESH checkpoint over the UNCHANGED source
+    # re-delivers every batch with the same ids/composition — the txn
+    # tokens in the log must swallow all of it (exactly-once). (With a
+    # fresh checkpoint AND a grown source, batches would re-compose
+    # under already-committed ids and new data could be swallowed —
+    # that is the documented contract: txn idempotence keys on
+    # (app_id, batch_id), so restarts of a growing source must resume
+    # from the SAME checkpoint, as below.)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q2 = stream_dedup_ingest(stream2, root, str(tmp_path / "ck2"), app_id="ing")
+    q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in tx_read(spark, root).collect()) == [1, 3, 4]
+
+    # growth + restart from the SAME checkpoint: the new file becomes
+    # a NEW batch id; docs near-dupping the STORED corpus are refused
+    spark.createDataFrame(
+        [(10, dup), (11, "entirely fresh content with tokens never seen before")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src_dir, mode="append")
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q3 = stream_dedup_ingest(stream3, root, str(tmp_path / "ck"), app_id="ing")
+    q3.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in tx_read(spark, root).collect())
+    assert 11 in ids           # the fresh doc landed
+    assert 10 not in ids       # near-dup of stored doc 1: refused
+    assert [i for i in ids if i <= 4] == [1, 3, 4]  # base corpus intact
+
+    # every commit carries the app's txn token (atomic, exactly-once)
+    assert all(c.get("txn", "").startswith("ing:") for c in tx_history(root))
