@@ -148,10 +148,13 @@ HEADLINE = [
     "q_markov_transitions",
     "q_type_entropy_daily",
     "q_lorenz_customers",
-    # q_txlog_orders / q_txlog_merge rebuild their transactional store
-    # from scratch per call (protocol exercise, not query cost) — probe-
+    "q_purchase_cadence",
+    # q_txlog_orders / q_txlog_merge / q_txlog_zorder /
+    # dedup_ingest_pipeline rebuild their transactional store from
+    # scratch per call (protocol exercise, not query cost) — probe-
     # documented in SCALE.md (r7: 10x1M appends 3.0s, CoW merge 8.4s,
-    # compact 0.9s) rather than benched.
+    # compact 0.9s; r8: z-order 20M probe, 2M-doc ingest probe) rather
+    # than benched.
     # sketch_dd_quantiles is probe-documented (SCALE.md): the battery
     # row carries a full exact-percentile comparison (two rank windows
     # over the fact table, ~4 s at sf0.1) next to the sketch itself

@@ -916,6 +916,7 @@ def incremental_near_dup(
     materialize: str | None = "persist",
     corpus_sigs: DataFrame | None = None,
     new_sigs: DataFrame | None = None,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch: new×corpus and new×new, never
     corpus×corpus — the recurring-ingest shape. A growing corpus must
@@ -933,15 +934,30 @@ def incremental_near_dup(
     candidate-bounded exact-Jaccard path over both frames' shingle
     arrays. Cost scales with the batch and its collisions; the corpus
     contributes only rows that share a bucket with the batch.
+
+    ``corpus_banded`` goes one step further than ``corpus_sigs``:
+    pre-BANDED corpus rows ``(band, bh, __id)`` — e.g. a pruned read
+    of a stored, ``bh``-clustered signature index
+    (:mod:`tabata_spark.operators.sigidx`) — skip even the banding
+    expression over the stored signatures; the frame may contain
+    extra rows (whole kept index files), the batch-key semi-join
+    below restricts it exactly as it does the derived form.
     """
-    if corpus_sigs is None:
-        corpus_sigs = minhash_signatures(corpus, text, id_col, num_hashes, shingle_n)
     if new_sigs is None:
         new_sigs = minhash_signatures(new, text, id_col, num_hashes, shingle_n)
     band_arr = _band_hash_array(bands, rows)
-    b_old = corpus_sigs.select(
-        F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
-    ).withColumn("is_new", F.lit(False))
+    if corpus_banded is not None:
+        b_old = corpus_banded.select("band", "bh", "__id").withColumn(
+            "is_new", F.lit(False)
+        )
+    else:
+        if corpus_sigs is None:
+            corpus_sigs = minhash_signatures(
+                corpus, text, id_col, num_hashes, shingle_n
+            )
+        b_old = corpus_sigs.select(
+            F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
+        ).withColumn("is_new", F.lit(False))
     b_new = new_sigs.select(
         F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
     ).withColumn("is_new", F.lit(True))

@@ -1,0 +1,399 @@
+"""Stored banded LSH signature index over a transactional dedup corpus.
+
+The continuous-ingestion pipeline (:func:`dedup.dedup_ingest_batch`)
+keeps ``(id, text, sig)`` in ONE txlog table; every ingest re-reads
+the ``(id, sig)`` projection and re-derives the banded bucket rows.
+This module persists that DERIVED banded form — rows
+``(band, bh, doc_id)`` in a second txlog table, clustered by ``bh``
+on compaction — which buys three things:
+
+- **point near-dup probes** ("is this document already in the
+  corpus?", :func:`neardup_probe`): the probe's ~``bands`` bucket
+  hashes prune index files from the log alone
+  (``txlog.tx_files_for_values``) — after a ``cluster_by=["bh"]``
+  compact a probe touches O(bands) files no matter how many files
+  the index has, the serving shape a full signature scan can't give;
+- **bulk ingest** (:func:`dedup_ingest_batch_indexed`) that reads two
+  narrow integer columns instead of re-banding stored signatures;
+- a **self-healing derived-state contract**: the index records the
+  corpus version it has absorbed as a txn token
+  (``sigidx:v{corpus_version}`` — Delta's transaction-identifier
+  pattern via ``txlog.tx_txns``), so a crash between the corpus
+  commit and the index commit is repaired by the next call's bounded
+  catch-up over the corpus' append change feed
+  (``txlog.tx_added_files``). Exactly-once guarantees live in the
+  CORPUS table alone; the index is reconstructible at any time.
+
+Scale honesty (measured in SCALE.md): file pruning wins when probe
+keys are few relative to file count — a single-doc probe (``bands``
+keys) touches ≤ bands files however large the index, but a 100k-doc
+bulk batch carries ~1.6M effectively-random bucket hashes and touches
+every file, so the bulk path reads the full 3-integer-column
+projection and its win is column narrowness + skipped banding, not
+file skipping. Stale index entries for corpus rows later deleted by
+copy-on-write are harmless: candidates are verified against the
+corpus snapshot, and vanished ids simply drop out of the verify join.
+
+Semantics parity: candidate generation, hot-bucket capping, and
+exact-Jaccard verification all run through the same
+``incremental_near_dup`` path as the unindexed pipeline (the index
+read is handed in via its ``corpus_banded`` seam), so the indexed and
+unindexed ingest commit byte-identical survivor sets — test-pinned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tabata_spark.operators.dedup import (
+    _band_hash_array,
+    incremental_near_dup,
+    minhash_signatures,
+    token_shingles,
+)
+from tabata_spark.sources.txlog import (
+    tx_added_files,
+    tx_compact,
+    tx_read,
+    tx_read_values,
+    tx_txns,
+    tx_version,
+    tx_write,
+)
+
+_TXN_PREFIX = "sigidx:v"
+
+
+def _meta_path(index_root: str) -> str:
+    return os.path.join(index_root, "_sigidx_meta.json")
+
+
+def _check_meta(index_root: str, geometry: dict) -> None:
+    """Validate (or record, on first write) the index geometry — the
+    CMS ``_cms_meta.json`` discipline: probing a ``bands=16,rows=2``
+    index with ``bands=8,rows=4`` keys would silently miss every
+    bucket, so a mismatch raises instead."""
+    p = _meta_path(index_root)
+    if os.path.exists(p):
+        with open(p) as f:
+            stored = json.load(f)
+        if stored != geometry:
+            raise ValueError(
+                f"signature-index geometry mismatch: stored {stored}, got {geometry}"
+            )
+        return
+    os.makedirs(index_root, exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(geometry, f)
+
+
+def _geometry(num_hashes: int, shingle_n: int, bands: int, rows: int) -> dict:
+    return {
+        "num_hashes": num_hashes,
+        "shingle_n": shingle_n,
+        "bands": bands,
+        "rows": rows,
+    }
+
+
+def banded_rows(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 2
+) -> DataFrame:
+    """``(band, bh, doc_id)`` bucket-membership rows of a signature
+    table — the stored form of the LSH banding expression."""
+    return sigs.select(
+        F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
+        F.col(id_col).alias("doc_id"),
+    )
+
+
+def _indexed_through(index_root: str) -> int:
+    """Corpus version the index has absorbed (its txn high-water
+    mark); 0 when the index doesn't exist yet."""
+    try:
+        txns = tx_txns(index_root)
+    except (FileNotFoundError, ValueError):
+        return 0
+    vs = [
+        int(t[len(_TXN_PREFIX):])
+        for t in txns
+        if t.startswith(_TXN_PREFIX) and t[len(_TXN_PREFIX):].isdigit()
+    ]
+    return max(vs, default=0)
+
+
+def sigidx_build(
+    spark: SparkSession,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+) -> int:
+    """Full rebuild: overwrite the index with the banded rows of the
+    corpus' CURRENT snapshot. Returns the corpus version covered."""
+    _check_meta(index_root, _geometry(num_hashes, shingle_n, bands, rows))
+    corpus_v = tx_version(corpus_root)
+    if corpus_v == 0:
+        return 0
+    stored = tx_read(spark, corpus_root).select(id_col, "sig")
+    tx_write(
+        banded_rows(stored, id_col, bands, rows),
+        index_root,
+        mode="overwrite",
+        txn=f"{_TXN_PREFIX}{corpus_v}",
+        stats_cols=["bh"],
+    )
+    return corpus_v
+
+
+def sigidx_catchup(
+    spark: SparkSession,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+) -> int:
+    """Bring the index up to the corpus' current version.
+
+    Normal case: read ONLY the data files appended by corpus commits
+    newer than the index's high-water mark (``tx_added_files`` —
+    bounded by the gap, typically one crashed batch) and append their
+    banded rows in one idempotent commit. Falls back to a full
+    :func:`sigidx_build` on first call or if a gap file has been
+    vacuumed away. No-op (0 reads) when already current. Returns the
+    corpus version covered."""
+    _check_meta(index_root, _geometry(num_hashes, shingle_n, bands, rows))
+    corpus_v = tx_version(corpus_root)
+    if corpus_v == 0:
+        return 0
+    vi = _indexed_through(index_root)
+    if vi >= corpus_v:
+        return vi
+    rels = tx_added_files(corpus_root, vi, mode="append")
+    paths = [os.path.join(corpus_root, r) for r in rels]
+    if vi == 0 or any(not os.path.exists(p) for p in paths):
+        return sigidx_build(
+            spark, corpus_root, index_root, id_col, num_hashes, shingle_n, bands, rows
+        )
+    if paths:
+        add = spark.read.parquet(*paths).select(id_col, "sig")
+        tx_write(
+            banded_rows(add, id_col, bands, rows),
+            index_root,
+            mode="append",
+            txn=f"{_TXN_PREFIX}{corpus_v}",
+            stats_cols=["bh"],
+        )
+    return corpus_v
+
+
+def sigidx_compact(spark: SparkSession, index_root: str, n_files: int = 16) -> int:
+    """Cluster the index files by ``bh`` (global range sort) so each
+    file owns a narrow bucket-hash range — what turns
+    ``tx_files_for_values`` probes into O(probe-keys) file reads."""
+    return tx_compact(
+        spark, index_root, n_files=n_files, cluster_by=["bh"], stats_cols=["bh"]
+    )
+
+
+def probe_candidates(
+    spark: SparkSession, index_root: str, keys: list[tuple[int, int]]
+) -> DataFrame:
+    """Distinct corpus doc_ids sharing any (band, bh) bucket with the
+    probe keys. The bh IN-list prunes index FILES from the log; the
+    exact (band, bh) pairs are then matched via a broadcast literal
+    frame (band alone is low-cardinality; bh carries the entropy)."""
+    idx = tx_read_values(spark, index_root, "bh", [bh for _, bh in keys])
+    key_df = spark.createDataFrame(
+        [(int(b), int(h)) for b, h in keys], "band int, bh bigint"
+    )
+    return (
+        idx.join(F.broadcast(key_df), ["band", "bh"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def neardup_probe(
+    spark: SparkSession,
+    corpus_root: str,
+    index_root: str,
+    text_value: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Point near-dup lookup: corpus documents whose exact n-gram
+    Jaccard with ``text_value`` is ≥ ``threshold``, found via the
+    stored index — ``(doc_id, jaccard)``, the interactive serving
+    query ("has this exact-ish page been crawled before?").
+
+    Cost shape: one 1-row signature job, an index read pruned to the
+    files owning the probe's ≤ ``bands`` bucket hashes, and a
+    verify join against only the candidate ids (pushed into the
+    corpus scan as an IN-list, so parquet row-group stats prune the
+    text reads too). No corpus-wide work anywhere."""
+    _check_meta(index_root, _geometry(num_hashes, shingle_n, bands, rows))
+    probe = spark.createDataFrame(
+        [("__probe__", text_value)], f"{id_col} string, {text} string"
+    )
+    sig = minhash_signatures(probe, text, id_col, num_hashes, shingle_n)
+    keys = [
+        (r["band"], r["bh"]) for r in banded_rows(sig, id_col, bands, rows).collect()
+    ]
+    cand_ids = [r[0] for r in probe_candidates(spark, index_root, keys).collect()]
+    corpus = tx_read(spark, corpus_root)
+    if not cand_ids:
+        return corpus.select(
+            F.col(id_col), F.lit(0.0).alias("jaccard")
+        ).filter(F.lit(False))
+    probe_sh = token_shingles(F.lit(text_value), shingle_n)
+    cand = corpus.filter(F.col(id_col).isin(cand_ids)).select(
+        id_col, token_shingles(F.col(text), shingle_n).alias("__sh")
+    )
+    n_inter = F.size(F.array_intersect(F.col("__sh"), probe_sh))
+    jac = n_inter / (F.size("__sh") + F.size(probe_sh) - n_inter)
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "jaccard")
+    )
+
+
+def dedup_ingest_batch_indexed(
+    spark: SparkSession,
+    root: str,
+    index_root: str,
+    new: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    txn: str | None = None,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+    max_bucket_size: int = 100,
+    prune_key_limit: int = 0,
+) -> int:
+    """:func:`dedup.dedup_ingest_batch` with the corpus side served
+    by the stored signature index instead of a signature-column scan.
+
+    Flow: (1) catch-up — repair any index lag from a prior crash
+    (required for candidate completeness, not just hygiene);
+    (2) candidate generation via ``incremental_near_dup`` with the
+    index read plugged into its ``corpus_banded`` seam — identical
+    drop semantics to the unindexed pipeline; (3) survivors commit
+    atomically to the CORPUS (``txn`` = the exactly-once token);
+    (4) a second catch-up absorbs the just-committed survivors (and
+    any concurrent writer's commits) into the index under its own
+    idempotent token. A crash anywhere leaves a state the next call
+    repairs.
+
+    ``prune_key_limit`` > 0 enables log-stats file pruning for SMALL
+    batches (e.g. streaming micro-batches): if the batch has at most
+    that many distinct bucket hashes, only index files owning them
+    are read; bulk batches read the full narrow projection (their key
+    sets touch every file — see module docstring). Returns the
+    committed (or replayed) corpus version."""
+    _check_meta(index_root, _geometry(num_hashes, shingle_n, bands, rows))
+    sigidx_catchup(
+        spark, corpus_root=root, index_root=index_root, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, bands=bands, rows=rows,
+    )
+    new = new.select(F.col(id_col), F.col(text))
+    try:
+        stored = tx_read(spark, root)
+        corpus = stored.select(id_col, text)
+        have_corpus = True
+    except ValueError:  # first batch: empty corpus
+        corpus = spark.createDataFrame([], new.schema)
+        have_corpus = False
+    new_sigs = minhash_signatures(new, text, id_col, num_hashes, shingle_n)
+
+    corpus_banded = None
+    if have_corpus:
+        idx = None
+        if prune_key_limit > 0:
+            batch_keys = [
+                r["bh"]
+                for r in banded_rows(new_sigs, id_col, bands, rows)
+                .select("bh")
+                .distinct()
+                .limit(prune_key_limit + 1)
+                .collect()
+            ]
+            if len(batch_keys) <= prune_key_limit:
+                idx = tx_read_values(spark, index_root, "bh", batch_keys)
+        if idx is None:
+            idx = tx_read(spark, index_root)
+        corpus_banded = idx.select("band", "bh", F.col("doc_id").alias("__id"))
+
+    pairs = incremental_near_dup(
+        corpus,
+        new,
+        text=text,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows=rows,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        new_sigs=new_sigs,
+        corpus_banded=corpus_banded,
+    )
+    flags = new.select(F.col(id_col).alias("__fid"), F.lit(True).alias("__new"))
+    tagged = (
+        pairs.join(
+            F.broadcast(
+                flags.select(F.col("__fid").alias("id_a"), F.col("__new").alias("a_new"))
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                flags.select(F.col("__fid").alias("id_b"), F.col("__new").alias("b_new"))
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("a_new", F.lit(False)).alias("a_new"),
+            F.coalesce("b_new", F.lit(False)).alias("b_new"),
+        )
+    )
+    dropped = (
+        tagged.select(
+            F.when(F.col("a_new") & ~F.col("b_new"), F.col("id_a"))
+            .when(F.col("b_new"), F.col("id_b"))
+            .alias("__did")
+        )
+        .filter(F.col("__did").isNotNull())
+        .distinct()
+    )
+    survivors = new.join(
+        dropped, new[id_col] == dropped["__did"], "left_anti"
+    ).join(new_sigs.select(F.col(id_col), F.col("sig")), id_col)
+    version = tx_write(survivors.select(id_col, text, "sig"), root, txn=txn)
+    sigidx_catchup(
+        spark, corpus_root=root, index_root=index_root, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, bands=bands, rows=rows,
+    )
+    return version

@@ -438,6 +438,61 @@ def tx_read_range(
     return tx_read_box(spark, root, {col: (lo, hi)})
 
 
+def tx_files_for_values(
+    root: str, col: str, values, version: int | None = None
+) -> tuple[list[str], int]:
+    """Value-SET data skipping from the log alone: the active files
+    whose recorded [min, max] on ``col`` contains AT LEAST ONE of
+    ``values`` (an IN-list probe, vs the interval probe of
+    :func:`tx_files_for_range`). Files without recorded stats are
+    kept conservatively. After a ``cluster_by=[col]`` compact each
+    file owns a narrow value range, so k probe values touch at most
+    k files no matter how many files the table has — the shape that
+    makes point lookups (e.g. an LSH bucket probe against a stored
+    signature index) O(probes), not O(table). Membership is decided
+    per file by binary search over the SORTED probe list: O(log k)
+    per file, so a large IN-list stays cheap. Returns
+    (kept_files, n_skipped)."""
+    import bisect
+
+    state = _resolve(root, version)
+    vals = sorted(set(values))
+    if not vals:
+        return [], len(state["active"])
+    stats = state["stats"]
+    kept, skipped = [], 0
+    for f in state["active"]:
+        s = stats.get(f, {}).get(col)
+        if s is None:
+            kept.append(f)
+            continue
+        i = bisect.bisect_left(vals, s[0])
+        if i < len(vals) and vals[i] <= s[1]:
+            kept.append(f)
+        else:
+            skipped += 1
+    return kept, skipped
+
+
+def tx_read_values(
+    spark: SparkSession, root: str, col: str, values
+) -> DataFrame:
+    """IN-list snapshot read with log-level data skipping: files
+    whose stats exclude every probe value never reach the scan, and
+    the IN predicate is applied to the survivors (parquet row-group
+    stats prune further inside kept files). The point-probe
+    counterpart of :func:`tx_read_range`."""
+    from pyspark.sql import functions as F
+
+    vals = sorted(set(values))
+    files, _ = tx_files_for_values(root, col, vals)
+    if not files:
+        return tx_read(spark, root).filter(F.lit(False))
+    state = _resolve(root)
+    df = _read_files_canonical(spark, root, files, state)
+    return df.filter(F.col(col).isin(vals))
+
+
 class TxConflictError(RuntimeError):
     """A replace commit's read snapshot was invalidated by a
     concurrent non-append commit — re-run the operation against the
@@ -610,6 +665,37 @@ def _touched_relpaths(root: str, rows) -> list[str]:
 def _latest_version(root: str) -> int:
     commits, _ = _list_log(root)
     return commits[-1] if commits else 0
+
+
+def tx_version(root: str) -> int:
+    """Latest committed version of the table (0 = no table yet)."""
+    return _latest_version(root)
+
+
+def tx_txns(root: str) -> dict:
+    """Resolved txn-token → version map of the current snapshot — the
+    Delta ``txnVersion`` lookup. Lets an application discover the
+    high-water mark of an idempotent writer (e.g. which source
+    version a derived index has absorbed) without side-channel
+    state."""
+    return dict(_resolve(root)["txns"])
+
+
+def tx_added_files(root: str, after_version: int, mode: str = "append") -> list[str]:
+    """Relpaths of data files ADDED by commits with
+    ``version > after_version`` and the given ``mode`` — the
+    change-feed primitive a derived index uses to catch up on an
+    append-only table. The returned files may since have been
+    compacted out of the ACTIVE set; they still hold exactly the rows
+    those commits introduced and remain on disk until
+    :func:`tx_vacuum`, so a bounded catch-up can read them directly
+    (callers should fall back to a full rebuild if one has been
+    vacuumed away)."""
+    out: list[str] = []
+    for c in _commits(root):
+        if c["version"] > after_version and c["mode"] == mode:
+            out.extend(c["add"])
+    return out
 
 
 def tx_delete_where(

@@ -1,0 +1,222 @@
+"""Stored banded signature index (operators/sigidx.py): value-set
+file pruning, indexed-vs-plain ingest equality, point near-dup
+probes, and the self-healing derived-state (crash catch-up)
+contract."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.dedup import dedup_ingest_batch
+from tabata_spark.operators.sigidx import (
+    _indexed_through,
+    dedup_ingest_batch_indexed,
+    neardup_probe,
+    sigidx_build,
+    sigidx_catchup,
+    sigidx_compact,
+)
+from tabata_spark.sources.txlog import (
+    tx_files_for_values,
+    tx_read,
+    tx_read_values,
+    tx_version,
+    tx_write,
+)
+
+
+# -- deterministic corpus: random 40-token docs from a 5000-word
+#    vocabulary (distinct docs land far below any Jaccard threshold)
+
+
+def _doc(rng: random.Random) -> str:
+    return " ".join(f"w{rng.randrange(5000)}" for _ in range(40))
+
+
+def _mutate(text: str, k: int, rng: random.Random) -> str:
+    toks = text.split(" ")
+    for _ in range(k):
+        toks[rng.randrange(len(toks))] = f"m{rng.randrange(1000)}"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def batches():
+    rng = random.Random(20260815)
+    b1 = [(f"a{i:04d}", _doc(rng)) for i in range(120)]
+    # b2: 60 novel + 15 near-dups of b1 docs + 5 internal dup pairs
+    b2 = [(f"b{i:04d}", _doc(rng)) for i in range(60)]
+    b2 += [(f"c{i:04d}", _mutate(b1[i][1], 2, rng)) for i in range(15)]
+    internal = [_doc(rng) for _ in range(5)]
+    b2 += [(f"d{i:04d}", t) for i, t in enumerate(internal)]
+    b2 += [(f"e{i:04d}", _mutate(t, 1, rng)) for i, t in enumerate(internal)]
+    # b3: 40 novel + 10 near-dups of b2 novels
+    b3 = [(f"f{i:04d}", _doc(rng)) for i in range(40)]
+    b3 += [(f"g{i:04d}", _mutate(b2[i][1], 2, rng)) for i in range(10)]
+    return b1, b2, b3
+
+
+def _ids(spark, root):
+    return sorted(r[0] for r in tx_read(spark, root).select("doc_id").collect())
+
+
+def test_files_for_values_prunes_after_cluster(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(
+        spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        root,
+        stats_cols=["k"],
+    )
+    from tabata_spark.sources.txlog import tx_compact
+
+    tx_compact(spark, root, n_files=16, cluster_by=["k"], stats_cols=["k"])
+    # 3 point probes against 16 range-owning files: ≤3 kept
+    kept, skipped = tx_files_for_values(root, "k", [5, 2000, 3999])
+    assert len(kept) <= 3 and skipped >= 13
+    got = sorted(
+        r["k"] for r in tx_read_values(spark, root, "k", [5, 2000, 3999]).collect()
+    )
+    assert got == [5, 2000, 3999]
+    # empty probe list: nothing kept
+    kept, skipped = tx_files_for_values(root, "k", [])
+    assert kept == [] and skipped == 16
+    # probes outside the value space: everything skipped
+    kept, skipped = tx_files_for_values(root, "k", [-5, 99999])
+    assert kept == [] and skipped == 16
+
+
+def test_files_for_values_conservative_without_stats(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tx_write(spark.range(0, 100).select(F.col("id").alias("k")), root)  # no stats
+    kept, skipped = tx_files_for_values(root, "k", [5])
+    assert skipped == 0 and len(kept) >= 1  # kept conservatively
+
+
+def test_indexed_ingest_equals_plain(spark, tmp_path, batches):
+    b1, b2, b3 = batches
+    plain_root = str(tmp_path / "plain")
+    idx_root, idx = str(tmp_path / "idx"), str(tmp_path / "idx_sig")
+    for i, b in enumerate((b1, b2, b3)):
+        df = spark.createDataFrame(b, "doc_id string, text string")
+        dedup_ingest_batch(spark, plain_root, df, txn=f"t{i}")
+        dedup_ingest_batch_indexed(spark, idx_root, idx, df, txn=f"t{i}")
+    assert _ids(spark, plain_root) == _ids(spark, idx_root)
+    # the dedup actually dropped things (near-dups + internal dups)
+    total = len(b1) + len(b2) + len(b3)
+    assert len(_ids(spark, plain_root)) < total
+    # index covers the corpus' current version
+    assert _indexed_through(idx) == tx_version(idx_root)
+
+
+def test_indexed_ingest_replay_is_noop(spark, tmp_path, batches):
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "r"), str(tmp_path / "r_sig")
+    df = spark.createDataFrame(b1, "doc_id string, text string")
+    v1 = dedup_ingest_batch_indexed(spark, root, idx, df, txn="t0")
+    v2 = dedup_ingest_batch_indexed(spark, root, idx, df, txn="t0")
+    assert v1 == v2 == tx_version(root)
+    assert len(_ids(spark, root)) == len(b1)
+
+
+def test_crash_catchup_heals_index(spark, tmp_path, batches):
+    """Simulate a crash between the corpus commit and the index
+    commit: batch 2 lands via the UNINDEXED pipeline (corpus moves,
+    index doesn't). The next indexed ingest must catch up FIRST —
+    otherwise b2's survivors would be invisible to candidate
+    generation and b3's near-dups of them would survive wrongly."""
+    b1, b2, b3 = batches
+    plain_root = str(tmp_path / "p")
+    root, idx = str(tmp_path / "h"), str(tmp_path / "h_sig")
+    for i, b in enumerate((b1, b2, b3)):
+        dedup_ingest_batch(
+            spark,
+            plain_root,
+            spark.createDataFrame(b, "doc_id string, text string"),
+            txn=f"t{i}",
+        )
+    d1 = spark.createDataFrame(b1, "doc_id string, text string")
+    d2 = spark.createDataFrame(b2, "doc_id string, text string")
+    d3 = spark.createDataFrame(b3, "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+    dedup_ingest_batch(spark, root, d2, txn="t1")  # "crash": no index update
+    assert _indexed_through(idx) < tx_version(root)  # index lags
+    dedup_ingest_batch_indexed(spark, root, idx, d3, txn="t2")
+    assert _ids(spark, root) == _ids(spark, plain_root)
+    assert _indexed_through(idx) == tx_version(root)
+
+
+def test_probe_finds_neardup_and_prunes_files(spark, tmp_path, batches):
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "q"), str(tmp_path / "q_sig")
+    df = spark.createDataFrame(b1, "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, df, txn="t0")
+    # cluster into 64 bh-range files: a 16-key probe touches ≤16
+    sigidx_compact(spark, idx, n_files=64)
+    rng = random.Random(99)
+    near = _mutate(b1[7][1], 1, rng)  # 1 token: jaccard ≥ ~0.85
+    hits = neardup_probe(spark, root, idx, near).collect()
+    assert [h["doc_id"] for h in hits] == ["a0007"]
+    assert hits[0]["jaccard"] >= 0.8
+    novel = neardup_probe(spark, root, idx, _doc(rng)).collect()
+    assert novel == []
+    # pruning pin: the probe's 16 bucket hashes keep ≤16 of 64 files
+    from tabata_spark.operators.dedup import minhash_signatures
+    from tabata_spark.operators.sigidx import banded_rows
+
+    probe_df = spark.createDataFrame([("p", near)], "doc_id string, text string")
+    keys = [
+        r["bh"]
+        for r in banded_rows(minhash_signatures(probe_df)).select("bh").collect()
+    ]
+    kept, skipped = tx_files_for_values(idx, "bh", keys)
+    assert len(kept) <= 16 and len(kept) + skipped == 64
+
+
+def test_small_batch_pruned_ingest_matches(spark, tmp_path, batches):
+    """prune_key_limit path: a micro-batch reads only its buckets'
+    files and still commits the same survivors."""
+    b1, _, _ = batches
+    rng = random.Random(5)
+    micro = [("m0000", _mutate(b1[3][1], 1, rng)), ("m0001", _doc(rng))]
+    roots = {}
+    for tag, limit in (("full", 0), ("pruned", 4096)):
+        root, idx = str(tmp_path / tag), str(tmp_path / f"{tag}_sig")
+        d1 = spark.createDataFrame(b1, "doc_id string, text string")
+        dm = spark.createDataFrame(micro, "doc_id string, text string")
+        dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+        sigidx_compact(spark, idx, n_files=32)
+        dedup_ingest_batch_indexed(
+            spark, root, idx, dm, txn="t1", prune_key_limit=limit
+        )
+        roots[tag] = _ids(spark, root)
+    assert roots["full"] == roots["pruned"]
+    # the near-dup was dropped, the novel doc kept
+    assert "m0001" in roots["full"] and "m0000" not in roots["full"]
+
+
+def test_geometry_mismatch_raises(spark, tmp_path, batches):
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "g"), str(tmp_path / "g_sig")
+    df = spark.createDataFrame(b1[:20], "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, df, txn="t0")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        neardup_probe(spark, root, idx, "some text", bands=8, rows=4)
+
+
+def test_build_then_catchup_noop(spark, tmp_path, batches):
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "n"), str(tmp_path / "n_sig")
+    dedup_ingest_batch(
+        spark, root, spark.createDataFrame(b1, "doc_id string, text string"), txn="t0"
+    )
+    v = sigidx_build(spark, root, idx)
+    assert v == tx_version(root)
+    assert sigidx_catchup(spark, root, idx) == v  # already current: no-op
+    n_rows = tx_read(spark, idx).count()
+    assert n_rows == len(b1) * 16  # bands rows per doc
