@@ -150,7 +150,8 @@ HEADLINE = [
     "q_lorenz_customers",
     "q_purchase_cadence",
     # q_txlog_orders / q_txlog_merge / q_txlog_zorder /
-    # dedup_ingest_pipeline rebuild their transactional store from
+    # dedup_ingest_pipeline / q_sigidx_probe rebuild their
+    # transactional store from
     # scratch per call (protocol exercise, not query cost) — probe-
     # documented in SCALE.md (r7: 10x1M appends 3.0s, CoW merge 8.4s,
     # compact 0.9s; r8: z-order 20M probe, 2M-doc ingest probe) rather

@@ -10864,6 +10864,88 @@ def dedup_ingest_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "q_sigidx_probe",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT p.id AS probe_id, c.id AS doc_id, count(*) AS n_inter
+      FROM sh p JOIN sh c ON p.sh = c.sh
+      WHERE p.id IN (11, 57, 123)
+      GROUP BY p.id, c.id
+    )
+    SELECT probe_id, doc_id,
+           round(n_inter / (sp.n_sh + sc.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sp ON sp.id = probe_id
+    JOIN sizes sc ON sc.id = doc_id
+    WHERE round(n_inter / (sp.n_sh + sc.n_sh - n_inter), 6) >= 0.8
+    ORDER BY probe_id, doc_id
+    """,
+)
+def q_sigidx_probe(spark, sf_dir):
+    """Point near-dup lookups served by the STORED banded signature
+    index (operators/sigidx.py over two txlog tables): the corpus
+    (doc_id, text, sig) lands in 3 append commits, sigidx_build
+    derives the (band, bh, doc_id) index, sigidx_compact range-
+    clusters it by bh (each file owns a narrow bucket-hash range,
+    per-file min/max in the log), and three probe texts — the texts
+    of docs 11, 57, 123 — each run neardup_probe: the probe's ≤16
+    bucket hashes prune index FILES from the log alone
+    (tx_files_for_values IN-list skipping), candidates come from a
+    broadcast key join, and only candidate ids are verified by exact
+    n-gram Jaccard against the corpus snapshot. Oracle = all-pairs
+    exact Jaccard restricted to the probe ids — so index build,
+    bh clustering, log-stats pruning, candidate generation, and the
+    verify join must compose to the exact relational answer
+    (including each probe's self-match at 1.0). Stores rebuild
+    deterministically per call under /tmp."""
+    import os
+    import shutil
+    import tempfile
+
+    from tabata_spark.operators.dedup import minhash_signatures
+    from tabata_spark.operators.sigidx import (
+        neardup_probe,
+        sigidx_build,
+        sigidx_compact,
+    )
+    from tabata_spark.sources.txlog import tx_write
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"tabata_sigidx_battery_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    root, idx = os.path.join(base, "corpus"), os.path.join(base, "idx")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = docs.join(minhash_signatures(docs, "text", "doc_id"), "doc_id")
+    for shard in range(3):
+        tx_write(stored.filter(F.col("doc_id") % 3 == shard), root)
+    sigidx_build(spark, root, idx)
+    sigidx_compact(spark, idx, n_files=32)
+    probe_texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin([11, 57, 123])).collect()
+    }
+    out = None
+    for pid in sorted(probe_texts):
+        hits = neardup_probe(spark, root, idx, probe_texts[pid]).select(
+            F.lit(pid).cast("long").alias("probe_id"), "doc_id", "jaccard"
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("probe_id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #
