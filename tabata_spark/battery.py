@@ -10946,6 +10946,67 @@ def q_sigidx_probe(spark, sf_dir):
     return out.orderBy("probe_id", "doc_id")
 
 
+@register(
+    "q_assoc_brands",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    item_n AS (SELECT item, count(*) AS n_item FROM b GROUP BY item),
+    bf AS (
+      SELECT * FROM b
+      WHERE item IN (SELECT item FROM item_n WHERE n_item >= 20)
+    ),
+    tot AS (SELECT count(DISTINCT basket) AS n FROM bf),
+    pairs AS (
+      SELECT l.item AS item_a, r.item AS item_b, count(*) AS n_joint
+      FROM bf l JOIN bf r ON l.basket = r.basket AND l.item < r.item
+      GROUP BY 1, 2 HAVING count(*) >= 20
+    ),
+    rules AS (
+      SELECT item_a AS antecedent, item_b AS consequent, n_joint FROM pairs
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_joint FROM pairs
+    )
+    SELECT antecedent, consequent,
+           CAST(n_joint AS BIGINT) AS n_joint,
+           CAST(a.n_item AS BIGINT) AS n_ante,
+           CAST(c.n_item AS BIGINT) AS n_cons,
+           round(n_joint::DOUBLE / tot.n, 6) AS support,
+           round(n_joint::DOUBLE / a.n_item, 6) AS confidence,
+           round((n_joint::DOUBLE / a.n_item)
+                 / (c.n_item::DOUBLE / tot.n), 6) AS lift
+    FROM rules
+    JOIN item_n a ON a.item = rules.antecedent
+    JOIN item_n c ON c.item = rules.consequent
+    CROSS JOIN tot
+    ORDER BY antecedent, consequent
+    """,
+)
+def q_assoc_brands(spark, sf_dir):
+    """Pairwise association rules over co-purchased part brands
+    (market-basket analysis, Agrawal/Srikant apriori semantics
+    restricted to the pairwise rules production systems actually
+    serve): for every brand pair bought together in >= 20 orders,
+    support / confidence / lift in both rule directions. Scale shape
+    (operators/assoc.py): DISTINCT (basket, item) first, apriori
+    frequent-item semi-join prefilter BEFORE the basket self-join (the
+    only large shuffle, co-partitioned on the basket key), tiny item/
+    total aggregates broadcast back; exact integer counts, fixed-order
+    double ratios at the boundary."""
+    from tabata_spark.operators.assoc import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return association_rules(
+        baskets, "basket", "item", min_support=20
+    ).orderBy("antecedent", "consequent")
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #

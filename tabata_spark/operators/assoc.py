@@ -1,0 +1,127 @@
+"""Association-rule mining (market-basket analysis) at scale.
+
+Classic Agrawal/Srikant apriori semantics, restricted to the pairwise
+(A -> B) rules that dominate production use (co-purchase, co-view,
+"docs that cite X also cite Y"): for every ordered item pair with
+joint support above a threshold, emit support / confidence / lift.
+
+Scale shape (the part that matters at 100 TB):
+
+- The basket table is deduplicated to DISTINCT (basket, item) first —
+  quantity repeats must not inflate co-occurrence counts.
+- **Apriori pruning before the pair join**: only items whose single-
+  item support clears the threshold participate in the self-join
+  (support(A,B) <= support(A), so infrequent items cannot appear in a
+  frequent pair). The frequent-item set is a small aggregate —
+  broadcast it as a semi-join prefilter so the big fact table is
+  thinned at the scan stage, BEFORE the orderkey shuffle.
+- The pair generation is a self-join co-partitioned on the basket key
+  (one shuffle of the thinned table; both sides share it), with
+  ``item_a < item_b`` so each unordered pair is produced exactly once.
+- Item counts and the basket total are tiny aggregates, broadcast
+  back onto the pair counts; no second shuffle of pair-sized data.
+- Per-basket pair blowup is C(k,2) in the number of DISTINCT frequent
+  items in the basket; ``max_basket_items`` guards pathological mega-
+  baskets (a bot session touching every SKU) by dropping baskets above
+  the cap — the standard production guard, off by default.
+
+All counts are exact integers; confidence/lift are fixed-order double
+divisions at the output boundary, so results are bit-deterministic
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Pairwise association rules over a (basket, item) table.
+
+    Returns one row per ordered rule A -> B (both directions of each
+    frequent unordered pair) with columns: ``antecedent``,
+    ``consequent``, ``n_joint`` (baskets containing both), ``n_ante``,
+    ``n_cons`` (single-item basket counts), ``support`` (joint / total
+    baskets), ``confidence`` (joint / antecedent) and ``lift``
+    (confidence / consequent base rate). ``min_support`` is an
+    absolute joint-basket-count threshold, applied to single items
+    first (apriori) and to pairs after counting.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+    # mega-basket guard first (a cleaning step), so every count below —
+    # margins included — is over the same kept-basket population
+    if max_basket_items is not None:
+        sizes = b.groupBy("basket").agg(F.count(F.lit(1)).alias("k"))
+        keep = sizes.filter(F.col("k") <= max_basket_items)
+        b = b.join(keep.select("basket"), "basket", "semi")
+
+    # single-item basket counts; apriori-prune to frequent items only
+    item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = item_n.filter(F.col("n_item") >= min_support)
+    b = b.join(F.broadcast(frequent.select("item")), "item", "semi")
+
+    n_baskets = b.select("basket").distinct().count()
+
+    # each unordered frequent pair exactly once; one basket-key shuffle
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.basket") == F.col("r.basket"))
+            & (F.col("l.item") < F.col("r.item")),
+        )
+        .groupBy(
+            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+        .filter(F.col("n_joint") >= min_support)
+    )
+
+    # both rule directions from the one pair table
+    rules = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_joint",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_joint",
+        )
+    )
+
+    ante = item_n.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    cons = item_n.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    conf = F.col("n_joint").cast("double") / F.col("n_ante")
+    base = F.col("n_cons").cast("double") / F.lit(n_baskets)
+    return (
+        rules.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_joint").cast("long").alias("n_joint"),
+            F.col("n_ante").cast("long").alias("n_ante"),
+            F.col("n_cons").cast("long").alias("n_cons"),
+            F.round(
+                F.col("n_joint").cast("double") / F.lit(n_baskets), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / base, 6).alias("lift"),
+        )
+    )

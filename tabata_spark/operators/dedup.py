@@ -1422,4 +1422,9 @@ def dedup_ingest_batch(
     survivors = new.join(
         dropped, new[id_col] == dropped["__did"], "left_anti"
     ).join(new_sigs.select(F.col(id_col), F.col("sig")), id_col)
-    return tx_write(survivors.select(id_col, text, "sig"), root, txn=txn)
+    # id stats in the commit -> log-level file pruning for point reads
+    # (tight per-batch id ranges make them sharp; see sigidx probe)
+    return tx_write(
+        survivors.select(id_col, text, "sig"), root, txn=txn,
+        stats_cols=[id_col],
+    )

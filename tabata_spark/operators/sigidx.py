@@ -255,13 +255,17 @@ def neardup_probe(
         (r["band"], r["bh"]) for r in banded_rows(sig, id_col, bands, rows).collect()
     ]
     cand_ids = [r[0] for r in probe_candidates(spark, index_root, keys).collect()]
-    corpus = tx_read(spark, corpus_root)
     if not cand_ids:
-        return corpus.select(
+        return tx_read(spark, corpus_root).select(
             F.col(id_col), F.lit(0.0).alias("jaccard")
         ).filter(F.lit(False))
+    # verify reads ONLY corpus files whose log stats admit a candidate
+    # id (tx_read_values) — without this the verify re-scans the whole
+    # corpus and dominates the probe (measured r8: 6.5 s of an 8.6 s
+    # probe at 2M docs; pruned it is the candidate count that matters)
+    corpus = tx_read_values(spark, corpus_root, id_col, cand_ids)
     probe_sh = token_shingles(F.lit(text_value), shingle_n)
-    cand = corpus.filter(F.col(id_col).isin(cand_ids)).select(
+    cand = corpus.select(
         id_col, token_shingles(F.col(text), shingle_n).alias("__sh")
     )
     n_inter = F.size(F.array_intersect(F.col("__sh"), probe_sh))
@@ -391,7 +395,13 @@ def dedup_ingest_batch_indexed(
     survivors = new.join(
         dropped, new[id_col] == dropped["__did"], "left_anti"
     ).join(new_sigs.select(F.col(id_col), F.col("sig")), id_col)
-    version = tx_write(survivors.select(id_col, text, "sig"), root, txn=txn)
+    # per-file id stats let point probes (neardup_probe's verify) and
+    # targeted re-reads prune corpus files from the log; micro-batch
+    # appends carry naturally tight id ranges, so the stats are sharp
+    version = tx_write(
+        survivors.select(id_col, text, "sig"), root, txn=txn,
+        stats_cols=[id_col],
+    )
     sigidx_catchup(
         spark, corpus_root=root, index_root=index_root, id_col=id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, bands=bands, rows=rows,
