@@ -242,10 +242,22 @@ def neardup_probe(
     query ("has this exact-ish page been crawled before?").
 
     Cost shape: one 1-row signature job, an index read pruned to the
-    files owning the probe's ≤ ``bands`` bucket hashes, and a
-    verify join against only the candidate ids (pushed into the
-    corpus scan as an IN-list, so parquet row-group stats prune the
-    text reads too). No corpus-wide work anywhere."""
+    files owning the probe's ≤ ``bands`` bucket hashes, and a verify
+    that reads ONLY the corpus files whose log id-stats admit a
+    candidate (tx_read_values — without it the verify re-scans the
+    whole corpus and dominates: measured r8, 6.5 s of an 8.6 s probe
+    at 2M docs). No corpus-wide work anywhere.
+
+    Verify formulation note: the candidate shingles are EXPLODED and
+    intersected via an aggregation (membership in the probe's literal
+    shingle set), not via ``array_intersect`` in a projection chain.
+    The projection form inlines ``token_shingles`` into the
+    threshold filter when Catalyst collapses projects, and the
+    resulting duplicated higher-order-function tree cost ~9 s per
+    probe REGARDLESS of row count (measured on a 2-row table);
+    ``dedup.py``'s pairwise verifies never hit this because their
+    arrays arrive behind join boundaries. Post-aggregation the filter
+    sees only scalar attributes — nothing to inline."""
     _check_meta(index_root, _geometry(num_hashes, shingle_n, bands, rows))
     probe = spark.createDataFrame(
         [("__probe__", text_value)], f"{id_col} string, {text} string"
@@ -259,19 +271,30 @@ def neardup_probe(
         return tx_read(spark, corpus_root).select(
             F.col(id_col), F.lit(0.0).alias("jaccard")
         ).filter(F.lit(False))
-    # verify reads ONLY corpus files whose log stats admit a candidate
-    # id (tx_read_values) — without this the verify re-scans the whole
-    # corpus and dominates the probe (measured r8: 6.5 s of an 8.6 s
-    # probe at 2M docs; pruned it is the candidate count that matters)
     corpus = tx_read_values(spark, corpus_root, id_col, cand_ids)
-    probe_sh = token_shingles(F.lit(text_value), shingle_n)
-    cand = corpus.select(
-        id_col, token_shingles(F.col(text), shingle_n).alias("__sh")
+    # probe shingle set python-side — the same distinct word n-grams
+    # token_shingles computes (short texts fall back to the whole
+    # token string), tiny (O(probe tokens)), and entering the plan as
+    # a literal IN-list instead of a per-row expression tree
+    toks = text_value.split(" ")
+    pset = sorted(
+        {
+            " ".join(toks[i : i + shingle_n])
+            for i in range(max(len(toks) - (shingle_n - 1), 1))
+        }
     )
-    n_inter = F.size(F.array_intersect(F.col("__sh"), probe_sh))
-    jac = n_inter / (F.size("__sh") + F.size(probe_sh) - n_inter)
+    cand_sh = corpus.select(
+        id_col, F.explode(token_shingles(F.col(text), shingle_n)).alias("__sh")
+    )
+    stats = cand_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("__sh").isin(pset), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__i"),
+    )
+    jac = F.col("__i") / (F.col("__n") + F.lit(len(pset)) - F.col("__i"))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        stats.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select(id_col, "jaccard")
     )
