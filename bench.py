@@ -149,6 +149,8 @@ HEADLINE = [
     "q_type_entropy_daily",
     "q_lorenz_customers",
     "q_purchase_cadence",
+    "q_assoc_brands",
+    "q_survival_km",
     # q_txlog_orders / q_txlog_merge / q_txlog_zorder /
     # dedup_ingest_pipeline / q_sigidx_probe rebuild their
     # transactional store from

@@ -11007,6 +11007,121 @@ def q_assoc_brands(spark, sf_dir):
     ).orderBy("antecedent", "consequent")
 
 
+@register(
+    "q_survival_km",
+    """
+    WITH cust AS (
+      SELECT o_custkey, min(o_orderdate) AS first_d,
+             max(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    subj AS (
+      SELECT date_diff('day', first_d, last_d) AS dur,
+             CASE WHEN last_d < (SELECT maxd FROM mx) - INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS ev
+      FROM cust
+    ),
+    per_t AS (
+      SELECT dur, count(*) AS all_n, sum(ev) AS d FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             (SELECT count(*) FROM subj)
+               - coalesce(sum(all_n) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT dur, n_risk, d,
+        CASE WHEN d < n_risk
+             THEN CAST(round(ln(1 - d::DOUBLE / n_risk), 6)
+                       AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END AS term,
+        CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(dur AS INTEGER) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN max(z) OVER cumw = 1 THEN 0.0
+                ELSE round(exp(CAST(sum(term) OVER cumw AS DOUBLE)), 6)
+           END AS survival
+    FROM terms
+    WINDOW cumw AS (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY duration_days
+    """,
+)
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer engagement lifetime:
+    duration = days from a customer's first to last order, an "event"
+    (churn) when the last order predates the dataset horizon by more
+    than 90 days, right-censored otherwise — the product-limit
+    estimator S(t) = prod_{t_i<=t} (1 - d_i/n_i) over event times,
+    with at-risk counts from a cumulative window. The same estimator
+    answers data-pipeline retention questions (document lifetime in a
+    crawl, membership duration before takedown). Scale shape: one
+    groupBy(customer) over the fact table, then ALL window work on the
+    per-distinct-duration aggregate (bounded by the day-range, not the
+    data) — the global-order windows run on a days-sized table.
+    Determinism: exact integer d/n counts; per-step ln terms rounded
+    and DECIMAL-quantized before the cumulative sum (the entropy-query
+    precedent); d==n steps short-circuit to exact 0.0 so no -inf ever
+    enters the arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate")).head()[0]  # scalar fold-back
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    subj = cust.select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(
+            F.col("last_d") < F.date_sub(F.lit(maxd), 90), F.lit(1)
+        ).otherwise(F.lit(0)).alias("ev"),
+    )
+    n_subjects = subj.count()  # scalar fold-back
+    per_t = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("all_n"), F.sum("ev").alias("d")
+    )
+    w_before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per_t.withColumn(
+        "n_risk",
+        F.lit(n_subjects)
+        - F.coalesce(F.sum("all_n").over(w_before), F.lit(0)),
+    ).filter(F.col("d") > 0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+            6,
+        ).cast("decimal(28,6)"),
+    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+    zero = F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.withColumn("__term", term)
+        .withColumn("__z", zero)
+        .select(
+            F.col("dur").cast("int").alias("duration_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.when(F.max("__z").over(w_cum) == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.sum("__term").over(w_cum).cast("double")), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #
