@@ -11122,6 +11122,167 @@ def q_survival_km(spark, sf_dir):
     )
 
 
+@register(
+    "q_logrank_segments",
+    """
+    WITH cust AS (
+      SELECT c.c_mktsegment AS grp, min(o.o_orderdate) AS first_d,
+             max(o.o_orderdate) AS last_d
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    subj AS (
+      SELECT grp, date_diff('day', first_d, last_d) AS dur,
+             CASE WHEN last_d < (SELECT maxd FROM mx) - INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS ev
+      FROM cust
+    ),
+    per_t AS (
+      SELECT dur,
+             sum(CASE WHEN grp = 'BUILDING' THEN 1 ELSE 0 END) AS all_a,
+             sum(CASE WHEN grp <> 'BUILDING' THEN 1 ELSE 0 END) AS all_b,
+             sum(CASE WHEN grp = 'BUILDING' THEN ev ELSE 0 END) AS d_a,
+             sum(CASE WHEN grp <> 'BUILDING' THEN ev ELSE 0 END) AS d_b
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d_a, d_b,
+        (SELECT count(*) FROM subj WHERE grp = 'BUILDING')
+          - coalesce(sum(all_a) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a,
+        (SELECT count(*) FROM subj WHERE grp <> 'BUILDING')
+          - coalesce(sum(all_b) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b
+      FROM per_t
+    ),
+    terms AS (
+      SELECT d_a, d_b, n_a, n_b, (n_a + n_b) AS n, (d_a + d_b) AS d,
+        CAST(round((d_a + d_b) * (n_a::DOUBLE / (n_a + n_b)), 6)
+             AS DECIMAL(28,6)) AS e_a,
+        CASE WHEN (n_a + n_b) > 1 THEN
+          CAST(round((d_a + d_b) * (n_a::DOUBLE / (n_a + n_b))
+                     * (1 - n_a::DOUBLE / (n_a + n_b))
+                     * ((n_a + n_b - d_a - d_b)::DOUBLE
+                        / (n_a + n_b - 1)), 6) AS DECIMAL(28,6))
+        ELSE CAST(0 AS DECIMAL(28,6)) END AS v
+      FROM risk WHERE (d_a + d_b) > 0
+    )
+    SELECT CAST(sum(d_a) AS BIGINT) AS obs_a,
+           CAST(CAST(sum(e_a) AS DECIMAL(28,6)) AS DOUBLE) AS exp_a,
+           CAST(sum(d_b) AS BIGINT) AS obs_b,
+           CAST(CAST(sum(d_a + d_b) AS DECIMAL(28,6))
+                - CAST(sum(e_a) AS DECIMAL(28,6)) AS DOUBLE) AS exp_b,
+           CASE WHEN CAST(sum(v) AS DOUBLE) = 0 THEN 0.0
+                ELSE round(
+                  (CAST(sum(d_a) AS DOUBLE)
+                   - CAST(CAST(sum(e_a) AS DECIMAL(28,6)) AS DOUBLE))
+                  * (CAST(sum(d_a) AS DOUBLE)
+                     - CAST(CAST(sum(e_a) AS DECIMAL(28,6)) AS DOUBLE))
+                  / CAST(CAST(sum(v) AS DECIMAL(28,6)) AS DOUBLE), 6)
+           END AS chi2
+    FROM terms
+    """,
+)
+def q_logrank_segments(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test between two customer segments'
+    engagement-survival curves (BUILDING vs AUTOMOBILE, same
+    duration/censoring construction as q_survival_km): at each event
+    time, observed vs hypergeometric-expected events in group A given
+    the pooled hazard, chi2 = (O_A - E_A)^2 / sum(var). THE standard
+    "are these two cohorts' lifetimes different" test (retention A/B,
+    corpus-source longevity). Scale shape: one groupBy over the
+    fact-dim join, then every window/cumulative on the per-duration
+    aggregate (days-sized); the two at-risk processes come from the
+    same cumulative-window trick as the KM query. Determinism: exact
+    integer counts; per-time expected/variance terms rounded-6 and
+    DECIMAL-summed; the final chi2 is a fixed-order double formula
+    over those exact sums."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    maxd = o.agg(F.max("o_orderdate")).head()[0]  # scalar fold-back
+    cust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+    )
+    is_a = F.col("c_mktsegment") == "BUILDING"
+    subj = cust.select(
+        is_a.alias("in_a"),
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(
+            F.col("last_d") < F.date_sub(F.lit(maxd), 90), F.lit(1)
+        ).otherwise(F.lit(0)).alias("ev"),
+    )
+    totals = subj.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("nb"),
+    ).head()  # scalar fold-back (two group sizes)
+    per_t = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("all_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("all_b"),
+        F.sum(F.when(F.col("in_a"), F.col("ev")).otherwise(0)).alias("d_a"),
+        F.sum(
+            F.when(F.col("in_a"), F.lit(0)).otherwise(F.col("ev"))
+        ).alias("d_b"),
+    )
+    w_before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per_t.select(
+        "dur",
+        "d_a",
+        "d_b",
+        (
+            F.lit(totals["na"])
+            - F.coalesce(F.sum("all_a").over(w_before), F.lit(0))
+        ).alias("n_a"),
+        (
+            F.lit(totals["nb"])
+            - F.coalesce(F.sum("all_b").over(w_before), F.lit(0))
+        ).alias("n_b"),
+    ).filter((F.col("d_a") + F.col("d_b")) > 0)
+    n = F.col("n_a") + F.col("n_b")
+    d = F.col("d_a") + F.col("d_b")
+    p_a = F.col("n_a").cast("double") / n
+    e_a = F.round(d * p_a, 6).cast("decimal(28,6)")
+    v = F.when(
+        n > 1,
+        F.round(
+            d * p_a * (F.lit(1.0) - p_a) * ((n - d).cast("double") / (n - 1)),
+            6,
+        ).cast("decimal(28,6)"),
+    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+    agg = risk.agg(
+        F.sum("d_a").cast("long").alias("obs_a"),
+        F.sum(e_a).cast("decimal(28,6)").alias("__ea"),
+        F.sum("d_b").cast("long").alias("obs_b"),
+        F.sum(d.cast("decimal(28,6)")).cast("decimal(28,6)").alias("__dt"),
+        F.sum(v).cast("decimal(28,6)").alias("__v"),
+    )
+    diff = F.col("obs_a").cast("double") - F.col("__ea").cast("double")
+    return agg.select(
+        "obs_a",
+        F.col("__ea").cast("double").alias("exp_a"),
+        "obs_b",
+        (F.col("__dt") - F.col("__ea")).cast("double").alias("exp_b"),
+        F.when(F.col("__v").cast("double") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(diff * diff / F.col("__v").cast("double"), 6)
+        )
+        .alias("chi2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #
