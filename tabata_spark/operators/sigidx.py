@@ -57,6 +57,7 @@ from tabata_spark.operators.dedup import (
 from tabata_spark.sources.txlog import (
     tx_added_files,
     tx_compact,
+    tx_files_for_values,
     tx_read,
     tx_read_values,
     tx_txns,
@@ -363,8 +364,50 @@ def dedup_ingest_batch_indexed(
                 .limit(prune_key_limit + 1)
                 .collect()
             ]
+            # SELF-GATING (r8c measurement): pruning only pays when
+            # the batch's bucket keys skip MOST index files — a
+            # 1k-doc batch carries ~14k distinct keys, which hit
+            # every one of 256 files (expected misses ~0), so the
+            # "pruned" path was pure overhead (15.9 s vs 9.7 s plain
+            # full-scan ingest); even a 16-doc batch (37% skippable)
+            # broke even at best locally. The winning regime is the
+            # point-probe one (1-4 docs, >75% skipped). So: consult
+            # the log stats first (driver-side bisect, no I/O) and
+            # engage the pruned-read path only when at least half
+            # the files drop; on an object store every skipped file
+            # is a saved GET, so deployments there may relax this.
             if len(batch_keys) <= prune_key_limit:
-                idx = tx_read_values(spark, index_root, "bh", batch_keys)
+                kept_f, skipped = tx_files_for_values(
+                    index_root, "bh", batch_keys
+                )
+                if skipped >= max(len(kept_f), 1):
+                    idx = tx_read_values(spark, index_root, "bh", batch_keys)
+                    # step 2: candidate OLD ids are the index rows
+                    # sharing a bucket with the batch — collect them
+                    # (bounded by the batch's bucket collisions) and
+                    # swap the full-corpus verify frame for a
+                    # log-stats-pruned id read, so the verify's
+                    # semi-join stops SCANNING every corpus text (it
+                    # bounds compute, not I/O).
+                    key_df = spark.createDataFrame(
+                        [(int(k),) for k in batch_keys], "bh bigint"
+                    )
+                    cand_old = [
+                        r[0]
+                        for r in idx.join(
+                            F.broadcast(key_df), "bh", "left_semi"
+                        )
+                        .select("doc_id")
+                        .distinct()
+                        .limit(prune_key_limit + 1)
+                        .collect()
+                    ]
+                    if len(cand_old) <= prune_key_limit:
+                        corpus = (
+                            tx_read_values(spark, root, id_col, cand_old)
+                            if cand_old
+                            else corpus.filter(F.lit(False))
+                        ).select(id_col, text)
         if idx is None:
             idx = tx_read(spark, index_root)
         corpus_banded = idx.select("band", "bh", F.col("doc_id").alias("__id"))

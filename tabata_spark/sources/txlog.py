@@ -490,7 +490,21 @@ def tx_read_values(
         return tx_read(spark, root).filter(F.lit(False))
     state = _resolve(root)
     df = _read_files_canonical(spark, root, files, state)
-    return df.filter(F.col(col).isin(vals))
+    if len(vals) <= 64:
+        # small lists push into the parquet scan as an IN filter
+        return df.filter(F.col(col).isin(vals))
+    # large lists: a literal IN expression with thousands of entries
+    # is a Catalyst/codegen pathology (measured r8: a ~16k-value isin
+    # made a pruned read 2.5x SLOWER than the full scan it replaced).
+    # A broadcast semi-join against a values frame keeps the plan
+    # size O(1) and still evaluates as a hashed lookup per row.
+    from pyspark.sql.types import StructType
+
+    field = next(f for f in df.schema.fields if f.name == col)
+    vdf = spark.createDataFrame(
+        [(v,) for v in vals], schema=StructType([field])
+    )
+    return df.join(F.broadcast(vdf), col, "left_semi")
 
 
 class TxConflictError(RuntimeError):

@@ -103,7 +103,14 @@ def main():
     ).collect()
     t_scan = time.perf_counter() - t0
 
-    micro = synth(spark, 1_000, base=50_000_000)
+    # realistic micro-batch: 90% fresh, 10% exact copies of corpus
+    # docs (collisions make the verify path actually execute — an
+    # all-fresh batch lets AQE empty-relation propagation skip it)
+    micro = synth(spark, 900, base=50_000_000).unionByName(
+        synth(spark, 100).select(
+            (F.col("doc_id") + 60_000_000).alias("doc_id"), "text"
+        )
+    )
     t0 = time.perf_counter()
     dedup_ingest_batch_indexed(
         spark, root, idx, micro, txn="probe:m1", prune_key_limit=65536
