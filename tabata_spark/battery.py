@@ -11283,6 +11283,75 @@ def q_logrank_segments(spark, sf_dir):
     )
 
 
+@register(
+    "q_kcore_parts",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    kk AS (
+      SELECT (count(*) + count(DISTINCT s) - 1) // count(DISTINCT s) AS k
+      FROM e0
+    ),
+    k1 AS (SELECT s FROM e0 GROUP BY s
+           HAVING count(*) >= (SELECT k FROM kk)),
+    e1 AS (SELECT e.s, e.d FROM e0 e
+           JOIN k1 x ON e.s = x.s JOIN k1 y ON e.d = y.s),
+    k2 AS (SELECT s FROM e1 GROUP BY s
+           HAVING count(*) >= (SELECT k FROM kk)),
+    e2 AS (SELECT e.s, e.d FROM e1 e
+           JOIN k2 x ON e.s = x.s JOIN k2 y ON e.d = y.s),
+    k3 AS (SELECT s FROM e2 GROUP BY s
+           HAVING count(*) >= (SELECT k FROM kk)),
+    e3 AS (SELECT e.s, e.d FROM e2 e
+           JOIN k3 x ON e.s = x.s JOIN k3 y ON e.d = y.s),
+    k4 AS (SELECT s FROM e3 GROUP BY s
+           HAVING count(*) >= (SELECT k FROM kk)),
+    e4 AS (SELECT e.s, e.d FROM e3 e
+           JOIN k4 x ON e.s = x.s JOIN k4 y ON e.d = y.s),
+    k5 AS (SELECT s FROM e4 GROUP BY s
+           HAVING count(*) >= (SELECT k FROM kk)),
+    e5 AS (SELECT e.s, e.d FROM e4 e
+           JOIN k5 x ON e.s = x.s JOIN k5 y ON e.d = y.s),
+    k6 AS (SELECT s FROM e5 GROUP BY s
+           HAVING count(*) >= (SELECT k FROM kk)),
+    e6 AS (SELECT e.s, e.d FROM e5 e
+           JOIN k6 x ON e.s = x.s JOIN k6 y ON e.d = y.s)
+    SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e6 GROUP BY s ORDER BY node
+    """,
+)
+def q_kcore_parts(spark, sf_dir):
+    """k-core decomposition of the co-purchase graph at k = ceil(avg
+    degree): the maximal subgraph where every part keeps >= k
+    co-purchase partners, by synchronous peeling rounds
+    (operators/graph.py:k_core — one degree agg + two semi-joins per
+    round over the shared persisted edge list, exact integer degrees,
+    per-round lineage truncation). Dense-core extraction is the
+    structural quality signal that survives degree inflation by spam
+    leaves (crawl host graphs, near-dup ecosystems). Six synchronous
+    rounds both engines (Spark early-exits at the fixed point; the
+    oracle's extra unrolled rounds are then no-ops, so the states
+    match round-for-round by construction); k is an exact integer
+    ceil-division fold-back, data-derived so the query scales with
+    sf."""
+    from tabata_spark.operators.graph import k_core
+
+    edges = _copurchase_symmetric(spark, sf_dir)
+    tot = edges.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.countDistinct("src").alias("n"),
+    ).head()  # scalar fold-back: total degree + node count
+    k = (tot["m"] + tot["n"] - 1) // tot["n"]
+    return (
+        k_core(edges, k=int(k), max_rounds=6)
+        .select("node", "degree")
+        .orderBy("node")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #

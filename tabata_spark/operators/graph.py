@@ -306,3 +306,66 @@ def label_propagation(
     und.unpersist()
     nodes.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree >= k — computed by the classic peeling
+    fixed point (drop all nodes with degree < k over the SURVIVING
+    subgraph, repeat), run synchronously so each round is one degree
+    aggregation + two semi-joins over the persisted edge list (the
+    PageRank round discipline: per-round lineage truncation, tiny
+    node vector next to the edges, exact integer degrees — bit-
+    deterministic under any partitioning, and round-by-round
+    replayable by a SQL engine that unrolls the same peels).
+
+    The LLM-data use: core number thresholds over the crawl host
+    graph or the near-dup similarity graph separate densely
+    interlinked cores (link farms, boilerplate ecosystems — or,
+    positively, canonical reference clusters) from the sparse
+    periphery, a sharper structural quality signal than raw degree
+    because it survives degree inflation by spam leaves.
+
+    ``edges`` must already be symmetric (both directions present);
+    degrees are then one ``groupBy(src)``. Early-exits when a round
+    peels nothing (the fixed point — extra rounds are no-ops, so a
+    fixed-round SQL unroll of >= the convergence depth matches
+    exactly). Returns (node, degree) for the surviving core, degree
+    measured INSIDE the core."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            e.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("__s")
+        )
+        survived = (
+            e.join(keep, "__s", "left_semi")
+            .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
+            .select("__s", "__d")
+            .persist()
+        )
+        n_next = survived.count()
+        e.unpersist()
+        e = survived
+        if n_next == n_edges:
+            break  # fixed point: nothing peeled this round
+        n_edges = n_next
+    out = (
+        e.groupBy("__s")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("__s").alias("node"), "degree")
+        .localCheckpoint(eager=True)  # free the peeled edge lineage
+    )
+    e.unpersist()
+    return out

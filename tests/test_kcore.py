@@ -1,0 +1,50 @@
+"""k-core peeling: hand-checked cores, peel cascades, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.graph import k_core
+
+
+def sym(spark, pairs):
+    df = spark.createDataFrame(pairs, "src int, dst int")
+    return df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # triangle {1,2,3} + pendant chain 3-4-5 (a 2-core = the triangle;
+    # peeling 5 exposes 4, which must cascade out too)
+    return sym(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+
+
+def test_two_core_is_the_triangle(graph):
+    core = {r["node"]: r["degree"] for r in k_core(graph, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+
+
+def test_peel_cascade_requires_multiple_rounds(graph):
+    # with max_rounds=1 the cascade is incomplete: node 4 survives the
+    # first peel (degree 2: edges to 3 and 5) and only falls after 5
+    # is gone — pinning that rounds compose correctly
+    one = {r["node"] for r in k_core(graph, k=2, max_rounds=1).collect()}
+    assert one == {1, 2, 3, 4}
+    full = {r["node"] for r in k_core(graph, k=2).collect()}
+    assert full == {1, 2, 3}
+
+
+def test_k_larger_than_any_degree_empties_the_graph(graph, spark):
+    assert k_core(graph, k=5).count() == 0
+
+
+def test_k_one_keeps_everything(graph):
+    core = {r["node"]: r["degree"] for r in k_core(graph, k=1).collect()}
+    assert core == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_deterministic_under_repartition(graph):
+    a = sorted(map(tuple, k_core(graph, k=2).collect()))
+    b = sorted(map(tuple, k_core(graph.repartition(7, "dst"), k=2).collect()))
+    assert a == b
