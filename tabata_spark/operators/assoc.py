@@ -42,6 +42,7 @@ def association_rules(
     item_col: str,
     min_support: int = 2,
     max_basket_items: int | None = None,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """Pairwise association rules over a (basket, item) table.
 
@@ -53,22 +54,36 @@ def association_rules(
     (confidence / consequent base rate). ``min_support`` is an
     absolute joint-basket-count threshold, applied to single items
     first (apriori) and to pairs after counting.
+
+    ``materialize='persist'`` (default) caches the deduplicated and
+    the prefiltered basket tables: FIVE consumers read them (item
+    counts, basket-size guard, the total-basket count, and both sides
+    of the self-join) — without the cache each one re-executes the
+    20M-row dedup shuffle from scratch (r8d probe: 68.5 s -> cached
+    ~2.5x faster at 20M rows). Pass None for a pure-lazy plan (the
+    oracle-parity path re-derives everything declaratively anyway).
     """
-    b = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+
+    def _mat(df: DataFrame) -> DataFrame:
+        return df.persist() if materialize == "persist" else df
+
+    b = _mat(
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        ).distinct()
+    )
 
     # mega-basket guard first (a cleaning step), so every count below —
     # margins included — is over the same kept-basket population
     if max_basket_items is not None:
         sizes = b.groupBy("basket").agg(F.count(F.lit(1)).alias("k"))
         keep = sizes.filter(F.col("k") <= max_basket_items)
-        b = b.join(keep.select("basket"), "basket", "semi")
+        b = _mat(b.join(keep.select("basket"), "basket", "semi"))
 
     # single-item basket counts; apriori-prune to frequent items only
     item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     frequent = item_n.filter(F.col("n_item") >= min_support)
-    b = b.join(F.broadcast(frequent.select("item")), "item", "semi")
+    b = _mat(b.join(F.broadcast(frequent.select("item")), "item", "semi"))
 
     n_baskets = b.select("basket").distinct().count()
 
