@@ -655,3 +655,36 @@ def test_zorder_compact_prunes_boxes_on_every_dimension(spark, tmp_path):
     tx_write(nulls, nroot)
     with pytest.raises(ValueError, match="all-null"):
         tx_compact(spark, nroot, zorder_by=["a", "b"])
+
+
+def test_read_values_large_list_uses_broadcast_join_and_matches(
+    spark, tmp_path
+):
+    # >64 probe values switch tx_read_values from a literal IN filter
+    # to a broadcast semi-join (the 16k-value isin was a measured 2.5x
+    # regression, SCALE.md r8) — results must be identical either way,
+    # missing values silently absent, and file pruning still applies.
+    from tabata_spark.sources.txlog import tx_files_for_values, tx_read_values
+
+    root = str(tmp_path / "t")
+    tx_write(
+        spark.range(4000).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        ).repartitionByRange(4, "id"),
+        root,
+        stats_cols=["id"],
+    )
+    # 100 probes: 90 present (spread over two files) + 10 absent
+    vals = list(range(0, 90)) + list(range(1900, 1905)) + list(range(9000, 9005))
+    assert len(vals) > 64
+    got = sorted(r["id"] for r in tx_read_values(spark, root, "id", vals).collect())
+    assert got == list(range(0, 90)) + list(range(1900, 1905))
+    # small-list path agrees on the same data
+    small = sorted(
+        r["id"] for r in tx_read_values(spark, root, "id", [3, 1901, 9999]).collect()
+    )
+    assert small == [3, 1901]
+    # pruning still applies to the large list: ids 0-89 and 1900-1904
+    # live in 2 of the 4 range-clustered files
+    kept, skipped = tx_files_for_values(root, "id", vals)
+    assert len(kept) == 2 and skipped == 2
