@@ -153,6 +153,7 @@ HEADLINE = [
     "q_survival_km",
     "q_logrank_segments",
     "q_kcore_parts",
+    "q_rfm_segments",
     # q_txlog_orders / q_txlog_merge / q_txlog_zorder /
     # dedup_ingest_pipeline / q_sigidx_probe rebuild their
     # transactional store from

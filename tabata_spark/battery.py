@@ -11352,6 +11352,77 @@ def q_kcore_parts(spark, sf_dir):
     )
 
 
+@register(
+    "q_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(monetary) AS DECIMAL(28,2)) AS DOUBLE)
+             AS total_monetary
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — THE classic marketing/retention
+    grid: per customer recency (days since last order, higher score =
+    more recent), frequency (order count) and monetary (exact DECIMAL
+    revenue), each quintile-scored with a total (value, custkey)
+    order so ntile is deterministic (the q_lorenz precedent), then
+    the 125-cell segment grid with sizes and revenue. For a data
+    pipeline the same grid ranks contributor domains by freshness/
+    volume/yield. Scale shape: one groupBy(customer) over the fact
+    table; the three ntile windows run on the per-customer aggregate
+    (a known single-partition global sort — acceptable because the
+    windowed table is customers, not facts; at true scale swap ntile
+    for a pre-aggregated quantile-boundary broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate")).head()[0]  # scalar fold-back
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(maxd), F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = cust.select(
+        "monetary",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary")
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #

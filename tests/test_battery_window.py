@@ -144,7 +144,7 @@ def test_r8_window_is_disjoint_from_r7_window():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 208
+    assert len(QUERIES) == len(set(QUERIES)) == 209
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
