@@ -10590,21 +10590,21 @@ def q_lorenz_customers(spark, sf_dir):
     to end (the window cumulative re-quantized before the double
     boundary); engine-identical ntile on the deterministic order.
 
-    Scale note: the global ntile window runs over the per-CUSTOMER
-    aggregate (|entities| rows — orders of magnitude below the fact
-    table), the same entity-level single-pass trade as q_zipf_fit's
-    rank; at billions of entities swap it for the equi-depth
-    two-phase bucketing of q_histogram_depth per shard."""
+    Scale note: the decile assignment is the DISTRIBUTED exact ntile
+    (operators/ranking.py) — range-repartition plus per-partition
+    rank offsets, bit-identical to the window NTILE with no
+    single-partition stage; the only remaining global window is the
+    10-row cumulative over the decile AGGREGATE."""
+    from tabata_spark.operators.ranking import with_exact_ntile
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(28,2)")
         .alias("r")
     )
-    dec = rev.select(
-        "o_custkey",
-        "r",
-        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"),
+    dec = with_exact_ntile(rev, 10, ["r", "o_custkey"], "decile").select(
+        "o_custkey", "r", "decile"
     )
     agg = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -10958,7 +10958,7 @@ def q_sigidx_probe(spark, sf_dir):
       SELECT * FROM b
       WHERE item IN (SELECT item FROM item_n WHERE n_item >= 20)
     ),
-    tot AS (SELECT count(DISTINCT basket) AS n FROM bf),
+    tot AS (SELECT count(DISTINCT basket) AS n FROM b),
     pairs AS (
       SELECT l.item AS item_a, r.item AS item_b, count(*) AS n_joint
       FROM bf l JOIN bf r ON l.basket = r.basket AND l.item < r.item
@@ -11388,10 +11388,12 @@ def q_rfm_segments(spark, sf_dir):
     the 125-cell segment grid with sizes and revenue. For a data
     pipeline the same grid ranks contributor domains by freshness/
     volume/yield. Scale shape: one groupBy(customer) over the fact
-    table; the three ntile windows run on the per-customer aggregate
-    (a known single-partition global sort — acceptable because the
-    windowed table is customers, not facts; at true scale swap ntile
-    for a pre-aggregated quantile-boundary broadcast)."""
+    table; the three quintile scores use the DISTRIBUTED exact ntile
+    (operators/ranking.py: range-repartition + per-partition rank
+    offsets — bit-identical to the window NTILE, no single-partition
+    global sort anywhere in the plan)."""
+    from tabata_spark.operators.ranking import with_exact_ntile
+
     o = _t(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate")).head()[0]  # scalar fold-back
     cust = o.groupBy("o_custkey").agg(
@@ -11401,15 +11403,12 @@ def q_rfm_segments(spark, sf_dir):
         .cast("decimal(28,2)")
         .alias("monetary"),
     )
-    wr = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
-    scored = cust.select(
-        "monetary",
-        F.ntile(5).over(wr).alias("r"),
-        F.ntile(5).over(wf).alias("f"),
-        F.ntile(5).over(wm).alias("m"),
+    s = with_exact_ntile(
+        cust, 5, [F.desc("recency_days"), F.asc("o_custkey")], "r"
     )
+    s = with_exact_ntile(s, 5, [F.asc("frequency"), F.asc("o_custkey")], "f")
+    s = with_exact_ntile(s, 5, [F.asc("monetary"), F.asc("o_custkey")], "m")
+    scored = s.select("monetary", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(
@@ -11504,6 +11503,83 @@ _DRIVER_WINDOW_R8 = [
 ]
 
 
+# Round 9: the THIRD disjoint 50-query slice (VERDICT r8 item 1).
+# Both prior windows (r4-r7 first-50 and the r8 rotation) are fully
+# hash-green in their CORRECTNESS artifacts, so rotating is zero-risk
+# by the same precondition. This slice drains the never-driver-checked
+# tail: the serving/ingest headliners (continuous dedup ingest, stored
+# signature index probe), association rules, k-core, survival (KM +
+# log-rank), RFM/Lorenz (now on the distributed exact ntile), PQ/ADC +
+# near-dup LSH serving, span/line/incremental dedup, text retrieval +
+# perplexity, sampling/mixture planning, Z-order clustering, the
+# time-series window tail (CUSUM/EWMA/ACF/rolling-median/M4/LTTB),
+# cohort/DAU analytics, and the entire remaining TPC-H tail
+# (q4/q7/q10/q11/q14/q15/q16/q17/q19/q21/q22). Pinned in
+# tests/test_battery_window.py alongside both prior windows.
+
+_DRIVER_WINDOW_R9 = [
+    # serving / ingest / storage headliners
+    "dedup_ingest_pipeline",
+    "q_sigidx_probe",
+    "q_txlog_zorder",
+    "q_zorder_key",
+    # analytics families added r8
+    "q_assoc_brands",
+    "q_kcore_parts",
+    "q_survival_km",
+    "q_logrank_segments",
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    # similarity / embedding serving tail
+    "sim_pq_adc",
+    "sim_neardup_lsh",
+    "sim_neardup_pairs",
+    "sim_hard_negatives",
+    "sim_srp_project",
+    "emb_int8_quant",
+    "q_domain_similarity",
+    # dedup tail
+    "dedup_lines",
+    "dedup_incremental",
+    "dedup_span_stats",
+    "dedup_span_strip",
+    # text tail
+    "text_pii",
+    "text_index_search",
+    "text_repetition",
+    "text_fertility",
+    "text_unigram_ppl",
+    # sampling / mixture planning
+    "sample_domain_cap",
+    "sample_weighted",
+    "sample_pareto",
+    "mixture_uniform",
+    "q_mixing_plan",
+    # time-series window tail
+    "w_cusum",
+    "w_ewma",
+    "w_acf",
+    "w_rolling_median",
+    "w_m4_downsample",
+    "w_lttb_downsample",
+    # product analytics
+    "q_cohort_retention",
+    "q_dau_wau",
+    # TPC-H tail — the last driver-unchecked TPC-H shapes
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -11516,4 +11592,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R8)
+_rotate_driver_window(_DRIVER_WINDOW_R9)

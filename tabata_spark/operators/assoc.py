@@ -80,12 +80,17 @@ def association_rules(
         keep = sizes.filter(F.col("k") <= max_basket_items)
         b = _mat(b.join(keep.select("basket"), "basket", "semi"))
 
+    # support denominator = TOTAL kept baskets, counted BEFORE the
+    # apriori prefilter — classic semantics (support = joint / total
+    # transactions); baskets made solely of infrequent items still
+    # count toward the denominator even though they can't contribute
+    # joint pairs
+    n_baskets = b.select("basket").distinct().count()
+
     # single-item basket counts; apriori-prune to frequent items only
     item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     frequent = item_n.filter(F.col("n_item") >= min_support)
     b = _mat(b.join(F.broadcast(frequent.select("item")), "item", "semi"))
-
-    n_baskets = b.select("basket").distinct().count()
 
     # each unordered frequent pair exactly once; one basket-key shuffle
     left = b.alias("l")

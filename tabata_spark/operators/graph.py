@@ -333,39 +333,83 @@ def k_core(
     because it survives degree inflation by spam leaves.
 
     ``edges`` must already be symmetric (both directions present);
-    degrees are then one ``groupBy(src)``. Early-exits when a round
-    peels nothing (the fixed point — extra rounds are no-ops, so a
-    fixed-round SQL unroll of >= the convergence depth matches
-    exactly). Returns (node, degree) for the surviving core, degree
-    measured INSIDE the core."""
+    the initial degree table is then one ``groupBy(src)``. Degrees are
+    maintained INCREMENTALLY after that: each round peels the nodes
+    whose maintained degree dropped below k, aggregates only the edges
+    INCIDENT TO PEELED NODES into per-survivor deltas (a tiny groupBy
+    — peel fronts shrink fast), and subtracts — no full-degree
+    re-aggregation over the surviving edge set per round. The edge
+    list is thinned by the same two anti-joins the semi-join variant
+    used, so per-round edge-side cost is unchanged and the degree-side
+    cost drops from O(surviving edges) to O(edges touching the peel
+    front). Early-exits when a round peels nothing (the fixed point —
+    extra rounds are no-ops, so a fixed-round SQL unroll of >= the
+    convergence depth matches exactly). Warns if ``max_rounds`` is
+    exhausted before the fixed point (the result is then a truncated
+    peel, NOT a k-core — deep chain-like graphs need more rounds).
+    Returns (node, degree) for the surviving core, degree measured
+    INSIDE the core."""
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
-    n_edges = e.count()
+    deg = (
+        e.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .withColumnRenamed("__s", "__n")
+        .persist()
+    )
+    converged = False
     for _ in range(max_rounds):
-        if n_edges == 0:
+        peel = deg.filter(F.col("__deg") < k).select("__n").persist()
+        if peel.count() == 0:
+            peel.unpersist()
+            converged = True
             break
-        keep = (
-            e.groupBy("__s")
-            .agg(F.count(F.lit(1)).alias("__deg"))
-            .filter(F.col("__deg") >= k)
-            .select("__s")
+        # per-survivor degree loss: only edges whose dst is peeled
+        delta = (
+            e.join(peel.withColumnRenamed("__n", "__d"), "__d", "left_semi")
+            .groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__lost"))
+            .withColumnRenamed("__s", "__n")
+        )
+        deg_next = (
+            deg.join(peel, "__n", "left_anti")
+            .join(delta, "__n", "left")
+            .select(
+                "__n",
+                (F.col("__deg") - F.coalesce(F.col("__lost"), F.lit(0))).alias(
+                    "__deg"
+                ),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
         survived = (
-            e.join(keep, "__s", "left_semi")
-            .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
+            e.join(peel.withColumnRenamed("__n", "__s"), "__s", "left_anti")
+            .join(peel.withColumnRenamed("__n", "__d"), "__d", "left_anti")
             .select("__s", "__d")
             .persist()
         )
-        n_next = survived.count()
+        survived.count()
         e.unpersist()
+        peel.unpersist()
+        deg.unpersist()
         e = survived
-        if n_next == n_edges:
-            break  # fixed point: nothing peeled this round
-        n_edges = n_next
-    out = (
-        e.groupBy("__s")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        .select(F.col("__s").alias("node"), "degree")
-        .localCheckpoint(eager=True)  # free the peeled edge lineage
-    )
+        deg = deg_next
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"k_core: max_rounds={max_rounds} exhausted before the peeling "
+            "fixed point — nodes with degree < k remain; the result is a "
+            "truncated peel, not a k-core. Raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # at the fixed point every maintained degree is >= k by
+    # construction; in the warned truncated case the not-yet-peeled
+    # survivors are returned as-is (matching the round-by-round
+    # SQL-unroll semantics)
+    out = deg.select(
+        F.col("__n").alias("node"), F.col("__deg").cast("long").alias("degree")
+    ).localCheckpoint(eager=True)
     e.unpersist()
+    deg.unpersist()
     return out

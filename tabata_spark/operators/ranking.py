@@ -1,0 +1,111 @@
+"""Distributed exact rank / ntile — no single-partition global window.
+
+``F.ntile(k).over(Window.orderBy(...))`` funnels the whole table
+through ONE task (Spark plans an empty-partitioning window as a single
+partition). Fine for an entity-level aggregate at test scale; a
+cluster-killer on anything fact-sized. This module reconstructs the
+EXACT same rank — and therefore the exact same ntile buckets — from
+fully parallel pieces:
+
+1. ``repartitionByRange`` on the (total-order) sort keys: every
+   partition owns a contiguous key range, partitions are mutually
+   ordered.
+2. One tiny job counts rows per partition (one output row per
+   partition — collected to the driver, O(partitions)).
+3. Cumulative counts give each partition's global rank offset;
+   ``row_number`` over a ``partitionBy(partition_id)`` window (runs
+   parallel, one local sort per partition — and the range shuffle
+   already clustered the keys) plus the broadcast offset is the exact
+   global rank.
+4. The ntile bucket is then pure arithmetic on (rank, n, k) — SQL
+   NTILE semantics: n = q*k + r means the first r buckets get q+1
+   rows, the rest q.
+
+Because the sort keys must form a TOTAL order (callers tie-break on a
+unique key, exactly as they must for deterministic ``ntile``), the
+reconstructed rank is invariant to where the range boundaries land —
+results are bit-identical to the single-partition window under any
+partitioning, which the tests pin against ``F.ntile`` itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_exact_rank", "with_exact_ntile", "ntile_from_rank"]
+
+
+def with_exact_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "__rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Append the exact 1-based global rank by ``order_cols`` (which
+    must be a total order — include a unique tie-break key) without a
+    single-partition window. Returns ``(df_with_rank, n_rows)``; the
+    returned frame is persisted (callers unpersist when done)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # one row per partition — O(partitions) driver-side, not O(rows)
+    counts = {
+        r["__pid"]: r["__n"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    n_rows, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = n_rows
+        n_rows += counts[pid]
+    off_expr: Column = F.lit(0)
+    if offsets:
+        pairs: list[Column] = []
+        for pid, off in offsets.items():
+            pairs.extend([F.lit(int(pid)), F.lit(int(off))])
+        off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = d.withColumn(
+        rank_col, (F.row_number().over(w) + off_expr).cast("long")
+    ).drop("__pid")
+    return out, n_rows
+
+
+def ntile_from_rank(rank_col: str, n_rows: int, k: int) -> Column:
+    """SQL NTILE(k) bucket from an exact 1-based rank column over n
+    rows: with n = q*k + r, the first r buckets hold q+1 rows each,
+    the remaining k-r hold q. Pure INTEGER arithmetic (SQL ``div``) —
+    exact at any scale, no double-division rounding edge."""
+    q, r = divmod(int(n_rows), int(k))
+    head = r * (q + 1)  # rows covered by the fat buckets
+    qt = max(q, 1)  # thin-bucket width (q==0 only when n<k: all fat)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {head} "
+        f"THEN ({rank_col} + {q}) div {q + 1} "
+        f"ELSE {r} + (({rank_col} - {head} + {qt - 1}) div {qt}) "
+        f"END AS INT)"
+    )
+
+
+def with_exact_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append NTILE(k) by ``order_cols`` (a total order), computed via
+    the distributed exact rank — bit-identical to
+    ``F.ntile(k).over(Window.orderBy(*order_cols))`` with no
+    single-partition stage. The returned frame is persisted."""
+    ranked, n = with_exact_rank(df, order_cols, "__rank", num_partitions)
+    if n == 0:
+        return ranked.withColumn(out_col, F.lit(None).cast("int")).drop("__rank")
+    return ranked.withColumn(
+        out_col, ntile_from_rank("__rank", n, k)
+    ).drop("__rank")

@@ -181,7 +181,16 @@ def sigidx_catchup(
         return vi
     rels = tx_added_files(corpus_root, vi, mode="append")
     paths = [os.path.join(corpus_root, r) for r in rels]
-    if vi == 0 or any(not os.path.exists(p) for p in paths):
+    # Non-append commits in the gap (replace/overwrite with added
+    # files — a tx_merge upsert, a compaction, a full rewrite) can
+    # introduce or rewrite rows this append-only catch-up would never
+    # see, silently breaking candidate completeness. Detect them and
+    # fall back to a full rebuild (conservative for pure compactions,
+    # correct for everything).
+    gap_rewrites = tx_added_files(
+        corpus_root, vi, mode="replace"
+    ) + tx_added_files(corpus_root, vi, mode="overwrite")
+    if vi == 0 or gap_rewrites or any(not os.path.exists(p) for p in paths):
         return sigidx_build(
             spark, corpus_root, index_root, id_col, num_hashes, shingle_n, bands, rows
         )

@@ -196,9 +196,15 @@ def _apply(state: dict, c: dict) -> None:
     state["version"] = c["version"]
     if c["mode"] == "overwrite":
         state["active"] = []
+        state["stats"] = {}
     elif c["mode"] == "replace":
         rm = set(c.get("remove", []))
         state["active"] = [f for f in state["active"] if f not in rm]
+        # drop dead-file stats with the files: without this, resolved
+        # state and every checkpoint grow monotonically across
+        # compactions (each tx_compact would double the tracked set)
+        for f in rm:
+            state["stats"].pop(f, None)
     state["active"].extend(c["add"])
     if "schema" in c:
         h = state["schema_history"]
@@ -576,7 +582,14 @@ def _commit(
         payload = json.dumps(entry).encode()
         if claimer.claim(logd, f"{version:020d}.json", payload):
             if version % CHECKPOINT_INTERVAL == 0:
-                _write_checkpoint(root, _resolve(root, version))
+                # best-effort FOR REAL: the commit is already durable,
+                # so an I/O failure here must not surface as a commit
+                # error (a retrying caller would double-apply); the
+                # next interval re-checkpoints
+                try:
+                    _write_checkpoint(root, _resolve(root, version))
+                except OSError:
+                    pass
             return version
         # lost the race — recompute version, retry
     raise RuntimeError(

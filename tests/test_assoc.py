@@ -68,6 +68,19 @@ def test_max_basket_items_drops_mega_baskets(baskets):
     assert ("a", "c") not in rules
 
 
+def test_infrequent_only_basket_still_counts_in_denominator(spark):
+    # basket 7 contains ONLY the infrequent item y: the apriori
+    # prefilter removes its rows from pair generation, but classic
+    # support semantics (joint / TOTAL transactions) still counts it
+    # in the denominator
+    rows = BASKETS + [(7, "y")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(df, "basket", "item", min_support=2)
+    r = {(x["antecedent"], x["consequent"]): x for x in out.collect()}[("a", "b")]
+    assert r["support"] == round(3 / 7, 6)  # 7 baskets, not 6
+    assert r["lift"] == round((3 / 5) / (4 / 7), 6)
+
+
 def test_deterministic_under_repartition(baskets):
     a = _rules(baskets, min_support=2)
     b = _rules(baskets.repartition(13, "item"), min_support=2)

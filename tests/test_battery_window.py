@@ -74,9 +74,8 @@ R7_WINDOW = [
 
 # The r8 rotated window (battery._DRIVER_WINDOW_R8): txlog, sketches/
 # KMV, Bloom join, graph, drift/eval stats, bitext, SCD2/PIT/CDC,
-# as-of joins, TPC-H long tail — the families that until now had only
-# local-sweep evidence.
-DRIVER_WINDOW = [
+# as-of joins, TPC-H long tail. All 50 driver-hash-green in r8.
+R8_WINDOW = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "q2_min_cost_supp",
@@ -129,16 +128,76 @@ DRIVER_WINDOW = [
     "pipeline_end_to_end",
 ]
 
+# The r9 rotated window (battery._DRIVER_WINDOW_R9): the third
+# disjoint slice — serving/ingest headliners (continuous dedup ingest,
+# signature-index probe, Z-order), assoc/k-core/survival/RFM/Lorenz,
+# PQ-ADC + near-dup serving, dedup/text/sampling tails, the
+# time-series window tail, and the last TPC-H shapes.
+DRIVER_WINDOW = [
+    "dedup_ingest_pipeline",
+    "q_sigidx_probe",
+    "q_txlog_zorder",
+    "q_zorder_key",
+    "q_assoc_brands",
+    "q_kcore_parts",
+    "q_survival_km",
+    "q_logrank_segments",
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "sim_pq_adc",
+    "sim_neardup_lsh",
+    "sim_neardup_pairs",
+    "sim_hard_negatives",
+    "sim_srp_project",
+    "emb_int8_quant",
+    "q_domain_similarity",
+    "dedup_lines",
+    "dedup_incremental",
+    "dedup_span_stats",
+    "dedup_span_strip",
+    "text_pii",
+    "text_index_search",
+    "text_repetition",
+    "text_fertility",
+    "text_unigram_ppl",
+    "sample_domain_cap",
+    "sample_weighted",
+    "sample_pareto",
+    "mixture_uniform",
+    "q_mixing_plan",
+    "w_cusum",
+    "w_ewma",
+    "w_acf",
+    "w_rolling_median",
+    "w_m4_downsample",
+    "w_lttb_downsample",
+    "q_cohort_retention",
+    "q_dau_wau",
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+]
+
 
 def test_first_50_registration_order_is_pinned():
     assert list(QUERIES)[:50] == DRIVER_WINDOW
 
 
-def test_r8_window_is_disjoint_from_r7_window():
-    # VERDICT r7 asks for <=10 shared; we achieve 0 — every slot goes
-    # to a query that has never been driver-hashed.
-    assert len(R7_WINDOW) == 50
+def test_all_three_windows_are_mutually_disjoint():
+    # every slot of every rotation goes to a query that had never been
+    # driver-hashed before — 152/209 cumulative coverage after r9
+    assert len(R7_WINDOW) == len(R8_WINDOW) == len(DRIVER_WINDOW) == 50
     assert not set(DRIVER_WINDOW) & set(R7_WINDOW)
+    assert not set(DRIVER_WINDOW) & set(R8_WINDOW)
+    assert not set(R8_WINDOW) & set(R7_WINDOW)
 
 
 def test_rotation_preserves_the_full_battery():

@@ -28,8 +28,10 @@ def test_two_core_is_the_triangle(graph):
 def test_peel_cascade_requires_multiple_rounds(graph):
     # with max_rounds=1 the cascade is incomplete: node 4 survives the
     # first peel (degree 2: edges to 3 and 5) and only falls after 5
-    # is gone — pinning that rounds compose correctly
-    one = {r["node"] for r in k_core(graph, k=2, max_rounds=1).collect()}
+    # is gone — pinning that rounds compose correctly, and that the
+    # truncated (non-fixed-point) exit WARNS
+    with pytest.warns(RuntimeWarning, match="truncated peel"):
+        one = {r["node"] for r in k_core(graph, k=2, max_rounds=1).collect()}
     assert one == {1, 2, 3, 4}
     full = {r["node"] for r in k_core(graph, k=2).collect()}
     assert full == {1, 2, 3}

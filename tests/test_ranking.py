@@ -1,0 +1,69 @@
+"""Distributed exact rank/ntile: bit-identical to the single-partition
+window forms under any partitioning, including uneven n % k splits."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tabata_spark.operators.ranking import (
+    ntile_from_rank,
+    with_exact_ntile,
+    with_exact_rank,
+)
+
+
+def _df(spark, n, parts=7):
+    # deterministic scrambled values with a unique tie-break id
+    return spark.range(n).repartition(parts).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % 1000).alias("v"),  # heavy ties on v
+    )
+
+
+@pytest.mark.parametrize("n", [1, 4, 5, 50, 53, 997])
+def test_exact_rank_matches_row_number(spark, n):
+    df = _df(spark, n)
+    ranked, total = with_exact_rank(df, ["v", "id"], "rk")
+    assert total == n
+    w = Window.orderBy("v", "id")
+    expect = df.withColumn("rk", F.row_number().over(w).cast("long"))
+    a = sorted(map(tuple, ranked.select("id", "rk").collect()))
+    b = sorted(map(tuple, expect.select("id", "rk").collect()))
+    assert a == b
+    ranked.unpersist()
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (4, 5), (5, 5), (53, 5), (997, 10)])
+def test_exact_ntile_matches_window_ntile(spark, n, k):
+    df = _df(spark, n)
+    mine = with_exact_ntile(df, k, ["v", "id"], "t")
+    w = Window.orderBy("v", "id")
+    theirs = df.withColumn("t", F.ntile(k).over(w))
+    a = sorted(map(tuple, mine.select("id", "t").collect()))
+    b = sorted(map(tuple, theirs.select("id", "t").collect()))
+    assert a == b
+    mine.unpersist()
+
+
+def test_no_single_partition_window_in_plan(spark):
+    df = _df(spark, 100)
+    mine = with_exact_ntile(df, 5, ["v", "id"], "t")
+    plan = mine._jdf.queryExecution().executedPlan().toString()
+    # the only Window in the plan must be partitioned (by __pid),
+    # never an empty-partitioning global window
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
+    mine.unpersist()
+
+
+def test_ntile_formula_fat_then_thin_buckets(spark):
+    # n=7, k=3: NTILE sizes are 3,2,2 (fat buckets first); check the
+    # integer-div formula end to end in one job
+    df = spark.range(1, 8).select(F.col("id").alias("rk"))
+    got = dict(
+        df.withColumn("t", ntile_from_rank("rk", 7, 3))
+        .select("rk", "t")
+        .collect()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
