@@ -357,7 +357,7 @@ def k_core(
         .persist()
     )
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         peel = deg.filter(F.col("__deg") < k).select("__n").persist()
         if peel.count() == 0:
             peel.unpersist()
@@ -379,8 +379,17 @@ def k_core(
                     "__deg"
                 ),
             )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        # persist per round (cheap, memory); hard lineage cut only
+        # every 4th round — a per-round localCheckpoint re-wrote the
+        # whole O(nodes) degree table to disk each peel and cost ~10%
+        # of the cascade at 20M edges (r9 A/B probe), while unbounded
+        # persist chains grow the logical plan across deep cascades
+        if (rnd + 1) % 4 == 0:
+            deg_next = deg_next.localCheckpoint(eager=True)
+        else:
+            deg_next = deg_next.persist()
+            deg_next.count()
         survived = (
             e.join(peel.withColumnRenamed("__n", "__s"), "__s", "left_anti")
             .join(peel.withColumnRenamed("__n", "__d"), "__d", "left_anti")

@@ -142,7 +142,23 @@ def sigidx_build(
     corpus_v = tx_version(corpus_root)
     if corpus_v == 0:
         return 0
-    stored = tx_read(spark, corpus_root).select(id_col, "sig")
+    try:
+        stored = tx_read(spark, corpus_root).select(id_col, "sig")
+    except ValueError:
+        # non-empty log, EMPTY snapshot (everything deleted): the
+        # rebuilt index is empty too — overwrite to drop stale
+        # entries and stamp the high-water token if an index exists
+        try:
+            empty = tx_read(spark, index_root).filter(F.lit(False))
+        except (FileNotFoundError, ValueError):
+            return corpus_v  # no index rows to clear
+        tx_write(
+            empty,
+            index_root,
+            mode="overwrite",
+            txn=f"{_TXN_PREFIX}{corpus_v}",
+        )
+        return corpus_v
     tx_write(
         banded_rows(stored, id_col, bands, rows),
         index_root,
@@ -213,6 +229,78 @@ def sigidx_compact(spark: SparkSession, index_root: str, n_files: int = 16) -> i
     return tx_compact(
         spark, index_root, n_files=n_files, cluster_by=["bh"], stats_cols=["bh"]
     )
+
+
+def sigidx_vacuum(
+    spark: SparkSession,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    min_stale_ratio: float = 0.3,
+    n_files: int = 16,
+) -> dict:
+    """Shrink the index under corpus churn: drop entries whose doc_ids
+    vanished from the corpus snapshot (copy-on-write deletes,
+    retention purges). Stale entries are CORRECT to keep — candidates
+    verify against the corpus, vanished ids drop out of the verify
+    join — but without vacuuming the index grows monotonically under
+    delete-heavy workloads, inflating every probe's bucket scan.
+
+    Gated on measured staleness: one narrow (doc_id) anti-tag join
+    counts live vs stale rows; only when the stale fraction reaches
+    ``min_stale_ratio`` is the rewrite paid (a full overwrite of the
+    live rows, range-clustered by ``bh`` into ``n_files`` files so
+    per-file bh stats stay probe-prunable — the ``sigidx_compact``
+    layout in the same commit, no second pass). The index's
+    corpus-version high-water token survives the overwrite (txn
+    tokens live outside the active file set), so the next catch-up
+    stays a no-op.
+
+    Returns ``{"total_rows", "stale_rows", "stale_ratio", "vacuumed",
+    "version"}`` — callers loop ingest → vacuum and the gate makes
+    the idle calls cheap (one aggregation, no write)."""
+    idx = tx_read(spark, index_root)
+    try:
+        ids = (
+            tx_read(spark, corpus_root)
+            .select(F.col(id_col).alias("doc_id"))
+            .distinct()
+        )
+    except ValueError:  # corpus snapshot is empty: every entry is stale
+        ids = idx.select("doc_id").filter(F.lit(False)).distinct()
+    row = (
+        idx.join(ids.withColumn("__live", F.lit(True)), "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.when(F.col("__live"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__live_n"),
+        )
+        .collect()[0]
+    )
+    total = row["__n"]
+    stale = total - (row["__live_n"] or 0)
+    ratio = (stale / total) if total else 0.0
+    out = {
+        "total_rows": int(total),
+        "stale_rows": int(stale),
+        "stale_ratio": round(ratio, 6),
+        "vacuumed": False,
+        "version": tx_version(index_root),
+    }
+    if total == 0 or ratio < min_stale_ratio:
+        return out
+    live = (
+        idx.join(ids, "doc_id", "left_semi")
+        .select("band", "bh", "doc_id")
+        .repartitionByRange(n_files, "bh")
+        .sortWithinPartitions("bh")
+    )
+    out["version"] = tx_write(
+        live, index_root, mode="overwrite", stats_cols=["bh"]
+    )
+    out["vacuumed"] = True
+    return out
 
 
 def probe_candidates(

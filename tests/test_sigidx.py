@@ -220,3 +220,86 @@ def test_build_then_catchup_noop(spark, tmp_path, batches):
     assert sigidx_catchup(spark, root, idx) == v  # already current: no-op
     n_rows = tx_read(spark, idx).count()
     assert n_rows == len(b1) * 16  # bands rows per doc
+
+
+def test_vacuum_gates_on_staleness_then_shrinks(spark, tmp_path, batches):
+    """VERDICT r8 item 7: the index tolerates stale entries but must
+    be shrinkable under delete churn — gated so idle calls are one
+    aggregation, and the rewrite keeps bh-clustered prunable files."""
+    from tabata_spark.operators.sigidx import sigidx_vacuum
+    from tabata_spark.sources.txlog import tx_delete_where
+
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "v"), str(tmp_path / "v_sig")
+    dedup_ingest_batch(
+        spark, root, spark.createDataFrame(b1, "doc_id string, text string"), txn="t0"
+    )
+    v = sigidx_build(spark, root, idx)
+    bands = 16
+
+    # fresh index: zero staleness, gate keeps it untouched
+    r = sigidx_vacuum(spark, root, idx)
+    assert r == {
+        "total_rows": len(b1) * bands,
+        "stale_rows": 0,
+        "stale_ratio": 0.0,
+        "vacuumed": False,
+        "version": tx_version(idx),
+    }
+
+    # delete 20/120 docs (~17% stale): below the 30% gate -> no rewrite
+    tx_delete_where(spark, root, F.col("doc_id") < "a0020")
+    idx_v_before = tx_version(idx)
+    r = sigidx_vacuum(spark, root, idx)
+    assert not r["vacuumed"]
+    assert r["stale_rows"] == 20 * bands
+    assert tx_version(idx) == idx_v_before  # no commit happened
+
+    # delete 40 more (60/120 = 50% stale): gate trips, index shrinks
+    tx_delete_where(spark, root, F.col("doc_id") < "a0060")
+    r = sigidx_vacuum(spark, root, idx)
+    assert r["vacuumed"]
+    assert r["stale_rows"] == 60 * bands
+    assert tx_read(spark, idx).count() == 60 * bands  # live rows only
+    live_ids = {x[0] for x in tx_read(spark, idx).select("doc_id").distinct().collect()}
+    assert live_ids == {f"a{i:04d}" for i in range(60, 120)}
+
+    # the corpus-version high-water token survives the overwrite: the
+    # only gap commits are pure deletes, so catch-up needs no rebuild
+    # and the probe path still serves correctly from the vacuumed index
+    hits = neardup_probe(spark, root, idx, dict(b1)["a0100"]).collect()
+    assert [h["doc_id"] for h in hits] == ["a0100"]
+    gone = neardup_probe(spark, root, idx, dict(b1)["a0005"]).collect()
+    assert gone == []  # deleted doc no longer probe-visible
+
+
+def test_vacuum_bounds_index_under_delete_heavy_churn(spark, tmp_path, batches):
+    """Delete-heavy sequence: ingest/delete/vacuum loop keeps index
+    size proportional to the LIVE corpus, never cumulative history."""
+    from tabata_spark.operators.sigidx import sigidx_vacuum
+    from tabata_spark.sources.txlog import tx_delete_where
+
+    b1, b2, _ = batches
+    root, idx = str(tmp_path / "w"), str(tmp_path / "w_sig")
+    bands = 16
+    df1 = spark.createDataFrame(b1, "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, df1, txn="t0")
+    n_live = tx_read(spark, root).count()
+    def _count(r):
+        try:
+            return tx_read(spark, r).count()
+        except ValueError:  # empty snapshot
+            return 0
+
+    for i, cut in enumerate(("a0040", "a0080", "a0120")):
+        tx_delete_where(spark, root, F.col("doc_id") < cut)
+        n_live = _count(root)
+        sigidx_vacuum(spark, root, idx, min_stale_ratio=0.25)
+        assert _count(idx) <= max(n_live, 1) * bands
+    # everything from b1 deleted; index must be near-empty, and a
+    # fresh indexed ingest (which rebuilds over the delete gap) still
+    # lands with exact parity
+    assert n_live == 0
+    df2 = spark.createDataFrame(b2[:30], "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, df2, txn="t1")
+    assert _count(idx) == _count(root) * bands
