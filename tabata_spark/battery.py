@@ -5974,9 +5974,14 @@ def a_conversion_latency(spark, sf_dir):
     interpolated percentile's double arithmetic truncated to µs flips
     by one ulp between engines, measured). One conditional-min
     aggregation per user, then the rank window over the per-user
-    aggregate — O(converted users), not O(events); a 100 TB run with
-    billions of converters would pre-bucket by an approx quantile
-    before exact-ranking the boundary bucket."""
+    aggregate — via the DISTRIBUTED exact rank (operators/ranking.py:
+    range-repartition + per-partition offsets, no single-partition
+    window anywhere; ties in lat_us leave the value-at-rank-k
+    deterministic). O(converted users), not O(events)."""
+    import math
+
+    from tabata_spark.operators.ranking import with_exact_rank
+
     ev = _t(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
@@ -5987,17 +5992,16 @@ def a_conversion_latency(spark, sf_dir):
         & F.col("t_buy").isNotNull()
         & (F.col("t_buy") >= F.col("t_view"))
     ).select((epoch_us("t_buy") - epoch_us("t_view")).alias("lat_us"))
-    w = Window.orderBy("lat_us")
-    ranked = conv.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    ranked, n = with_exact_rank(conv, ["lat_us"], "rn")
 
     def disc(q):
-        k = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long"))
-        return F.max(F.when(F.col("rn") == k, F.col("lat_us")))
+        k = max(1, math.ceil(q * n))
+        return F.max(F.when(F.col("rn") == F.lit(k), F.col("lat_us")))
 
+    # n folded back as a literal (one tiny job); NULL on an empty
+    # converted set to match the oracle's max-over-empty
     return ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
+        F.lit(n if n > 0 else None).cast("long").alias("n_converted"),
         F.min("lat_us").cast("long").alias("min_us"),
         disc(0.5).cast("long").alias("p50_us"),
         disc(0.9).cast("long").alias("p90_us"),
@@ -8287,16 +8291,24 @@ def q_zipf_fit(spark, sf_dir):
     are decimal-QUANTIZED so the regression sums are exact and
     order-independent; the two divisions happen once in double via a
     formula string both engines parse identically. One token
-    aggregation + one tiny (1000-row) rank window."""
+    aggregation; the top-1000 cut is a TakeOrdered on the
+    deterministic (f DESC, tok) total order, so the rank window only
+    ever sees the 1000-row result — never the full vocabulary."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
     ).filter(F.col("tok") != "")
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    rk = cnt.select(
-        "f",
-        F.row_number().over(Window.orderBy(F.desc("f"), "tok")).alias("r"),
-    ).filter(F.col("r") <= 1000)
+    rk = (
+        cnt.orderBy(F.desc("f"), "tok")
+        .limit(1000)
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), "tok"))
+            .alias("r"),
+        )
+    )
     q = rk.select(
         F.log(F.col("r").cast("double")).cast("decimal(18,10)").alias("lx"),
         F.log(F.col("f").cast("double")).cast("decimal(18,10)").alias("ly"),
@@ -9122,9 +9134,14 @@ def q_heaps_fit(spark, sf_dir):
     template-saturated corpus flattens early). Cumulative distinct
     types come WITHOUT a running count-distinct: each token's first-
     occurrence doc is one aggregation, and the cumulative type count
-    is a window over per-doc new-type totals (doc-level rows — tiny).
+    is a DISTRIBUTED prefix sum over per-doc new-type totals
+    (operators/ranking.py with_exact_cumsum: range-repartition +
+    per-partition running sums + driver-folded offsets — doc-level
+    rows are corpus-sized at 100 TB, so no single-partition window).
     Sampled at every 50th doc; decimal-quantized log sums; the OLS
     reuses the shared Zipf formula string."""
+    from tabata_spark.operators.ranking import with_exact_cumsum
+
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
@@ -9134,16 +9151,15 @@ def q_heaps_fit(spark, sf_dir):
         F.count(F.lit(1)).alias("nt")
     )
     doctoks = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nk"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    joined = doctoks.join(newtypes, "doc_id", "left").select(
+        "doc_id",
+        F.col("nk"),
+        F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
     )
-    cum = (
-        doctoks.join(newtypes, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("nk").over(w).alias("cum_toks"),
-            F.sum(F.coalesce(F.col("nt"), F.lit(0))).over(w).alias("cum_types"),
-        )
+    cum = with_exact_cumsum(joined, ["doc_id"], ["nk", "nt"]).select(
+        "doc_id",
+        F.col("cum_nk").alias("cum_toks"),
+        F.col("cum_nt").alias("cum_types"),
     )
     pts = cum.filter(F.col("doc_id") % 50 == 0).select(
         F.log(F.col("cum_toks").cast("double")).cast("decimal(18,10)").alias("lx"),
@@ -9272,17 +9288,20 @@ def q_skew_report(spark, sf_dir):
     the whole key distribution (the q_gini_sources rank identity —
     exact integers, one division) — the diagnostic that tells you
     whether a shuffle on this key needs salting or an AQE skew join
-    BEFORE you run it. One key aggregation + a tiny rank window."""
+    BEFORE you run it. The Gini rank over ALL keys uses the
+    DISTRIBUTED exact rank (operators/ranking.py — the key table is
+    entity-sized but unbounded); the top-20 cut is a TakeOrdered, so
+    its rank window sees 20 rows."""
+    from tabata_spark.operators.ranking import with_exact_rank
+
     orders = _t(spark, sf_dir, "orders")
     k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
     total, n_keys = k.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
     wr = Window.orderBy(F.desc("n"), "key")
-    wg = Window.orderBy("n", "key")
-    gini_df = k.select(
-        "n", F.row_number().over(wg).alias("rr")
-    ).agg(
+    ranked, _ = with_exact_rank(k, ["n", "key"], "rr")
+    gini_df = ranked.agg(
         (
             (
                 F.lit(2.0) * F.sum((F.col("rr") * F.col("n")).cast("long"))
@@ -9292,9 +9311,11 @@ def q_skew_report(spark, sf_dir):
         ).alias("g")
     )
     g = gini_df.collect()[0]["g"]
+    ranked.unpersist()
     return (
-        k.select("key", "n", F.row_number().over(wr).alias("r"))
-        .filter(F.col("r") <= 20)
+        k.orderBy(F.desc("n"), "key")
+        .limit(20)
+        .select("key", "n", F.row_number().over(wr).alias("r"))
         .select(
             "key",
             F.col("n").cast("long").alias("n"),

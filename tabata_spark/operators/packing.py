@@ -180,9 +180,13 @@ def length_grouped_batches(
     # the payload next to its batch id)
     base = df.withColumn("n_tokens", F.size(F.split(F.col(text), " ", -1)))
     if n_shards <= 1:
-        w = Window.orderBy("n_tokens", id_col)
-        grouped = base.withColumn(
-            "length_group", F.ntile(n_length_groups).over(w)
+        # distributed exact ntile (operators/ranking.py): bit-identical
+        # to the global-window NTILE with no single-partition stage —
+        # the n_shards=1 default no longer needs a global sort either
+        from tabata_spark.operators.ranking import with_exact_ntile
+
+        grouped = with_exact_ntile(
+            base, n_length_groups, ["n_tokens", id_col], "length_group"
         )
         wg = Window.partitionBy("length_group").orderBy("n_tokens", id_col)
         group_key = F.col("length_group").cast("long")

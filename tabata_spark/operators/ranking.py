@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_exact_rank", "with_exact_ntile", "ntile_from_rank"]
+__all__ = [
+    "with_exact_rank",
+    "with_exact_ntile",
+    "with_exact_cumsum",
+    "ntile_from_rank",
+]
 
 
 def with_exact_rank(
@@ -90,6 +95,58 @@ def ntile_from_rank(rank_col: str, n_rows: int, k: int) -> Column:
         f"ELSE {r} + (({rank_col} - {head} + {qt - 1}) div {qt}) "
         f"END AS INT)"
     )
+
+
+def with_exact_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Append running totals of ``sum_cols`` by ``order_cols`` (a
+    total order) — the distributed prefix sum: range-repartition, one
+    tiny per-partition-totals job (O(partitions) rows to the driver),
+    cumulative offsets folded back as a broadcast literal map, running
+    sum WITHIN each partition. Bit-identical to
+    ``F.sum(c).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    currentRow))`` for exact types (integers / DECIMAL), with no
+    single-partition window. The returned frame is persisted."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (
+        d.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    totals.sort(key=lambda r: r["__pid"])
+    offs: dict[str, list] = {c: [] for c in sum_cols}
+    run = {c: 0 for c in sum_cols}
+    for r in totals:
+        for c in sum_cols:
+            offs[c].append((int(r["__pid"]), run[c]))
+            run[c] += r[c] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d
+    for c in sum_cols:
+        off_expr: Column = F.lit(0)
+        if offs[c]:
+            pairs: list[Column] = []
+            for pid, off in offs[c]:
+                pairs.extend([F.lit(pid), F.lit(off)])
+            off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        out = out.withColumn(prefix + c, F.sum(c).over(w) + off_expr)
+    return out.drop("__pid")
 
 
 def with_exact_ntile(

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from tabata_spark.operators.ranking import (
     ntile_from_rank,
+    with_exact_cumsum,
     with_exact_ntile,
     with_exact_rank,
 )
@@ -53,6 +54,38 @@ def test_no_single_partition_window_in_plan(spark):
     # never an empty-partitioning global window
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
+    mine.unpersist()
+
+
+@pytest.mark.parametrize("n", [1, 5, 97, 500])
+def test_exact_cumsum_matches_running_window(spark, n):
+    df = spark.range(n).repartition(5).select(
+        F.col("id"),
+        ((F.col("id") * 31) % 17).alias("a"),
+        ((F.col("id") * 7) % 5).alias("b"),
+    )
+    mine = with_exact_cumsum(df, ["id"], ["a", "b"])
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    theirs = df.select(
+        "id",
+        F.sum("a").over(w).alias("cum_a"),
+        F.sum("b").over(w).alias("cum_b"),
+    )
+    got = sorted(map(tuple, mine.select("id", "cum_a", "cum_b").collect()))
+    exp = sorted(map(tuple, theirs.collect()))
+    assert got == exp
+    mine.unpersist()
+
+
+def test_exact_cumsum_plan_has_no_global_window(spark):
+    df = spark.range(100).select("id", (F.col("id") % 3).alias("a"))
+    mine = with_exact_cumsum(df, ["id"], ["a"])
+    plan = mine._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
             assert "__pid" in line, line
     mine.unpersist()
 
