@@ -441,6 +441,8 @@ def stream_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    index_root: str | None = None,
+    prune_key_limit: int = 0,
 ):
     """Exactly-once streaming NEAR-dup corpus building: each
     micro-batch runs the full continuous-ingestion gate
@@ -467,19 +469,44 @@ def stream_dedup_ingest(
     fresh checkpoint is only exactly-once over an unchanged source —
     over a grown one it would re-compose batches under
     already-committed ids and silently swallow the new rows
-    (test-pinned in test_stream_sinks.py)."""
+    (test-pinned in test_stream_sinks.py).
+
+    ``index_root`` switches the corpus side to the stored banded
+    signature index (operators/sigidx.py,
+    dedup_ingest_batch_indexed): the per-batch candidate generation
+    reads the narrow (band, bh, doc_id) index instead of re-banding
+    stored signatures, and small micro-batches additionally
+    file-prune the index via ``prune_key_limit`` — the serving shape
+    for high-frequency micro-batches against a large corpus. Index
+    lag from any crash is repaired by the ingest's own catch-up, so
+    the exactly-once story is unchanged (tokens live on the CORPUS
+    commit; the index is derived state)."""
     from tabata_spark.operators.dedup import dedup_ingest_batch
+    from tabata_spark.operators.sigidx import dedup_ingest_batch_indexed
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_ingest_batch(
-            batch_df.sparkSession,
-            root,
-            batch_df,
-            text=text_col,
-            id_col=id_col,
-            txn=f"{app_id}:{batch_id}",
-            threshold=threshold,
-        )
+        if index_root is not None:
+            dedup_ingest_batch_indexed(
+                batch_df.sparkSession,
+                root,
+                index_root,
+                batch_df,
+                text=text_col,
+                id_col=id_col,
+                txn=f"{app_id}:{batch_id}",
+                threshold=threshold,
+                prune_key_limit=prune_key_limit,
+            )
+        else:
+            dedup_ingest_batch(
+                batch_df.sparkSession,
+                root,
+                batch_df,
+                text=text_col,
+                id_col=id_col,
+                txn=f"{app_id}:{batch_id}",
+                threshold=threshold,
+            )
 
     return (
         sdf.writeStream.foreachBatch(_write)

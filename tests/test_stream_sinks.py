@@ -317,3 +317,58 @@ def test_stream_dedup_ingest_near_dup_exactly_once(spark, tmp_path):
 
     # every commit carries the app's txn token (atomic, exactly-once)
     assert all(c.get("txn", "").startswith("ing:") for c in tx_history(root))
+
+
+def test_stream_dedup_ingest_indexed_parity(spark, tmp_path):
+    """index_root routes the streaming ingest through the stored
+    banded signature index: identical survivor set to the unindexed
+    sink (same gate, different corpus read path), exactly-once under
+    fresh-checkpoint replay, index current with the corpus at the
+    end."""
+    from tabata_spark.operators.sigidx import _indexed_through
+    from tabata_spark.sources.txlog import tx_read, tx_version
+    from tabata_spark.streaming.sinks import stream_dedup_ingest
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq1 = "completely different text about spark dataframes and shuffles"
+    uniq2 = "a brand new unique document mentioning catalyst and tungsten"
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, dup), (2, dup), (3, uniq1), (4, uniq2)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def ingest(root, ck, index_root=None):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        stream_dedup_ingest(
+            stream, root, str(tmp_path / ck), app_id="ing",
+            index_root=index_root,
+        ).awaitTermination(120)
+
+    plain_root = str(tmp_path / "plain")
+    idx_root = str(tmp_path / "indexed")
+    sig_root = str(tmp_path / "sig")
+    ingest(plain_root, "ckp")
+    ingest(idx_root, "cki", index_root=sig_root)
+
+    want = sorted(
+        map(tuple, tx_read(spark, plain_root).select("doc_id", "text").collect())
+    )
+    got = sorted(
+        map(tuple, tx_read(spark, idx_root).select("doc_id", "text").collect())
+    )
+    assert got == want  # byte-identical survivor set
+    # the index absorbed the final corpus version (derived state current)
+    assert _indexed_through(sig_root) == tx_version(idx_root)
+
+    # fresh-checkpoint replay over the unchanged source: no-op
+    ingest(idx_root, "cki2", index_root=sig_root)
+    assert sorted(
+        map(tuple, tx_read(spark, idx_root).select("doc_id", "text").collect())
+    ) == want
