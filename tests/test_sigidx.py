@@ -303,3 +303,38 @@ def test_vacuum_bounds_index_under_delete_heavy_churn(spark, tmp_path, batches):
     df2 = spark.createDataFrame(b2[:30], "doc_id string, text string")
     dedup_ingest_batch_indexed(spark, root, idx, df2, txn="t1")
     assert _count(idx) == _count(root) * bands
+
+
+def test_catchup_rebuilds_over_replace_gap(spark, tmp_path, batches):
+    """A replace-mode commit in the catch-up gap (tx_merge upserting
+    CHANGED text) rewrites rows the append-only change feed never
+    surfaces; catch-up must detect it and fall back to a full rebuild
+    so the index reflects the new content — probes on the NEW text
+    must hit, probes on the OLD text must miss."""
+    from tabata_spark.operators.dedup import minhash_signatures
+    from tabata_spark.sources.txlog import tx_merge
+
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "rg"), str(tmp_path / "rg_sig")
+    dedup_ingest_batch(
+        spark, root, spark.createDataFrame(b1, "doc_id string, text string"), txn="t0"
+    )
+    sigidx_build(spark, root, idx)
+    vi = _indexed_through(idx)
+
+    # gap: upsert doc a0007 with entirely new text via a replace commit
+    new_text = " ".join(f"z{i}" for i in range(40))
+    upd = spark.createDataFrame([("a0007", new_text)], "doc_id string, text string")
+    upd = upd.join(
+        minhash_signatures(upd, "text", "doc_id", 32, 3), "doc_id"
+    ).select("doc_id", "text", "sig")
+    tx_merge(spark, root, upd, ["doc_id"])
+    assert tx_version(root) > vi
+
+    v = sigidx_catchup(spark, root, idx)
+    assert v == tx_version(root)
+    # the rebuilt index serves the NEW content and no longer the old
+    hits = neardup_probe(spark, root, idx, new_text).collect()
+    assert [h["doc_id"] for h in hits] == ["a0007"]
+    old_hits = neardup_probe(spark, root, idx, dict(b1)["a0007"]).collect()
+    assert old_hits == []
