@@ -11313,7 +11313,8 @@ def q_logrank_segments(spark, sf_dir):
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ),
     kk AS (
-      SELECT (count(*) + count(DISTINCT s) - 1) // count(DISTINCT s) AS k
+      SELECT (count(*) + 2 * count(DISTINCT s) - 1) // (2 * count(DISTINCT s))
+             AS k
       FROM e0
     ),
     k1 AS (SELECT s FROM e0 GROUP BY s
@@ -11346,16 +11347,19 @@ def q_logrank_segments(spark, sf_dir):
 )
 def q_kcore_parts(spark, sf_dir):
     """k-core decomposition of the co-purchase graph at k = ceil(avg
-    degree): the maximal subgraph where every part keeps >= k
-    co-purchase partners, by synchronous peeling rounds
-    (operators/graph.py:k_core — one degree agg + two semi-joins per
-    round over the shared persisted edge list, exact integer degrees,
-    per-round lineage truncation). Dense-core extraction is the
-    structural quality signal that survives degree inflation by spam
-    leaves (crawl host graphs, near-dup ecosystems). Six synchronous
-    rounds both engines (Spark early-exits at the fixed point; the
-    oracle's extra unrolled rounds are then no-ops, so the states
-    match round-for-round by construction); k is an exact integer
+    degree / 2) — dense enough to peel several rounds, low enough
+    that a substantive core SURVIVES (ceil(avg) collapses this graph
+    to empty at every test sf, which would make the value check
+    trivially green): the maximal subgraph where every part keeps
+    >= k co-purchase partners, by synchronous peeling rounds
+    (operators/graph.py:k_core — hybrid incremental/classic rounds on
+    the measured peel-front size, exact integer degrees, per-round
+    lineage truncation). Dense-core extraction is the structural
+    quality signal that survives degree inflation by spam leaves
+    (crawl host graphs, near-dup ecosystems). Six synchronous rounds
+    both engines (Spark early-exits at the fixed point; the oracle's
+    extra unrolled rounds are then no-ops, so the states match
+    round-for-round by construction); k is an exact integer
     ceil-division fold-back, data-derived so the query scales with
     sf."""
     from tabata_spark.operators.graph import k_core
@@ -11365,7 +11369,7 @@ def q_kcore_parts(spark, sf_dir):
         F.count(F.lit(1)).alias("m"),
         F.countDistinct("src").alias("n"),
     ).head()  # scalar fold-back: total degree + node count
-    k = (tot["m"] + tot["n"] - 1) // tot["n"]
+    k = (tot["m"] + 2 * tot["n"] - 1) // (2 * tot["n"])
     return (
         k_core(edges, k=int(k), max_rounds=6)
         .select("node", "degree")
