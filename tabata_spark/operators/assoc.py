@@ -43,6 +43,7 @@ def association_rules(
     min_support: int = 2,
     max_basket_items: int | None = None,
     materialize: str | None = "persist",
+    broadcast_items_limit: int = 2_000_000,
 ) -> DataFrame:
     """Pairwise association rules over a (basket, item) table.
 
@@ -87,10 +88,22 @@ def association_rules(
     # joint pairs
     n_baskets = b.select("basket").distinct().count()
 
-    # single-item basket counts; apriori-prune to frequent items only
-    item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    frequent = item_n.filter(F.col("n_item") >= min_support)
-    b = _mat(b.join(F.broadcast(frequent.select("item")), "item", "semi"))
+    # single-item basket counts; apriori-prune to frequent items only.
+    # The broadcast of the frequent set is GATED on its measured size
+    # (the k_core lesson: an unconditional broadcast of an unbounded
+    # frame is a driver OOM waiting for the right data — brand-level
+    # vocabularies are hundreds of items, SKU-level ones can be tens
+    # of millions). Above the limit the semi-join runs as a shuffle
+    # join, which is also fine: the pair self-join shuffles on the
+    # basket key anyway.
+    item_n = _mat(b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item")))
+    freq_n = item_n.filter(F.col("n_item") >= min_support)
+    small_vocab = freq_n.count() <= broadcast_items_limit
+    frequent = (
+        F.broadcast(freq_n.select("item")) if small_vocab
+        else freq_n.select("item")
+    )
+    b = _mat(b.join(frequent, "item", "semi"))
 
     # each unordered frequent pair exactly once; one basket-key shuffle
     left = b.alias("l")
@@ -121,17 +134,22 @@ def association_rules(
         )
     )
 
-    ante = item_n.select(
+    # margins: every rule item is frequent (support(pair) <=
+    # support(item)), so the margin tables are the FREQUENT subset —
+    # same measured size gate as the prefilter
+    ante = freq_n.select(
         F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
     )
-    cons = item_n.select(
+    cons = freq_n.select(
         F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
     )
+    if small_vocab:
+        ante, cons = F.broadcast(ante), F.broadcast(cons)
     conf = F.col("n_joint").cast("double") / F.col("n_ante")
     base = F.col("n_cons").cast("double") / F.lit(n_baskets)
     return (
-        rules.join(F.broadcast(ante), "antecedent")
-        .join(F.broadcast(cons), "consequent")
+        rules.join(ante, "antecedent")
+        .join(cons, "consequent")
         .select(
             "antecedent",
             "consequent",

@@ -127,6 +127,11 @@ def mixture_rebalance(
             "__t", 1.0 / F.col("__n")
         )
     cap_df = obs.agg(F.min(F.col("__w") / F.col("__t")).alias("__cap"))
+    # scale note: obs/frac are per-STRATUM aggregates (one row per
+    # domain). Broadcast is right up to ~10M strata (tens of MB);
+    # beyond that drop the hint and let the join shuffle — unlike the
+    # assoc vocabulary there is no blowup risk here because the frame
+    # is already an aggregate of the input's grouping key.
     frac = obs.join(F.broadcast(cap_df)).select(
         strata_col,
         F.least(
