@@ -303,6 +303,46 @@ def sigidx_vacuum(
     return out
 
 
+def sigidx_maintain(
+    spark: SparkSession,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    min_stale_ratio: float = 0.3,
+    max_files: int = 64,
+    n_files: int = 16,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+) -> dict:
+    """One-call index maintenance — what a scheduler runs between
+    ingest waves: (1) catch-up to the corpus head (bounded append
+    reads, full rebuild over rewrite gaps), (2) gated vacuum of
+    entries orphaned by corpus deletes, (3) re-cluster by bucket hash
+    when the active file count exceeds ``max_files`` (appends and
+    vacuums fragment the bh-range layout that point probes prune on).
+    Each step is idempotent and crash-safe on its own (txlog commits),
+    so a crash mid-maintenance just leaves less maintenance done.
+    Returns a summary dict (corpus version covered, vacuum stats,
+    whether a compact ran)."""
+    covered = sigidx_catchup(
+        spark, corpus_root, index_root, id_col,
+        num_hashes, shingle_n, bands, rows,
+    )
+    vac = sigidx_vacuum(
+        spark, corpus_root, index_root, id_col,
+        min_stale_ratio=min_stale_ratio, n_files=n_files,
+    )
+    from tabata_spark.sources.txlog import _resolve  # file count, no read
+
+    compacted = False
+    if len(_resolve(index_root)["active"]) > max_files:
+        sigidx_compact(spark, index_root, n_files=n_files)
+        compacted = True
+    return {"covered_version": covered, "vacuum": vac, "compacted": compacted}
+
+
 def probe_candidates(
     spark: SparkSession, index_root: str, keys: list[tuple[int, int]]
 ) -> DataFrame:

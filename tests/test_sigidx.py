@@ -338,3 +338,39 @@ def test_catchup_rebuilds_over_replace_gap(spark, tmp_path, batches):
     assert [h["doc_id"] for h in hits] == ["a0007"]
     old_hits = neardup_probe(spark, root, idx, dict(b1)["a0007"]).collect()
     assert old_hits == []
+
+
+def test_maintain_runs_catchup_vacuum_and_compact(spark, tmp_path, batches):
+    """sigidx_maintain = catch-up + gated vacuum + fragmentation-gated
+    recluster, each idempotent: after ingest lag, heavy deletes, and
+    file fragmentation, one call restores a current, shrunk,
+    probe-prunable index; a second call is a no-op."""
+    from tabata_spark.operators.sigidx import sigidx_maintain
+    from tabata_spark.sources.txlog import tx_delete_where, tx_version
+
+    b1, b2, _ = batches
+    root, idx = str(tmp_path / "m"), str(tmp_path / "m_sig")
+    d1 = spark.createDataFrame(b1, "doc_id string, text string")
+    d2 = spark.createDataFrame(b2[:60], "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+    # lag: second batch lands unindexed; then delete most of b1
+    dedup_ingest_batch(spark, root, d2, txn="t1")
+    tx_delete_where(spark, root, F.col("doc_id") < "a0100")
+
+    r = sigidx_maintain(
+        spark, root, idx, min_stale_ratio=0.2, max_files=1, n_files=2
+    )
+    assert r["covered_version"] == tx_version(root)
+    assert _indexed_through(idx) == tx_version(root)
+    # catch-up over the delete gap is a full rebuild of the live
+    # snapshot, so there is nothing stale left for the vacuum
+    assert r["vacuum"]["stale_rows"] == 0
+    live = tx_read(spark, root).count()
+    assert tx_read(spark, idx).count() == live * 16
+    assert r["compacted"]  # max_files=1 forces the recluster
+
+    r2 = sigidx_maintain(
+        spark, root, idx, min_stale_ratio=0.2, max_files=64
+    )
+    assert r2["covered_version"] == r["covered_version"]
+    assert not r2["vacuum"]["vacuumed"] and not r2["compacted"]
