@@ -100,3 +100,15 @@ def test_ntile_formula_fat_then_thin_buckets(spark):
         .collect()
     )
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_empty_input_yields_empty_outputs(spark):
+    df = spark.range(10).select("id", (F.col("id") % 3).alias("v")).filter(
+        F.lit(False)
+    )
+    ranked, n = with_exact_rank(df, ["v", "id"], "rk")
+    assert n == 0 and ranked.count() == 0
+    tiled = with_exact_ntile(df, 5, ["v", "id"], "t")
+    assert tiled.count() == 0
+    summed = with_exact_cumsum(df, ["id"], ["v"])
+    assert summed.count() == 0
