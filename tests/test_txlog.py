@@ -688,3 +688,44 @@ def test_read_values_large_list_uses_broadcast_join_and_matches(
     # live in 2 of the 4 range-clustered files
     kept, skipped = tx_files_for_values(root, "id", vals)
     assert len(kept) == 2 and skipped == 2
+
+
+def test_contended_writers_across_processes(tmp_path):
+    """Cross-PROCESS contention (the thread matrix can hide behind the
+    GIL): N OS processes race M commits each through the hard-link
+    claim on the same log directory — still exactly N*M contiguous
+    versions, every payload once. This is the property the POSIX
+    link(2) atomicity (and, via the same contract, an object store's
+    conditional PUT) must provide between independent writers, not
+    just threads."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    N, M = 4, 3
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(N) as pool:
+        results = pool.starmap(
+            _commit_batch_for_process_race, [(root, w, M) for w in range(N)]
+        )
+    assert all(r == "ok" for r in results)
+    from tabata_spark.sources.txlog import tx_history
+
+    hist = tx_history(root)
+    assert [c["version"] for c in hist] == list(range(1, N * M + 1))
+    added = [f for c in hist for f in c["add"]]
+    assert len(added) == len(set(added)) == N * M
+
+
+def _commit_batch_for_process_race(root: str, w: int, m: int) -> str:
+    # module-level so spawn can pickle it; no Spark needed — the claim
+    # protocol is pure filesystem
+    from tabata_spark.sources.txlog import _commit
+
+    try:
+        for j in range(m):
+            _commit(root, "append", [f"data/w{w}/f{j}.parquet"], [])
+        return "ok"
+    except Exception as e:  # pragma: no cover
+        return f"err: {e}"
