@@ -38,6 +38,7 @@ __all__ = [
     "with_exact_ntile",
     "with_exact_cumsum",
     "ntile_from_rank",
+    "exact_discrete_quantiles",
 ]
 
 
@@ -147,6 +148,49 @@ def with_exact_cumsum(
             off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
         out = out.withColumn(prefix + c, F.sum(c).over(w) + off_expr)
     return out.drop("__pid")
+
+
+def exact_discrete_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT order-statistic quantiles of a column, distributed: the
+    value at rank ``ceil(q*n)`` for each q — the lower discrete
+    quantile, deterministic under ties (the value at a rank in the
+    sorted multiset is well-defined regardless of tie order). One
+    range shuffle + one filter on O(len(qs)) exact ranks; no
+    single-partition stage and no interpolation (interpolated
+    percentiles' double arithmetic is engine-dependent at the ulp).
+    Returns one row: ``n`` plus a ``q_<q>`` column per requested
+    quantile. The approximate path at extreme scale is the DDSketch
+    operator; this is the exact one for when the answer must be a
+    real data value."""
+    import math
+
+    ranked, n = with_exact_rank(df, [col], "__rk", num_partitions)
+    if n == 0:
+        out = ranked.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            *[
+                F.lit(None).alias(f"q_{str(q).replace('.', '_')}")
+                for q in qs
+            ],
+        )
+        ranked.unpersist()
+        return out
+    ks = {q: max(1, math.ceil(q * n)) for q in qs}
+    out = ranked.filter(F.col("__rk").isin(list(set(ks.values())))).agg(
+        F.lit(n).cast("long").alias("n"),
+        *[
+            F.max(F.when(F.col("__rk") == F.lit(k), F.col(col))).alias(
+                f"q_{str(q).replace('.', '_')}"
+            )
+            for q, k in ks.items()
+        ],
+    )
+    return out
 
 
 def with_exact_ntile(

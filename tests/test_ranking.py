@@ -112,3 +112,26 @@ def test_empty_input_yields_empty_outputs(spark):
     assert tiled.count() == 0
     summed = with_exact_cumsum(df, ["id"], ["v"])
     assert summed.count() == 0
+
+
+def test_exact_discrete_quantiles_match_sorted_ranks(spark):
+    import math
+
+    from tabata_spark.operators.ranking import exact_discrete_quantiles
+
+    vals = [((i * 7919) % 100) for i in range(97)]
+    df = spark.createDataFrame([(v,) for v in vals], "v int").repartition(5)
+    row = exact_discrete_quantiles(df, "v", [0.5, 0.9, 0.99]).collect()[0]
+    s = sorted(vals)
+    assert row["n"] == 97
+    for q in (0.5, 0.9, 0.99):
+        k = max(1, math.ceil(q * 97))
+        assert row[f"q_{str(q).replace('.', '_')}"] == s[k - 1], q
+
+
+def test_exact_discrete_quantiles_empty(spark):
+    from tabata_spark.operators.ranking import exact_discrete_quantiles
+
+    df = spark.range(5).select(F.col("id").alias("v")).filter(F.lit(False))
+    row = exact_discrete_quantiles(df, "v", [0.5]).collect()[0]
+    assert row["n"] == 0 and row["q_0_5"] is None
