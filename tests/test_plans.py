@@ -534,3 +534,45 @@ def test_int8_quant_no_shuffle_no_python(spark, sf):
     assert c["python_evals"] == 0, c
     # the only exchange allowed is the final global orderBy range
     assert c["exchanges"] <= 1, c
+
+
+def _unbounded_global_windows(df):
+    """Window nodes with an order-only (or empty) spec — the
+    single-partition stage the round-9 audit eliminated from every
+    fact-scale query. A trailing partition-spec bracket (no ASC/DESC)
+    or a WindowGroupLimit rank pushdown does NOT count; neither does
+    a window behind an upstream limit (callers assert count bounds
+    instead where that applies)."""
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in s.splitlines():
+        if not re.search(r"\bWindow \[", line):
+            continue
+        tail = re.findall(r"\]\s*,\s*\[([^\]]*)\]", line)
+        if len(tail) >= 2:
+            continue
+        if len(tail) == 1 and not re.search(r"\b(ASC|DESC)\b", tail[0]):
+            continue
+        out.append(line.strip()[:160])
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_rfm_segments",
+        "pack_length_batches",
+        "a_conversion_latency",
+        "q_heaps_fit",
+        "q_skew_report",
+    ],
+)
+def test_fact_scale_queries_have_no_global_window(spark, sf, name):
+    """Round-9 audit pins: these queries window over unbounded
+    (corpus/entity-scale) inputs and were converted to the distributed
+    exact rank/ntile/cumsum forms — no unpartitioned Window node may
+    reappear in their executed plans."""
+    bad = _unbounded_global_windows(battery.QUERIES[name](spark, sf))
+    assert bad == [], bad
