@@ -11605,6 +11605,85 @@ _DRIVER_WINDOW_R9 = [
 ]
 
 
+# Round 10: the FOURTH rotation (VERDICT r9 item 1). Candidate list
+# diffed against the UNION of ALL prior CORRECTNESS_r1-r9 artifacts
+# (not just recent rounds — r9 burned a slot on sim_neardup_pairs,
+# already hashed in r1/r2; pinned against repeating that in
+# tests/test_battery_window.py::test_r10_window_is_never_before_checked).
+# Exactly 58 queries had never been driver-hashed after r9; this slice
+# takes 50 of them — the a_* analytics tail, packing, vocab/splitting,
+# event-sequence analytics, corpus-statistics fits (Heaps/Zipf/keyness),
+# crawl pipeline + URL/HTML normalization, eval/QA reports, and the
+# gap-fill/rolling-time window tail. The 8 deferred are all variants
+# whose sibling is certified this round or earlier
+# (sample_domain_cap_weighted, a_winsorize_events, mixture_temp,
+# text_bpe_tokens, q_histogram_depth, a_quadratic_trend,
+# q_type_crosscorr, decontaminate); they plus post-conversion re-checks
+# fill the fifth window.
+
+_DRIVER_WINDOW_R10 = [
+    # analytics tail over events/signals
+    "a_attrib_summary",
+    "a_winsorize",
+    "a_quantile_transform",
+    "a_funnel_depth",
+    "a_label_centroids",
+    "a_bootstrap_by_type",
+    "a_robust_zscore",
+    "a_label_dispersion",
+    "a_conversion_latency",
+    "a_record_trend",
+    # training-data packing / splitting / vocab
+    "pack_chunks",
+    "pack_length_batches",
+    "split_assign",
+    "vocab_topk",
+    "sample_cluster_cap",
+    "quality_topfrac",
+    # event-sequence product analytics
+    "q_event_transitions",
+    "q_session_sequences",
+    "q_last_touch",
+    "q_streaks",
+    "q_markov_transitions",
+    "q_purchase_cadence",
+    "q_type_entropy_daily",
+    "q_revenue_growth",
+    "q_seasonal_anomaly",
+    "q_ab_test",
+    # corpus statistics / fits
+    "q_heaps_fit",
+    "q_zipf_fit",
+    "q_keyness_llr",
+    "q_skew_report",
+    "q_weighted_median",
+    "q_histogram_value",
+    "q_oov_rate",
+    "q_ppl_buckets",
+    # text long tail
+    "text_collocations",
+    "text_bigram_ppl",
+    "text_novelty",
+    "q_langid_eval",
+    "q_label_confusability",
+    # retrieval fusion + fuzzy matching
+    "q_rrf_fusion",
+    "q_fuzzy_parts",
+    # dataset QA / governance reports
+    "q_dataset_card",
+    "q_dataset_fingerprint",
+    "q_k_anonymity",
+    "q_eval_slices",
+    # crawl pipeline + web normalization
+    "q_url_canonical",
+    "q_html_extract",
+    "pipeline_crawl",
+    # time-window tail
+    "w_gapfill",
+    "w_rolling_time",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -11617,4 +11696,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R9)
+_rotate_driver_window(_DRIVER_WINDOW_R10)

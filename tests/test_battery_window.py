@@ -132,8 +132,11 @@ R8_WINDOW = [
 # disjoint slice — serving/ingest headliners (continuous dedup ingest,
 # signature-index probe, Z-order), assoc/k-core/survival/RFM/Lorenz,
 # PQ-ADC + near-dup serving, dedup/text/sampling tails, the
-# time-series window tail, and the last TPC-H shapes.
-DRIVER_WINDOW = [
+# time-series window tail, and the last TPC-H shapes. 49/50 were
+# first-time checks; sim_neardup_pairs repeated r1/r2 (VERDICT r9
+# "what's wrong" item 1) — the r10 window is therefore diffed against
+# the union of ALL prior CORRECTNESS artifacts, not prior windows.
+R9_WINDOW = [
     "dedup_ingest_pipeline",
     "q_sigidx_probe",
     "q_txlog_zorder",
@@ -186,18 +189,96 @@ DRIVER_WINDOW = [
     "q22_global_sales",
 ]
 
+# The r10 rotated window (battery._DRIVER_WINDOW_R10): the fourth
+# slice — the a_* analytics tail, packing/splitting/vocab,
+# event-sequence analytics, corpus-statistic fits, text long tail,
+# dataset QA reports, crawl pipeline, gap-fill/rolling-time windows.
+# Every slot diffed against the union of ALL prior CORRECTNESS
+# artifacts (r1-r9) so no slot repeats a prior driver hash.
+DRIVER_WINDOW = [
+    "a_attrib_summary",
+    "a_winsorize",
+    "a_quantile_transform",
+    "a_funnel_depth",
+    "a_label_centroids",
+    "a_bootstrap_by_type",
+    "a_robust_zscore",
+    "a_label_dispersion",
+    "a_conversion_latency",
+    "a_record_trend",
+    "pack_chunks",
+    "pack_length_batches",
+    "split_assign",
+    "vocab_topk",
+    "sample_cluster_cap",
+    "quality_topfrac",
+    "q_event_transitions",
+    "q_session_sequences",
+    "q_last_touch",
+    "q_streaks",
+    "q_markov_transitions",
+    "q_purchase_cadence",
+    "q_type_entropy_daily",
+    "q_revenue_growth",
+    "q_seasonal_anomaly",
+    "q_ab_test",
+    "q_heaps_fit",
+    "q_zipf_fit",
+    "q_keyness_llr",
+    "q_skew_report",
+    "q_weighted_median",
+    "q_histogram_value",
+    "q_oov_rate",
+    "q_ppl_buckets",
+    "text_collocations",
+    "text_bigram_ppl",
+    "text_novelty",
+    "q_langid_eval",
+    "q_label_confusability",
+    "q_rrf_fusion",
+    "q_fuzzy_parts",
+    "q_dataset_card",
+    "q_dataset_fingerprint",
+    "q_k_anonymity",
+    "q_eval_slices",
+    "q_url_canonical",
+    "q_html_extract",
+    "pipeline_crawl",
+    "w_gapfill",
+    "w_rolling_time",
+]
+
 
 def test_first_50_registration_order_is_pinned():
     assert list(QUERIES)[:50] == DRIVER_WINDOW
 
 
-def test_all_three_windows_are_mutually_disjoint():
-    # every slot of every rotation goes to a query that had never been
-    # driver-hashed before — 152/209 cumulative coverage after r9
-    assert len(R7_WINDOW) == len(R8_WINDOW) == len(DRIVER_WINDOW) == 50
-    assert not set(DRIVER_WINDOW) & set(R7_WINDOW)
-    assert not set(DRIVER_WINDOW) & set(R8_WINDOW)
-    assert not set(R8_WINDOW) & set(R7_WINDOW)
+def test_all_four_windows_are_mutually_disjoint():
+    windows = [R7_WINDOW, R8_WINDOW, R9_WINDOW, DRIVER_WINDOW]
+    assert all(len(w) == 50 for w in windows)
+    for i, a in enumerate(windows):
+        for b in windows[i + 1 :]:
+            assert not set(a) & set(b)
+
+
+def test_r10_window_is_never_before_checked():
+    # VERDICT r9 item 1: diff the window against the union of ALL
+    # prior rounds' driver artifacts, not just the prior windows —
+    # r9 wasted a slot on sim_neardup_pairs (hashed in r1/r2, before
+    # window pinning began). Every r10 slot must be a first-time hash.
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+    assert len(files) >= 9, "expected the committed r1-r9 artifacts"
+    checked: set[str] = set()
+    for f in files:
+        with open(f) as fh:
+            checked |= set(json.load(fh).keys())
+    repeats = [n for n in DRIVER_WINDOW if n in checked]
+    assert repeats == [], f"window repeats prior driver hashes: {repeats}"
 
 
 def test_rotation_preserves_the_full_battery():
