@@ -3459,11 +3459,9 @@ def sim_neardup_pairs(spark, sf_dir):
              unnest(generate_series(0, len(embedding) - 1)) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
-    ), cent AS (
-      SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY label, pos
     )
-    SELECT label, list(c ORDER BY pos) AS centroid
-    FROM cent GROUP BY label ORDER BY label
+    SELECT label, pos, round(avg(v), 6) AS c
+    FROM ex GROUP BY label, pos ORDER BY label, pos
     """,
 )
 def a_label_centroids(spark, sf_dir):
@@ -3473,24 +3471,19 @@ def a_label_centroids(spark, sf_dir):
     quantizer this way conceptually). Scalable formulation: posexplode
     to (label, pos, v), ONE partial-aggregating shuffle on
     (label, pos) — never a collect of vectors to the driver, state per
-    group is a single running mean. The positional collect_list at the
-    end is bounded by the embedding dimension."""
+    group is a single running mean. The output stays EXPLODED as
+    (label, pos, c) rows: an array<double> result column crashes the
+    driver's pandas canonicalizer (unhashable list — the r10 red);
+    consumers that want the vector apply the dimension-bounded
+    positional collect_list themselves."""
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     )
-    cent = ex.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
-    )
     return (
-        cent.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid")
-        )
-        .orderBy("label")
+        ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .orderBy("label", "pos")
     )
 
 
@@ -5959,9 +5952,9 @@ def a_label_dispersion(spark, sf_dir):
     )
     SELECT CAST(max(n) AS BIGINT) AS n_converted,
            CAST(min(lat_us) AS BIGINT) AS min_us,
-           CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+           CAST(max(CASE WHEN rn = greatest(1, (1 * n + 1) // 2)
                     THEN lat_us END) AS BIGINT) AS p50_us,
-           CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+           CAST(max(CASE WHEN rn = greatest(1, (9 * n + 9) // 10)
                     THEN lat_us END) AS BIGINT) AS p90_us,
            CAST(max(lat_us) AS BIGINT) AS max_us
     FROM ranked
@@ -5977,10 +5970,14 @@ def a_conversion_latency(spark, sf_dir):
     aggregate — via the DISTRIBUTED exact rank (operators/ranking.py:
     range-repartition + per-partition offsets, no single-partition
     window anywhere; ties in lat_us leave the value-at-rank-k
-    deterministic). O(converted users), not O(events)."""
-    import math
-
-    from tabata_spark.operators.ranking import with_exact_rank
+    deterministic). O(converted users), not O(events). The rank
+    ceil(q·n) is exact INTEGER arithmetic on the lazily-joined total
+    (both here and in the oracle) — ``ceil`` on a double overshoots
+    when the product lands epsilon above an integer."""
+    from tabata_spark.operators.ranking import (
+        exact_rank_of_quantile,
+        with_exact_rank,
+    )
 
     ev = _t(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
@@ -5992,16 +5989,16 @@ def a_conversion_latency(spark, sf_dir):
         & F.col("t_buy").isNotNull()
         & (F.col("t_buy") >= F.col("t_view"))
     ).select((epoch_us("t_buy") - epoch_us("t_view")).alias("lat_us"))
-    ranked, n = with_exact_rank(conv, ["lat_us"], "rn")
+    ranked = with_exact_rank(conv, ["lat_us"], "rn", total_col="__n")
 
     def disc(q):
-        k = max(1, math.ceil(q * n))
-        return F.max(F.when(F.col("rn") == F.lit(k), F.col("lat_us")))
+        k = exact_rank_of_quantile(q, "__n")
+        return F.max(F.when(F.col("rn") == k, F.col("lat_us")))
 
-    # n folded back as a literal (one tiny job); NULL on an empty
-    # converted set to match the oracle's max-over-empty
+    # the total travels as a lazy column (ONE job end to end); NULL on
+    # an empty converted set to match the oracle's max-over-empty
     return ranked.agg(
-        F.lit(n if n > 0 else None).cast("long").alias("n_converted"),
+        F.max("__n").cast("long").alias("n_converted"),
         F.min("lat_us").cast("long").alias("min_us"),
         disc(0.5).cast("long").alias("p50_us"),
         disc(0.9).cast("long").alias("p90_us"),
@@ -9042,8 +9039,8 @@ def _eval_slices_oracle() -> str:
            CAST(n_i AS BIGINT) AS n,
            CAST(k_i AS BIGINT) AS n_correct,
            round(k / n, 6) AS accuracy,
-           round({_WILSON_LO}, 6) AS wilson_lo,
-           round({_WILSON_HI}, 6) AS wilson_hi
+           round(greatest(0.0, {_WILSON_LO}), 6) AS wilson_lo,
+           round(least(1.0, {_WILSON_HI}), 6) AS wilson_hi
     FROM sl ORDER BY lang, len_bucket
     """
 
@@ -9055,7 +9052,10 @@ def q_eval_slices(spark, sf_dir):
     95% confidence bounds — the disaggregated eval that catches 'the
     model is only good on long English pages'. Exact integer
     correct/total counts per slice; the Wilson interval is one shared
-    formula string evaluated identically by both engines."""
+    formula string evaluated identically by both engines, clamped to
+    its statistical domain [0, 1] BEFORE rounding — an unclamped lower
+    bound of -1e-17 rounds to -0.0 in DuckDB but +0.0 in Spark
+    (BigDecimal drops the sign), a driver-hash red (r10)."""
     from tabata_spark.operators.text import lang_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -9085,8 +9085,8 @@ def q_eval_slices(spark, sf_dir):
             "CAST(n_i AS BIGINT) AS n",
             "CAST(k_i AS BIGINT) AS n_correct",
             "round(k / n, 6) AS accuracy",
-            f"round({_WILSON_LO}, 6) AS wilson_lo",
-            f"round({_WILSON_HI}, 6) AS wilson_hi",
+            f"round(greatest(0.0, {_WILSON_LO}), 6) AS wilson_lo",
+            f"round(least(1.0, {_WILSON_HI}), 6) AS wilson_hi",
         )
         .orderBy("lang", "len_bucket")
     )
@@ -9136,7 +9136,7 @@ def q_heaps_fit(spark, sf_dir):
     occurrence doc is one aggregation, and the cumulative type count
     is a DISTRIBUTED prefix sum over per-doc new-type totals
     (operators/ranking.py with_exact_cumsum: range-repartition +
-    per-partition running sums + driver-folded offsets — doc-level
+    per-partition running sums + broadcast-joined offsets — doc-level
     rows are corpus-sized at 100 TB, so no single-partition window).
     Sampled at every 50th doc; decimal-quantized log sums; the OLS
     reuses the shared Zipf formula string."""
@@ -9300,7 +9300,7 @@ def q_skew_report(spark, sf_dir):
     )
     total, n_keys = k.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
     wr = Window.orderBy(F.desc("n"), "key")
-    ranked, _ = with_exact_rank(k, ["n", "key"], "rr")
+    ranked = with_exact_rank(k, ["n", "key"], "rr")
     gini_df = ranked.agg(
         (
             (
@@ -9311,7 +9311,6 @@ def q_skew_report(spark, sf_dir):
         ).alias("g")
     )
     g = gini_df.collect()[0]["g"]
-    ranked.unpersist()
     return (
         k.orderBy(F.desc("n"), "key")
         .limit(20)

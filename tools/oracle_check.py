@@ -39,8 +39,12 @@ def normalize(rows, cols):
                     # strict as the driver's value hash (%.9g hid the
                     # millisecond digits of epoch-seconds doubles —
                     # round-4 w_sessionize red was invisible locally).
-                    # -0.0 normalized: engines disagree on its sign.
-                    vals.append(repr(v + 0.0 if v == 0.0 else v))
+                    # -0.0 is NOT normalized: the driver's hasher
+                    # distinguishes it, and DuckDB's round() emits it
+                    # where Spark's BigDecimal round drops the sign —
+                    # normalizing here hid the r10 q_eval_slices red.
+                    # Queries must clamp/shift at the source instead.
+                    vals.append(repr(v))
             elif isinstance(v, decimal.Decimal):
                 # Decimal canonicalized through float: both engines hand
                 # back Python Decimal locally, so a plain str() compare
@@ -67,7 +71,9 @@ def normalize(rows, cols):
 #: for window/plain integer sums, INT128) caused the r4-r6 w_sessionize
 #: red. Both compare equal to BIGINT/DOUBLE as local Python values, so
 #: only a TYPE lint can see them — the value compare is structurally
-#: blind (VERDICT r6 "What's wrong").
+#: blind (VERDICT r6 "What's wrong"). Nested types (array/map/struct)
+#: joined the class in r10: the driver's pandas canonicalizer cannot
+#: sort/hash a list cell (a_label_centroids red — unhashable type).
 RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "INT128")
 
 
@@ -92,8 +98,8 @@ def _duck_type_class(t: str) -> str:
         return "date"
     if u == "BLOB":
         return "binary"
-    if u.endswith("[]") or u.startswith(("LIST", "ARRAY")):
-        return "array"
+    if u.endswith("[]") or u.startswith(("LIST", "ARRAY", "MAP", "STRUCT", "UNION")):
+        return "risky"
     return u
 
 
@@ -116,8 +122,8 @@ def _spark_type_class(dt) -> str:
         return "date"
     if isinstance(dt, T.BinaryType):
         return "binary"
-    if isinstance(dt, T.ArrayType):
-        return "array"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "risky"
     return dt.simpleString()
 
 
@@ -215,12 +221,22 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            from pyspark.sql.types import DecimalType
+            from pyspark.sql.types import (
+                ArrayType,
+                DecimalType,
+                MapType,
+                StructType,
+            )
 
             dec_cols = [
                 f.name
                 for f in sdf.schema.fields
                 if isinstance(f.dataType, DecimalType)
+            ]
+            nested_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
             ]
             srows = [tuple(r) for r in sdf.collect()]
             if dec_cols:
@@ -229,6 +245,12 @@ def main():
                 # r5 hash-reds were decimal outputs). Battery outputs
                 # must encode exact decimals as DOUBLE at the boundary.
                 status, detail = "FAIL", f"decimal output columns {dec_cols}"
+            elif nested_cols:
+                # Driver-fatal, not just risky: the driver's pandas
+                # canonicalizer crashes sorting a list cell (the r10
+                # a_label_centroids red). Battery outputs must be flat
+                # scalar columns — explode vectors to (key, pos, value).
+                status, detail = "FAIL", f"nested output columns {nested_cols}"
             elif name in battery.ORACLES:
                 ores = con.sql(battery.ORACLES[name])
                 ocols = ores.columns
