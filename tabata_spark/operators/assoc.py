@@ -43,7 +43,7 @@ def association_rules(
     min_support: int = 2,
     max_basket_items: int | None = None,
     materialize: str | None = "persist",
-    broadcast_items_limit: int = 2_000_000,
+    broadcast_bytes_limit: int = 64 << 20,
 ) -> DataFrame:
     """Pairwise association rules over a (basket, item) table.
 
@@ -90,15 +90,21 @@ def association_rules(
 
     # single-item basket counts; apriori-prune to frequent items only.
     # The broadcast of the frequent set is GATED on its measured size
-    # (the k_core lesson: an unconditional broadcast of an unbounded
-    # frame is a driver OOM waiting for the right data — brand-level
-    # vocabularies are hundreds of items, SKU-level ones can be tens
-    # of millions). Above the limit the semi-join runs as a shuffle
-    # join, which is also fine: the pair self-join shuffles on the
-    # basket key anyway.
+    # IN BYTES, not rows (the k_core lesson, sharpened: a row-count
+    # gate is blind to item WIDTH — 2M rows of 1 KB SKU strings is a
+    # 2 GB broadcast; brand-level vocabularies are hundreds of items,
+    # SKU-level ones can be tens of millions). One aggregate measures
+    # count and mean serialized item width together; above the byte
+    # limit the semi-join runs as a shuffle join, which is also fine:
+    # the pair self-join shuffles on the basket key anyway.
     item_n = _mat(b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item")))
     freq_n = item_n.filter(F.col("n_item") >= min_support)
-    small_vocab = freq_n.count() <= broadcast_items_limit
+    n_freq, avg_w = freq_n.agg(
+        F.count(F.lit(1)),
+        F.avg(F.octet_length(F.col("item").cast("string"))),
+    ).first()
+    est_bytes = int(n_freq * (float(avg_w or 0.0) + 16))  # +row overhead
+    small_vocab = est_bytes <= broadcast_bytes_limit
     frequent = (
         F.broadcast(freq_n.select("item")) if small_vocab
         else freq_n.select("item")

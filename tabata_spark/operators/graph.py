@@ -368,6 +368,20 @@ def k_core(
     )
     converged = False
     for rnd in range(max_rounds):
+        # hard lineage cut every 4th round for BOTH maintained frames
+        # (degrees AND the thinned edge list — the r10 ADVICE: the edge
+        # chain grew one join per peel forever); a per-round
+        # localCheckpoint re-wrote the whole O(nodes)/O(edges) state to
+        # disk each peel and cost ~10% of the cascade at 20M edges
+        # (r9 A/B probe), while unbounded persist chains grow the
+        # logical plan across deep cascades
+        def _pin(df, ckpt=((rnd + 1) % 4 == 0)):
+            if ckpt:
+                return df.localCheckpoint(eager=True)
+            df = df.persist()
+            df.count()
+            return df
+
         peel = deg.filter(F.col("__deg") < k).select("__n").persist()
         n_peel = peel.count()
         if n_peel == 0:
@@ -393,7 +407,7 @@ def k_core(
                     ).alias("__deg"),
                 )
             )
-            survived = (
+            survived = _pin(
                 e.join(
                     F.broadcast(peel.withColumnRenamed("__n", "__s")),
                     "__s",
@@ -401,34 +415,21 @@ def k_core(
                 )
                 .join(bpeel_d, "__d", "left_anti")
                 .select("__s", "__d")
-                .persist()
             )
-            survived.count()
         else:
             # collapse round: classic semi-join + full re-aggregation
             keep = deg.filter(F.col("__deg") >= k).select("__n")
-            survived = (
+            survived = _pin(
                 e.join(keep.withColumnRenamed("__n", "__s"), "__s", "left_semi")
                 .join(keep.withColumnRenamed("__n", "__d"), "__d", "left_semi")
                 .select("__s", "__d")
-                .persist()
             )
-            survived.count()
             deg_next = (
                 survived.groupBy("__s")
                 .agg(F.count(F.lit(1)).alias("__deg"))
                 .withColumnRenamed("__s", "__n")
             )
-        # persist per round (cheap, memory); hard lineage cut only
-        # every 4th round — a per-round localCheckpoint re-wrote the
-        # whole O(nodes) degree table to disk each peel and cost ~10%
-        # of the cascade at 20M edges (r9 A/B probe), while unbounded
-        # persist chains grow the logical plan across deep cascades
-        if (rnd + 1) % 4 == 0:
-            deg_next = deg_next.localCheckpoint(eager=True)
-        else:
-            deg_next = deg_next.persist()
-            deg_next.count()
+        deg_next = _pin(deg_next)
         e.unpersist()
         peel.unpersist()
         deg.unpersist()
@@ -444,11 +445,18 @@ def k_core(
             RuntimeWarning,
             stacklevel=2,
         )
+        # a node whose maintained degree fell to 0 has NO surviving
+        # incident edges — it is not part of any subgraph, so even the
+        # truncated round-by-round semantics must drop it (the r10
+        # ADVICE: the truncated exit could return degree-0 "survivors")
+        surv = deg.filter(F.col("__deg") > 0)
+    else:
+        surv = deg
     # at the fixed point every maintained degree is >= k by
     # construction; in the warned truncated case the not-yet-peeled
-    # survivors are returned as-is (matching the round-by-round
-    # SQL-unroll semantics)
-    out = deg.select(
+    # survivors with live edges are returned as-is (matching the
+    # round-by-round SQL-unroll semantics)
+    out = surv.select(
         F.col("__n").alias("node"), F.col("__deg").cast("long").alias("degree")
     ).localCheckpoint(eager=True)
     e.unpersist()

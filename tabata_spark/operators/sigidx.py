@@ -258,8 +258,20 @@ def sigidx_vacuum(
 
     Returns ``{"total_rows", "stale_rows", "stale_ratio", "vacuumed",
     "version"}`` — callers loop ingest → vacuum and the gate makes
-    the idle calls cheap (one aggregation, no write)."""
-    idx = tx_read(spark, index_root)
+    the idle calls cheap (one aggregation, no write). A fresh or
+    emptied index is a ZERO-STATS no-op, not an error: the documented
+    scheduler loop (ingest → vacuum) must be runnable from t=0,
+    before the first ingest ever lands."""
+    try:
+        idx = tx_read(spark, index_root)
+    except (FileNotFoundError, ValueError):
+        return {
+            "total_rows": 0,
+            "stale_rows": 0,
+            "stale_ratio": 0.0,
+            "vacuumed": False,
+            "version": tx_version(index_root),
+        }
     try:
         ids = (
             tx_read(spark, corpus_root)

@@ -36,7 +36,11 @@ import os
 import threading
 import uuid
 
-__all__ = ["InMemoryObjectStore", "ConditionalPutClaim"]
+__all__ = [
+    "InMemoryObjectStore",
+    "ConditionalPutClaim",
+    "ObjectStoreLogStore",
+]
 
 
 class InMemoryObjectStore:
@@ -64,6 +68,13 @@ class InMemoryObjectStore:
                 return False
             self._objects[key] = bytes(body)
             return True
+
+    def put(self, key: str, body: bytes) -> None:
+        """Unconditional PUT (atomic last-writer-wins, as object
+        stores guarantee per key) — the checkpoint-publish primitive;
+        commits always go through ``put_if_absent``."""
+        with self._lock:
+            self._objects[key] = bytes(body)
 
     def get(self, key: str) -> bytes:
         with self._lock:
@@ -130,3 +141,61 @@ class ConditionalPutClaim:
                 # conditional PUT whose effects never landed
                 pass
         return False
+
+
+class ObjectStoreLogStore:
+    """Full object-store LOG STORE for the transactional log — the
+    read path the r9 seam lacked: with this installed (via
+    :func:`~tabata_spark.sources.txlog.tx_set_log_store`) the log
+    lives ENTIRELY in the store. No ``_txlog`` directory exists on
+    any filesystem; listing, entry reads, checkpoint publishes and
+    commit claims are all store operations:
+
+    - ``list_names`` → one ``list_prefix`` call on the log's key
+      prefix (S3 LIST with prefix+delimiter; strongly consistent on
+      S3/GCS/ABFS since 2020, which is what makes name-based version
+      discovery sound).
+    - ``read`` → GET (absent key surfaces as ``FileNotFoundError`` so
+      callers keep one error vocabulary across log stores).
+    - ``write`` → unconditional PUT (checkpoints: idempotent bytes
+      per version, last-writer-wins is benign).
+    - ``claim`` → conditional PUT (``If-None-Match: *`` /
+      ``ifGenerationMatch=0``), the atomic commit arbitration.
+
+    Data files stay on whatever filesystem Spark's Hadoop connectors
+    address — the log is the only component that needs
+    conditional-create semantics the connectors do not expose.
+
+    Works with anything exposing ``put_if_absent / put / get /
+    list_prefix`` (:class:`InMemoryObjectStore` here; a boto3/gcs
+    client adapter in production is ~10 lines)."""
+
+    def __init__(self, store, prefix: str = "") -> None:
+        self.store = store
+        self.prefix = prefix
+
+    def _dir_key(self, logd: str) -> str:
+        return f"{self.prefix}{os.path.abspath(logd)}"
+
+    def prepare(self, logd: str) -> None:
+        """No-op: object stores have no directories to create."""
+
+    def list_names(self, logd: str) -> list[str]:
+        d = self._dir_key(logd) + "/"
+        return [k[len(d):] for k in self.store.list_prefix(d)]
+
+    def read(self, logd: str, name: str) -> bytes:
+        try:
+            return self.store.get(f"{self._dir_key(logd)}/{name}")
+        except KeyError:
+            raise FileNotFoundError(
+                f"object store: no log entry {name} under {logd}"
+            ) from None
+
+    def write(self, logd: str, name: str, payload: bytes) -> None:
+        self.store.put(f"{self._dir_key(logd)}/{name}", payload)
+
+    def claim(self, logd: str, name: str, payload: bytes) -> bool:
+        return self.store.put_if_absent(
+            f"{self._dir_key(logd)}/{name}", payload
+        )

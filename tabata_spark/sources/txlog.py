@@ -124,14 +124,83 @@ _FS_CLAIM = FilesystemClaim()
 _CLAIMERS: dict[str, object] = {}
 
 
+class FilesystemLogStore:
+    """Default log store: the filesystem IS the log. Owns ALL log
+    I/O for a table — listing entry names, reading entries, atomic
+    unclaimed writes (checkpoints), and claimed writes (commits,
+    delegated to the table's claim strategy). The object-store
+    counterpart is :class:`~tabata_spark.sources.objectstore.
+    ObjectStoreLogStore`, installed via :func:`tx_set_log_store` —
+    with it, NO local ``_txlog`` directory exists at all."""
+
+    def __init__(self, claimer=None) -> None:
+        self._claimer = claimer or _FS_CLAIM
+
+    def prepare(self, logd: str) -> None:
+        os.makedirs(logd, exist_ok=True)
+
+    def list_names(self, logd: str) -> list[str]:
+        if os.path.isdir(logd):
+            return os.listdir(logd)
+        return []
+
+    def read(self, logd: str, name: str) -> bytes:
+        with open(os.path.join(logd, name), "rb") as fh:
+            return fh.read()
+
+    def write(self, logd: str, name: str, payload: bytes) -> None:
+        """Atomic UNCLAIMED publish (checkpoints): tmp + rename — a
+        reader sees the whole entry or none; last writer wins (all
+        checkpoint writers for a version produce identical bytes)."""
+        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(logd, name))
+
+    def claim(self, logd: str, name: str, payload: bytes) -> bool:
+        return self._claimer.claim(logd, name, payload)
+
+
+_LOG_STORES: dict[str, object] = {}
+
+
+def tx_set_log_store(root: str, log_store) -> None:
+    """Install a LOG STORE for table ``root`` (None restores the
+    filesystem default) — the full object-store seam: listing,
+    reading, checkpointing AND claiming all route through it, so the
+    transactional LOG needs no local ``_txlog`` directory at all (the
+    r9 gap: :func:`tx_set_claimer` covered only commit arbitration
+    and mirrored entries to the filesystem for the read side).
+
+    The contract (all four methods; ``prepare`` may be a no-op):
+    ``list_names(logd)`` → entry names under the log's key prefix;
+    ``read(logd, name)`` → entry bytes (KeyError/FileNotFoundError
+    when absent); ``write(logd, name, payload)`` → atomic
+    last-writer-wins publish (checkpoints only — identical bytes per
+    version); ``claim(logd, name, payload)`` → atomic
+    publish-if-absent per :class:`FilesystemClaim`'s contract.
+
+    DATA files are not routed: Spark's own Hadoop FS connectors
+    already read/write parquet on any object store — the log is the
+    only part needing conditional-create semantics the connectors
+    don't expose."""
+    key = os.path.abspath(root)
+    if log_store is None:
+        _LOG_STORES.pop(key, None)
+    else:
+        _LOG_STORES[key] = log_store
+
+
 def tx_set_claimer(root: str, claimer) -> None:
     """Install a commit-claim strategy for table ``root`` (None
     restores the filesystem default). The strategy must satisfy the
     contract documented on :class:`FilesystemClaim` — on an object
     store, a conditional PUT of the entry payload. Reads still go
-    through the log path, so an object-store strategy is paired with
-    an object-store filesystem layer on the read side (as Spark's
-    Hadoop FS connectors already provide)."""
+    through the filesystem log path, so a bare claim strategy mirrors
+    entries locally; prefer :func:`tx_set_log_store`, which routes
+    the READ side through the store too."""
     key = os.path.abspath(root)
     if claimer is None:
         _CLAIMERS.pop(key, None)
@@ -141,6 +210,13 @@ def tx_set_claimer(root: str, claimer) -> None:
 
 def _claimer(root: str):
     return _CLAIMERS.get(os.path.abspath(root), _FS_CLAIM)
+
+
+def _log_store(root: str):
+    store = _LOG_STORES.get(os.path.abspath(root))
+    if store is not None:
+        return store
+    return FilesystemLogStore(_claimer(root))
 
 
 # ---------------------------------------------------------------------------
@@ -153,24 +229,23 @@ def _log_path(root: str) -> str:
 
 def _list_log(root: str) -> tuple[list[int], list[int]]:
     """(commit versions, checkpoint versions), each sorted — from the
-    directory NAMES alone, no file reads. Ignores foreign files
-    (crashed tmp files can never collide with the ``<20-digit>.json``
-    claim names)."""
-    logd = _log_path(root)
+    entry NAMES alone (one directory/prefix listing, no entry reads).
+    Ignores foreign files (crashed tmp files can never collide with
+    the ``<20-digit>.json`` claim names)."""
     commits: list[int] = []
     ckpts: list[int] = []
-    if os.path.isdir(logd):
-        for f in os.listdir(logd):
-            if f.endswith(_CKPT_SUFFIX) and f[: -len(_CKPT_SUFFIX)].isdigit():
-                ckpts.append(int(f[: -len(_CKPT_SUFFIX)]))
-            elif f.endswith(".json") and f[:-5].isdigit():
-                commits.append(int(f[:-5]))
+    for f in _log_store(root).list_names(_log_path(root)):
+        if f.endswith(_CKPT_SUFFIX) and f[: -len(_CKPT_SUFFIX)].isdigit():
+            ckpts.append(int(f[: -len(_CKPT_SUFFIX)]))
+        elif f.endswith(".json") and f[:-5].isdigit():
+            commits.append(int(f[:-5]))
     return sorted(commits), sorted(ckpts)
 
 
 def _read_commit(root: str, version: int) -> dict:
-    with open(os.path.join(_log_path(root), f"{version:020d}.json")) as fh:
-        return json.load(fh)
+    return json.loads(
+        _log_store(root).read(_log_path(root), f"{version:020d}.json")
+    )
 
 
 def _commits(root: str) -> list[dict]:
@@ -228,9 +303,11 @@ def _resolve(root: str, version: int | None = None) -> dict:
     start = 0
     if ckpt_vs:
         start = ckpt_vs[-1]
-        p = os.path.join(_log_path(root), f"{start:020d}{_CKPT_SUFFIX}")
-        with open(p) as fh:
-            state = json.load(fh)
+        state = json.loads(
+            _log_store(root).read(
+                _log_path(root), f"{start:020d}{_CKPT_SUFFIX}"
+            )
+        )
     for v in commit_vs:
         if v > start:
             _apply(state, _read_commit(root, v))
@@ -239,17 +316,17 @@ def _resolve(root: str, version: int | None = None) -> dict:
 
 def _write_checkpoint(root: str, state: dict) -> None:
     """Atomically publish a checkpoint of ``state`` at its version
-    (tmp + rename; a reader either sees the whole checkpoint or none,
-    and a crashed half-written checkpoint is invisible — the log
-    remains the source of truth, checkpoints only accelerate it)."""
-    logd = _log_path(root)
-    p = os.path.join(logd, f"{state['version']:020d}{_CKPT_SUFFIX}")
-    tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(state, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, p)
+    (the log store's unclaimed write: tmp + rename on a filesystem, a
+    plain PUT on an object store — a reader either sees the whole
+    checkpoint or none; all writers of a version produce identical
+    bytes, so last-writer-wins is benign. A crashed half-written
+    checkpoint is invisible — the log remains the source of truth,
+    checkpoints only accelerate it)."""
+    _log_store(root).write(
+        _log_path(root),
+        f"{state['version']:020d}{_CKPT_SUFFIX}",
+        json.dumps(state).encode(),
+    )
 
 
 def tx_checkpoint(root: str) -> int:
@@ -555,8 +632,8 @@ def _commit(
     (best-effort acceleration — a crash before the checkpoint loses
     nothing; the commit itself is already durable)."""
     logd = _log_path(root)
-    os.makedirs(logd, exist_ok=True)
-    claimer = _claimer(root)
+    store = _log_store(root)
+    store.prepare(logd)
     for _ in range(_MAX_RETRIES):
         state = _resolve(root)
         if txn is not None and txn in state["txns"]:
@@ -580,7 +657,7 @@ def _commit(
         if stats:
             entry["stats"] = stats
         payload = json.dumps(entry).encode()
-        if claimer.claim(logd, f"{version:020d}.json", payload):
+        if store.claim(logd, f"{version:020d}.json", payload):
             if version % CHECKPOINT_INTERVAL == 0:
                 # best-effort FOR REAL: the commit is already durable,
                 # so an I/O failure here must not surface as a commit

@@ -90,10 +90,10 @@ def test_deterministic_under_repartition(baskets):
 
 
 def test_large_vocab_shuffle_path_matches_broadcast_path(baskets):
-    # broadcast_items_limit=0 forces the non-broadcast (shuffle
+    # broadcast_bytes_limit=0 forces the non-broadcast (shuffle
     # semi-join + shuffle margins) plan; results must be identical
     a = _rules(baskets, min_support=2)
-    b = _rules(baskets, min_support=2, broadcast_items_limit=0)
+    b = _rules(baskets, min_support=2, broadcast_bytes_limit=0)
     assert a.keys() == b.keys()
     for k in a:
         assert a[k].asDict() == b[k].asDict()

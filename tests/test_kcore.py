@@ -50,3 +50,27 @@ def test_deterministic_under_repartition(graph):
     a = sorted(map(tuple, k_core(graph, k=2).collect()))
     b = sorted(map(tuple, k_core(graph.repartition(7, "dst"), k=2).collect()))
     assert a == b
+
+
+def test_truncated_exit_drops_degree_zero_survivors(spark):
+    # path a-b-c with k=2 and max_rounds=1: round 1 peels both
+    # endpoints (degree 1), which strips BOTH of b's edges — its
+    # maintained degree falls to 0. The truncated exit must not
+    # return an edgeless "survivor" (r10 ADVICE).
+    path = sym(spark, [(1, 2), (2, 3)])
+    with pytest.warns(RuntimeWarning, match="truncated peel"):
+        got = k_core(path, k=2, max_rounds=1).collect()
+    assert got == []
+
+
+def test_truncated_exit_keeps_live_edge_survivors(spark):
+    # square 1-2-3-4-1 with a pendant 4-5, k=2, max_rounds=1: round 1
+    # peels only node 5; the square nodes all keep degree 2 and stay.
+    # (converges in round 2, but we stop early: the not-yet-re-checked
+    # survivors with live edges are returned as-is)
+    g = sym(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5)])
+    with pytest.warns(RuntimeWarning, match="truncated peel"):
+        got = {r["node"]: r["degree"] for r in
+               k_core(g, k=2, max_rounds=1).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == got[3] == 2 and got[4] == 2

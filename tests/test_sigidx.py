@@ -374,3 +374,57 @@ def test_maintain_runs_catchup_vacuum_and_compact(spark, tmp_path, batches):
     )
     assert r2["covered_version"] == r["covered_version"]
     assert not r2["vacuum"]["vacuumed"] and not r2["compacted"]
+
+
+def test_maintain_and_vacuum_from_t0_on_fresh_roots(spark, tmp_path, batches):
+    """The documented scheduler loop (ingest → vacuum / maintain) must
+    be runnable from t=0: on a fresh corpus AND index — no commits
+    anywhere — maintain/vacuum are zero-stats no-ops, not crashes
+    (r10: the index tx_read sat outside the guard and died with
+    FileNotFoundError before the first ingest)."""
+    from tabata_spark.operators.sigidx import sigidx_maintain, sigidx_vacuum
+
+    root, idx = str(tmp_path / "fresh"), str(tmp_path / "fresh_sig")
+
+    vac = sigidx_vacuum(spark, root, idx)
+    assert vac == {
+        "total_rows": 0,
+        "stale_rows": 0,
+        "stale_ratio": 0.0,
+        "vacuumed": False,
+        "version": 0,
+    }
+    r = sigidx_maintain(spark, root, idx)
+    assert r["covered_version"] == 0
+    assert r["vacuum"]["total_rows"] == 0 and not r["vacuum"]["vacuumed"]
+    assert not r["compacted"]
+
+    # the loop then proceeds normally from the first real ingest
+    b1, _, _ = batches
+    d1 = spark.createDataFrame(b1[:40], "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+    r2 = sigidx_maintain(spark, root, idx)
+    assert r2["covered_version"] == tx_version(root) > 0
+    assert r2["vacuum"]["total_rows"] > 0
+
+
+def test_vacuum_on_emptied_index_is_noop(spark, tmp_path, batches):
+    """An index whose snapshot was emptied (a delete-all followed by a
+    full vacuum) is also a zero-stats no-op on the NEXT vacuum — the
+    other half of the r10 crash class (ValueError from tx_read on an
+    empty snapshot)."""
+    from tabata_spark.operators.sigidx import sigidx_vacuum
+    from tabata_spark.sources.txlog import tx_delete_where
+
+    b1, _, _ = batches
+    root, idx = str(tmp_path / "e"), str(tmp_path / "e_sig")
+    d1 = spark.createDataFrame(b1[:30], "doc_id string, text string")
+    dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+    tx_delete_where(spark, root, F.lit(True))  # corpus emptied
+    # stale entries are CORRECT to keep until vacuum; the first vacuum
+    # sees 100% staleness and rewrites the index down to empty
+    vac1 = sigidx_vacuum(spark, root, idx)
+    assert vac1["vacuumed"] and vac1["stale_ratio"] == 1.0
+    # the next idle-loop vacuum hits the emptied snapshot: no-op
+    vac2 = sigidx_vacuum(spark, root, idx)
+    assert vac2["total_rows"] == 0 and not vac2["vacuumed"]
