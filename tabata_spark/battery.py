@@ -11683,6 +11683,86 @@ _DRIVER_WINDOW_R10 = [
 ]
 
 
+# Round 11: the FIFTH rotation (VERDICT r10 item 2) — the ledger
+# CLOSES this round: after four disjoint slices, exactly 10 queries
+# have never hash-greened (the 8 deliberate deferrals plus the two r10
+# reds, both fixed this round), so this window is composed as
+#   (a) all 10 never-certified queries,
+#   (b) every query whose CODE changed after its latest green hash —
+#       the six exact-rank/ntile/cumsum consumers (the ranking module
+#       was rewritten lazy this round), the k-core and assoc gate
+#       consumers, the five txlog/sigidx-backed queries (log-store
+#       seam), and text_collocations (assoc import),
+#   (c) 26 re-checks of the OLDEST certifications (the r7 cohort plus
+#       q_string_funcs, green only in r2) — deepest-staleness first:
+#       the dedup/similarity/text LLM-pipeline headliners, the
+#       streaming twins, and the relational anchors.
+# Unlike windows 2-4 this slice deliberately REPEATS prior greens:
+# every repeat is either changed-code (must re-hash) or the stalest
+# cohort (defense in depth); the never-before-checked invariant is
+# replaced by an all-never-certified-covered invariant in
+# tests/test_battery_window.py.
+
+_DRIVER_WINDOW_R11 = [
+    # (a) never driver-certified: the two fixed r10 reds first
+    "q_eval_slices",
+    "a_label_centroids",
+    # ... then the 8 deliberate deferrals
+    "a_quadratic_trend",
+    "a_winsorize_events",
+    "decontaminate",
+    "mixture_temp",
+    "q_histogram_depth",
+    "q_type_crosscorr",
+    "sample_domain_cap_weighted",
+    "text_bpe_tokens",
+    # (b) code changed after latest hash — ranking-module consumers
+    "a_conversion_latency",
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "q_heaps_fit",
+    "q_skew_report",
+    "pack_length_batches",
+    # ... k-core / assoc consumers
+    "q_kcore_parts",
+    "q_assoc_brands",
+    "text_collocations",
+    # ... txlog / sigidx consumers (log-store seam landed this round)
+    "q_txlog_orders",
+    "q_txlog_merge",
+    "q_txlog_zorder",
+    "dedup_ingest_pipeline",
+    "q_sigidx_probe",
+    # (c) stalest certifications — r2/r7 cohort
+    "q_string_funcs",
+    "dedup_exact",
+    "dedup_norm_hash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_knn_join",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_ivf_knn_batch",
+    "sim_semantic_dedup",
+    "text_langid",
+    "text_quality",
+    "text_gopher",
+    "text_tokens",
+    "text_fingerprint",
+    "text_chunks",
+    "multimodal_features",
+    "w_tumbling",
+    "w_sessionize",
+    "q1_pricing_summary",
+    "q_json_events",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -11695,4 +11775,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R10)
+_rotate_driver_window(_DRIVER_WINDOW_R11)

@@ -195,7 +195,7 @@ R9_WINDOW = [
 # dataset QA reports, crawl pipeline, gap-fill/rolling-time windows.
 # Every slot diffed against the union of ALL prior CORRECTNESS
 # artifacts (r1-r9) so no slot repeats a prior driver hash.
-DRIVER_WINDOW = [
+R10_WINDOW = [
     "a_attrib_summary",
     "a_winsorize",
     "a_quantile_transform",
@@ -249,36 +249,167 @@ DRIVER_WINDOW = [
 ]
 
 
+# The r11 window — the FIFTH rotation, closing the ledger. Composed of
+# (a) ALL queries never hash-greened by any prior round (the 8
+# deliberate deferrals + the two r10 reds, fixed this round), (b) every
+# query whose code changed after its latest green hash (ranking-module
+# rewrite, k-core/assoc gates, txlog log-store seam), and (c) the 26
+# stalest certifications (r2/r7 cohort). Unlike windows 2-4 it
+# deliberately REPEATS prior greens — the invariants below check the
+# never-certified coverage and the changed-code re-checks instead of
+# disjointness.
+DRIVER_WINDOW = [
+    "q_eval_slices",
+    "a_label_centroids",
+    "a_quadratic_trend",
+    "a_winsorize_events",
+    "decontaminate",
+    "mixture_temp",
+    "q_histogram_depth",
+    "q_type_crosscorr",
+    "sample_domain_cap_weighted",
+    "text_bpe_tokens",
+    "a_conversion_latency",
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "q_heaps_fit",
+    "q_skew_report",
+    "pack_length_batches",
+    "q_kcore_parts",
+    "q_assoc_brands",
+    "text_collocations",
+    "q_txlog_orders",
+    "q_txlog_merge",
+    "q_txlog_zorder",
+    "dedup_ingest_pipeline",
+    "q_sigidx_probe",
+    "q_string_funcs",
+    "dedup_exact",
+    "dedup_norm_hash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_knn_join",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_ivf_knn_batch",
+    "sim_semantic_dedup",
+    "text_langid",
+    "text_quality",
+    "text_gopher",
+    "text_tokens",
+    "text_fingerprint",
+    "text_chunks",
+    "multimodal_features",
+    "w_tumbling",
+    "w_sessionize",
+    "q1_pricing_summary",
+    "q_json_events",
+]
+
+
+def _prior_driver_artifacts(max_round):
+    """All committed CORRECTNESS_r*.json at or below ``max_round`` —
+    globbed open-endedly and filtered by parsed round number, so a
+    clone of this helper for r12+ automatically includes r11 and later
+    artifacts (the r10 ADVICE: a CORRECTNESS_r0* glob silently
+    excluded double-digit rounds)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = []
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if m and int(m.group(1)) <= max_round:
+            out.append(f)
+    return out
+
+
+def _hash_green_union(files):
+    import json
+
+    green: set[str] = set()
+    for f in files:
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    green.add(name)
+    return green
+
+
 def test_first_50_registration_order_is_pinned():
     assert list(QUERIES)[:50] == DRIVER_WINDOW
 
 
-def test_all_four_windows_are_mutually_disjoint():
-    windows = [R7_WINDOW, R8_WINDOW, R9_WINDOW, DRIVER_WINDOW]
+def test_historical_windows_are_mutually_disjoint():
+    windows = [R7_WINDOW, R8_WINDOW, R9_WINDOW, R10_WINDOW]
     assert all(len(w) == 50 for w in windows)
     for i, a in enumerate(windows):
         for b in windows[i + 1 :]:
             assert not set(a) & set(b)
 
 
-def test_r10_window_is_never_before_checked():
-    # VERDICT r9 item 1: diff the window against the union of ALL
-    # prior rounds' driver artifacts, not just the prior windows —
-    # r9 wasted a slot on sim_neardup_pairs (hashed in r1/r2, before
-    # window pinning began). Every r10 slot must be a first-time hash.
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+def test_r10_window_was_never_before_checked():
+    # Historical pin (VERDICT r9 item 1): every r10 slot was a
+    # first-time hash against the union of the r1-r9 artifacts.
+    files = _prior_driver_artifacts(9)
     assert len(files) >= 9, "expected the committed r1-r9 artifacts"
+    import json
+
     checked: set[str] = set()
     for f in files:
         with open(f) as fh:
             checked |= set(json.load(fh).keys())
-    repeats = [n for n in DRIVER_WINDOW if n in checked]
+    repeats = [n for n in R10_WINDOW if n in checked]
     assert repeats == [], f"window repeats prior driver hashes: {repeats}"
+
+
+def test_r11_window_covers_every_never_certified_query():
+    # The ledger-closing invariant: after this window runs green, every
+    # registered query has a driver hash. All queries that have never
+    # hash-greened in ANY committed artifact (r1-r10) must be in the
+    # window — and they must lead it, so a driver that audits fewer
+    # slots still hits them first.
+    files = _prior_driver_artifacts(10)
+    assert len(files) >= 10, "expected the committed r1-r10 artifacts"
+    green = _hash_green_union(files)
+    never = [n for n in QUERIES if n not in green]
+    missing = [n for n in never if n not in DRIVER_WINDOW]
+    assert missing == [], f"never-certified queries left out: {missing}"
+    head = DRIVER_WINDOW[: len(never)]
+    assert sorted(head) == sorted(never), (
+        "the never-certified set must occupy the window head"
+    )
+
+
+def test_r11_window_recheks_every_changed_code_query():
+    # Every query whose implementation changed in round 11 after its
+    # latest green hash must be re-audited: the six exact-rank/ntile/
+    # cumsum consumers (ranking.py rewritten lazy), k-core + assoc
+    # gate consumers, and the txlog/sigidx log-store consumers.
+    changed = [
+        "a_conversion_latency",
+        "q_rfm_segments",
+        "q_lorenz_customers",
+        "q_heaps_fit",
+        "q_skew_report",
+        "pack_length_batches",
+        "q_kcore_parts",
+        "q_assoc_brands",
+        "q_txlog_orders",
+        "q_txlog_merge",
+        "q_txlog_zorder",
+        "dedup_ingest_pipeline",
+        "q_sigidx_probe",
+    ]
+    left_out = [n for n in changed if n not in DRIVER_WINDOW]
+    assert left_out == [], f"changed-code queries not re-audited: {left_out}"
 
 
 def test_rotation_preserves_the_full_battery():
