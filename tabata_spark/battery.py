@@ -1357,7 +1357,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
       UNION ALL
       SELECT d.doc_id + 1000000 AS doc_id,
              array_to_string(list_slice(string_split(d.text, ' '), 1,
-               greatest(CAST(ceil(len(string_split(d.text, ' ')) * 0.4) AS INT), 1)),
+               greatest(CAST((2 * len(string_split(d.text, ' ')) + 4) // 5 AS INT), 1)),
                ' ') AS text
       FROM documents d WHERE d.doc_id % 3 = 0
     ), toks AS (
@@ -1397,8 +1397,12 @@ def dedup_containment(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ", -1)
+    # ceil(len·2/5) in exact integer arithmetic on BOTH engines —
+    # DuckDB's 0.4 literal is a DECIMAL (exact product) while a double
+    # 0.4 overshoots the ceil on representation error for some lengths
     frag_len = F.greatest(
-        F.ceil(F.size(toks) * 0.4).cast("int"), F.lit(1)
+        F.expr("CAST((2 * size(split(text, ' ', -1)) + 4) div 5 AS INT)"),
+        F.lit(1),
     )
     frags = docs.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -4067,7 +4071,7 @@ def dedup_lines(spark, sf_dir):
       FROM scored
     )
     SELECT doc_id, source, quality FROM ranked
-    WHERE rk <= ceil(n * 0.3)
+    WHERE rk <= (3 * n + 9) // 10
     ORDER BY doc_id
     """,
 )
@@ -7725,9 +7729,9 @@ def q_pit_orders(spark, sf_dir):
     ),
     cuts AS (
       SELECT event_type,
-             max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+             max(CASE WHEN rn = greatest(1, (1 * n + 99) // 100)
                  THEN value END) AS lo,
-             max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+             max(CASE WHEN rn = greatest(1, (99 * n + 99) // 100)
                  THEN value END) AS hi
       FROM ranked GROUP BY event_type
     )
@@ -7740,8 +7744,11 @@ def q_pit_orders(spark, sf_dir):
 )
 def a_winsorize_events(spark, sf_dir):
     """Per-type winsorization at the DISCRETE p01/p99 order statistics
-    (ceil(q*n) rank — the repo's exact-percentile convention; no
-    interpolated doubles cross-engine). One rank window per type +
+    (ceil(q*n) rank in exact INTEGER arithmetic on both engines — the
+    repo's exact-percentile convention; no interpolated doubles
+    cross-engine, and no double ceil either: DuckDB's 0.01 literal is
+    a DECIMAL so its rank is exact while a double product overshoots
+    on representation error). One rank window per type +
     a broadcast cuts join back onto the single fact scan. For
     low-cardinality hot groups at 100 TB the exact cut generalizes to
     the two-phase histogram-prune (q_histogram_value machinery); the
@@ -7757,10 +7764,11 @@ def a_winsorize_events(spark, sf_dir):
     )
 
     def cut(q):
-        rank = F.greatest(
-            F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("n"))
+        from tabata_spark.operators.ranking import exact_rank_of_quantile
+
+        return F.max(
+            F.when(F.col("rn") == exact_rank_of_quantile(q, "n"), F.col("value"))
         )
-        return F.max(F.when(F.col("rn") == rank, F.col("value")))
 
     cuts = ranked.groupBy("event_type").agg(
         cut(0.01).alias("lo"), cut(0.99).alias("hi")
@@ -8650,9 +8658,9 @@ def q_mixing_plan(spark, sf_dir):
     ),
     est AS (
       SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-             min(CASE WHEN cum >= ceil(0.50 * n) THEN bucket END) AS b50,
-             min(CASE WHEN cum >= ceil(0.90 * n) THEN bucket END) AS b90,
-             min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99
+             min(CASE WHEN cum >= (1 * n + 1) // 2 THEN bucket END) AS b50,
+             min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END) AS b90,
+             min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) AS b99
       FROM cum GROUP BY event_type
     ),
     ranked AS (
@@ -8664,9 +8672,9 @@ def q_mixing_plan(spark, sf_dir):
     ),
     exact AS (
       SELECT event_type,
-             max(CASE WHEN rn = CAST(ceil(0.50 * nn) AS BIGINT) THEN value END) AS e50,
-             max(CASE WHEN rn = CAST(ceil(0.90 * nn) AS BIGINT) THEN value END) AS e90,
-             max(CASE WHEN rn = CAST(ceil(0.99 * nn) AS BIGINT) THEN value END) AS e99
+             max(CASE WHEN rn = (1 * nn + 1) // 2 THEN value END) AS e50,
+             max(CASE WHEN rn = (9 * nn + 9) // 10 THEN value END) AS e90,
+             max(CASE WHEN rn = (99 * nn + 99) // 100 THEN value END) AS e99
       FROM ranked GROUP BY event_type
     )
     SELECT est.event_type, est.n,
@@ -8703,9 +8711,11 @@ def sketch_dd_quantiles(spark, sf_dir):
     )
 
     def ex(q):
+        from tabata_spark.operators.ranking import exact_rank_of_quantile
+
         return F.max(
             F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("nn")).cast("long"),
+                F.col("rn") == exact_rank_of_quantile(q, "nn"),
                 F.col("value"),
             )
         )

@@ -266,10 +266,17 @@ def top_fraction_per_stratum(
 
     Membership is rank-based, not score-threshold-based, so the kept
     fraction is exact per stratum regardless of the score
-    distribution; ties break on ``id_col`` for determinism. One
-    window sort per stratum partition (single shuffle on the strata
-    key); at 100 TB skewed strata are the concern — pre-salt or split
-    hot domains upstream if one domain dominates the corpus."""
+    distribution; ties break on ``id_col`` for determinism. The kept
+    rank ceil(frac·n) is exact INTEGER arithmetic (frac as a decimal
+    fraction) — ``ceil`` on the double product overshoots when it
+    lands epsilon above an integer (0.3·10 = 3.0000000000000004 in
+    doubles → 4 rows kept instead of 3, and a SQL engine whose 0.3 is
+    a DECIMAL disagrees). One window sort per stratum partition
+    (single shuffle on the strata key); at 100 TB skewed strata are
+    the concern — pre-salt or split hot domains upstream if one
+    domain dominates the corpus."""
+    from tabata_spark.operators.ranking import exact_rank_of_quantile
+
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     order = [oc.desc() if descending else oc.asc(), F.col(id_col)]
     w = Window.partitionBy(strata_col).orderBy(*order)
@@ -283,7 +290,7 @@ def top_fraction_per_stratum(
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(n))
-        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .filter(F.col("__rk") <= exact_rank_of_quantile(frac, "__n"))
         .drop("__rk", "__n")
     )
 

@@ -358,11 +358,15 @@ def ddsketch_quantiles(
     key_cols: list[str] | None = None,
     gamma: float = 1.02,
 ) -> DataFrame:
-    """Quantile estimates from a DDSketch: rank = ceil(q*n); the
-    answer is the midpoint value 2*gamma^b/(gamma+1) of the first
+    """Quantile estimates from a DDSketch: rank = ceil(q*n) in exact
+    integer arithmetic (q as a decimal fraction — the double product
+    overshoots on representation error at exactly the boundary ranks);
+    the answer is the midpoint value 2*gamma^b/(gamma+1) of the first
     bucket whose cumulative count reaches the rank. One window over
     the (tiny) bucket table per key."""
     from pyspark.sql import Window
+
+    from tabata_spark.operators.ranking import exact_rank_of_quantile
 
     key_cols = key_cols or []
     wc = Window.partitionBy(*key_cols).orderBy("bucket").rowsBetween(
@@ -377,7 +381,7 @@ def ddsketch_quantiles(
     )
     aggs = [F.max("n").cast("long").alias("n")]
     for q in qs:
-        rank = F.ceil(F.lit(q) * F.col("n"))
+        rank = exact_rank_of_quantile(q, "n")
         b_q = F.min(F.when(F.col("cum") >= rank, F.col("bucket")))
         est = (
             F.lit(2.0)
