@@ -89,6 +89,7 @@ def mixture_rebalance(
     id_col: str = "doc_id",
     salt: str = "mix",
     buckets: int = 10_000,
+    broadcast_strata: bool = True,
 ) -> DataFrame:
     """Downsample strata so the kept corpus approaches a TARGET
     mixture (default uniform) by weight (default rows; pass e.g. a
@@ -129,18 +130,24 @@ def mixture_rebalance(
     cap_df = obs.agg(F.min(F.col("__w") / F.col("__t")).alias("__cap"))
     # scale note: obs/frac are per-STRATUM aggregates (one row per
     # domain). Broadcast is right up to ~10M strata (tens of MB);
-    # beyond that drop the hint and let the join shuffle — unlike the
-    # assoc vocabulary there is no blowup risk here because the frame
-    # is already an aggregate of the input's grouping key.
+    # above that pass ``broadcast_strata=False`` and the join runs as
+    # a shuffle (correct either way). This gate is a PARAMETER rather
+    # than a measured byte estimate (the assoc pattern) on purpose:
+    # measuring would require materializing the strata aggregate — a
+    # full extra pass over the FACT table, which costs more at every
+    # scale than the broadcast it guards; the caller knows its domain
+    # cardinality.
     frac = obs.join(F.broadcast(cap_df)).select(
         strata_col,
         F.least(
             F.lit(1.0), F.col("__t") * F.col("__cap") / F.col("__w")
         ).alias("__keep"),
     )
+    if broadcast_strata:
+        frac = F.broadcast(frac)
     b = hash_bucket(id_col, buckets=buckets, salt=salt)
     return (
-        df.join(F.broadcast(frac), strata_col)
+        df.join(frac, strata_col)
         .filter(b < F.col("__keep") * buckets)
         .drop("__keep")
     )
@@ -154,6 +161,7 @@ def mixture_temperature(
     id_col: str = "doc_id",
     salt: str = "temp",
     buckets: int = 10_000,
+    broadcast_strata: bool = True,
 ) -> DataFrame:
     """Temperature-scaled mixture sampling (the mT5/XLM-R multilingual
     rebalancing rule): target share t_s ∝ w_s^alpha. alpha=1 keeps the
@@ -193,9 +201,14 @@ def mixture_temperature(
             F.lit(1.0), F.col("__t") * F.col("__cap") / F.col("__w")
         ).alias("__keep"),
     )
+    # same parameterized gate rationale as mixture_rebalance: a
+    # measured gate would re-scan the fact table; the caller knows
+    # whether strata cardinality clears ~10M
+    if broadcast_strata:
+        frac = F.broadcast(frac)
     b = hash_bucket(id_col, buckets=buckets, salt=salt)
     return (
-        df.join(F.broadcast(frac), strata_col)
+        df.join(frac, strata_col)
         .filter(b < F.col("__keep") * buckets)
         .drop("__keep")
     )

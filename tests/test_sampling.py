@@ -368,3 +368,29 @@ def test_top_fraction_rank_is_exact_integer_arithmetic(spark):
     )
     kept = top_fraction_per_stratum(df, 0.55, "score", "source").count()
     assert kept == 55
+
+
+def test_mixture_shuffle_path_matches_broadcast_path(ids):
+    from tabata_spark.operators.sampling import (
+        mixture_rebalance,
+        mixture_temperature,
+    )
+
+    # broadcast_strata=False (the >10M-strata escape hatch) must keep
+    # membership bit-identical — it only changes the join strategy
+    a = sorted(r["doc_id"] for r in mixture_rebalance(ids, "lang").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_rebalance(ids, "lang", broadcast_strata=False).collect()
+    )
+    assert a == b
+    c = sorted(
+        r["doc_id"] for r in mixture_temperature(ids, "lang", 0.5).collect()
+    )
+    d = sorted(
+        r["doc_id"]
+        for r in mixture_temperature(
+            ids, "lang", 0.5, broadcast_strata=False
+        ).collect()
+    )
+    assert c == d

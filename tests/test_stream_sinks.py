@@ -372,3 +372,61 @@ def test_stream_dedup_ingest_indexed_parity(spark, tmp_path):
     assert sorted(
         map(tuple, tx_read(spark, idx_root).select("doc_id", "text").collect())
     ) == want
+
+
+def test_stream_txlog_append_exactly_once_over_object_store_log(
+    spark, tmp_path
+):
+    """End-to-end integration of the two seams: a streaming txlog sink
+    committing through an OBJECT-STORE log (tx_set_log_store) — no
+    _txlog directory on any filesystem — still replays exactly-once
+    via txn tokens. This is the 1000-executor deployment shape: S3
+    conditional PUTs arbitrate micro-batch commits, Spark's own FS
+    connectors carry the data files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabata_spark.sources.objectstore import (
+        InMemoryObjectStore,
+        ObjectStoreLogStore,
+    )
+    from tabata_spark.sources.txlog import tx_read, tx_set_log_store, tx_txns
+    from tabata_spark.streaming.sinks import stream_txlog_append
+
+    src_dir = str(tmp_path / "src")
+    rows = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("v")
+    )
+    rows.repartition(3, F.pmod("k", F.lit(3))).write.parquet(src_dir)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    store = InMemoryObjectStore()
+    tx_set_log_store(root, ObjectStoreLogStore(store))
+    try:
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema(rows.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = stream_txlog_append(
+                stream, root, str(tmp_path / ck), app_id="app1"
+            )
+            q.awaitTermination()
+
+        run("ck1")
+        got = sorted((r["k"], r["v"]) for r in tx_read(spark, root).collect())
+        want = sorted((r["k"], r["v"]) for r in rows.collect())
+        assert got == want
+        assert not os.path.exists(os.path.join(root, "_txlog"))
+        assert any(k.endswith(".json") for k in store.list_prefix(""))
+        n_versions = len(tx_txns(root))
+
+        run("ck2")  # fresh checkpoint, same store: batch ids replay
+        again = sorted((r["k"], r["v"]) for r in tx_read(spark, root).collect())
+        assert again == want  # txn tokens swallowed every replayed batch
+        assert len(tx_txns(root)) == n_versions
+    finally:
+        tx_set_log_store(root, None)

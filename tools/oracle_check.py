@@ -22,6 +22,26 @@ import duckdb  # noqa: E402
 from tabata_spark.sources.relational import TABLES  # noqa: E402
 
 
+def find_negzero_cols(rows, cols):
+    """Column names holding any -0.0 float — the driver-hash landmine
+    class: an output that can be -0.0 in one engine can be +0.0 in the
+    other (DuckDB round() keeps the sign of a -1e-17, Spark's
+    BigDecimal round drops it — the r10 q_eval_slices red). Even a
+    MATCHED -0.0 today is one engine version away from a red, so the
+    gate flags the presence, not just the divergence; queries clamp or
+    `+ 0.0` at the source."""
+    import struct
+
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, float) and v == 0.0 and struct.pack(
+                ">d", v
+            ) != struct.pack(">d", 0.0):
+                bad.add(cols[i])
+    return sorted(bad)
+
+
 def normalize(rows, cols):
     """Sort columns by name, stringify values with stable float repr,
     sort rows — the order-insensitive comparable form."""
@@ -251,6 +271,12 @@ def main():
                 # a_label_centroids red). Battery outputs must be flat
                 # scalar columns — explode vectors to (key, pos, value).
                 status, detail = "FAIL", f"nested output columns {nested_cols}"
+            elif find_negzero_cols(srows, scols):
+                status, detail = (
+                    "FAIL",
+                    f"-0.0 in output columns {find_negzero_cols(srows, scols)}"
+                    " (driver-hash landmine: clamp or + 0.0 at the source)",
+                )
             elif name in battery.ORACLES:
                 ores = con.sql(battery.ORACLES[name])
                 ocols = ores.columns
@@ -266,8 +292,15 @@ def main():
                     {_spark_type_class(f.dataType) for f in sdf.schema.fields}
                 )
                 detail = f"types✓{{{','.join(classes)}}}"
+                onegz = find_negzero_cols(orows, ocols)
                 if lint:
                     status, detail = "FAIL", "; ".join(lint)
+                elif onegz:
+                    status, detail = (
+                        "FAIL",
+                        f"-0.0 in ORACLE columns {onegz} (driver-hash "
+                        "landmine: clamp or + 0.0 in the oracle SQL)",
+                    )
                 elif sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
                     status, detail = "FAIL", f"cols spark={scols} duck={ocols}"
                 elif len(srows) != len(orows):
