@@ -9321,6 +9321,9 @@ def q_skew_report(spark, sf_dir):
         ).alias("g")
     )
     g = gini_df.collect()[0]["g"]
+    from tabata_spark.operators.ranking import release
+
+    release(ranked)  # gini is folded back; free the checkpoint now
     return (
         k.orderBy(F.desc("n"), "key")
         .limit(20)
@@ -11437,11 +11440,15 @@ def q_rfm_segments(spark, sf_dir):
         .cast("decimal(28,2)")
         .alias("monetary"),
     )
-    s = with_exact_ntile(
+    from tabata_spark.operators.ranking import release
+
+    s1 = with_exact_ntile(
         cust, 5, [F.desc("recency_days"), F.asc("o_custkey")], "r"
     )
-    s = with_exact_ntile(s, 5, [F.asc("frequency"), F.asc("o_custkey")], "f")
-    s = with_exact_ntile(s, 5, [F.asc("monetary"), F.asc("o_custkey")], "m")
+    s2 = with_exact_ntile(s1, 5, [F.asc("frequency"), F.asc("o_custkey")], "f")
+    release(s1)  # s2 is checkpointed — s1's blocks are no longer needed
+    s = with_exact_ntile(s2, 5, [F.asc("monetary"), F.asc("o_custkey")], "m")
+    release(s2)
     scored = s.select("monetary", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")

@@ -1,5 +1,5 @@
 """Distributed exact rank / ntile — no single-partition global window,
-no persist, no driver collect: ONE lazy plan per call.
+no caller-visible cache leak, loud (never silent) under block loss.
 
 ``F.ntile(k).over(Window.orderBy(...))`` funnels the whole table
 through ONE task (Spark plans an empty-partitioning window as a single
@@ -10,41 +10,48 @@ fully parallel pieces:
 
 1. ``repartitionByRange`` on the (total-order) sort keys: every
    partition owns a contiguous key range, partitions are mutually
-   ordered.
-2. A TINY side branch aggregates rows per partition (one row per
-   partition), turns them into exclusive prefix offsets with a window
-   over that O(partitions)-row frame, and broadcast-joins them back on
-   the partition id. No ``collect``, no ``create_map`` literal — the
-   offsets travel as a broadcast relation, so the plan stays O(1) in
-   codegen size at any partition count.
+   ordered. The partitioned frame is persisted INTERNALLY — this is
+   load-bearing, not a cache-warming nicety: the range sampler is
+   seeded per-RDD, so two executions of the same plan pick DIFFERENT
+   boundaries (measured at 20M rows: per-partition counts differ
+   across jobs), and any design that lets the counts pass and the
+   rank pass observe separate materializations is silently wrong.
+   (A previous lazy design relied on Spark's ReuseExchange to share
+   one exchange between the two passes; that dedup silently fails
+   when the child is an InMemoryRelation — measured: uneven ntile
+   buckets at 20M over a cached input — so consistency must come
+   from an explicit materialization, not from an optimizer rule.)
+2. One tiny job counts rows per partition (one output row per
+   partition, O(partitions) driver-side) against the pinned frame.
 3. ``row_number`` over a ``partitionBy(partition_id)`` window (runs
-   parallel, one local sort per partition — and the range shuffle
-   already clustered the keys) plus the joined offset is the exact
-   global rank.
-4. The ntile bucket / quantile rank is then pure INTEGER arithmetic on
-   (rank, total) — evaluated in SQL against the joined total column,
-   never ``ceil`` on a double (``math.ceil(q * n)`` overshoots when
-   the float product lands epsilon above an integer: q=0.55, n=100
-   gives rank 56 instead of 55).
-
-Consistency: the counts branch and the rank branch share the SAME
-range exchange — Spark's ReuseExchange rule (and AQE's stage cache)
-canonicalizes the two identical exchanges into one, so both branches
-observe identical partition boundaries. This is load-bearing (the
-range sampler is seeded per-RDD, so two INDEPENDENT executions could
-pick different boundaries) and therefore pinned by a plan test that
-asserts a ``ReusedExchange`` node, with the bit-identical-to-
-``F.ntile`` tests as the behavioral backstop.
+   parallel, one local sort per partition) plus the per-partition
+   offset — folded back as a BROADCAST join of the tiny offsets
+   frame, never an O(partitions) ``create_map`` codegen literal —
+   is the exact global rank.
+4. The result is materialized with ``localCheckpoint(eager=True)``
+   and the internal frame is unpersisted BEFORE returning, so:
+   - callers can never leak the internal frame (the r9 design's
+     documented unpersist protocol was a no-op on a derived plan —
+     every call pinned an entity-sized frame for the session);
+   - the returned frame's lineage is TRUNCATED: it can never
+     recompute through the seeded range sampler, so lost blocks
+     surface as a loud failure instead of silently re-ranking under
+     different boundaries (persist-without-truncation would
+     recompute wrong);
+   - the returned frame's own blocks are freed by Spark's
+     ContextCleaner when the frame is garbage-collected (or
+     immediately via ``.unpersist()`` once consumers are done) —
+     storage lifetime equals result lifetime, the correct hygiene.
+5. The ntile bucket / quantile rank is pure INTEGER arithmetic on
+   (rank, n) — never ``ceil`` on a double (``math.ceil(q * n)``
+   overshoots when the float product lands epsilon above an integer:
+   q=0.55, n=100 gives rank 56 instead of 55).
 
 Because the sort keys must form a TOTAL order (callers tie-break on a
 unique key, exactly as they must for deterministic ``ntile``), the
 reconstructed rank is invariant to where the range boundaries land —
 results are bit-identical to the single-partition window under any
 partitioning, which the tests pin against ``F.ntile`` itself.
-
-Nothing here is ever persisted: every helper returns one lazy plan, so
-a long-lived session accumulates zero pinned storage per call
-(``getPersistentRDDs`` stays empty — test-pinned).
 """
 
 from __future__ import annotations
@@ -61,7 +68,31 @@ __all__ = [
     "ntile_from_rank",
     "exact_rank_of_quantile",
     "exact_discrete_quantiles",
+    "release",
 ]
+
+
+def release(df: DataFrame) -> None:
+    """Deterministically free the localCheckpoint blocks backing a
+    frame returned by this module (or any frame DERIVED from one —
+    the walk finds the checkpointed leaf under selects/aggs/joins).
+
+    After release the frame must not be used again: its lineage is
+    truncated at the checkpoint, so further actions fail LOUDLY
+    instead of silently recomputing through the seeded range sampler.
+    Results are also freed automatically by Spark's ContextCleaner
+    once the frame is garbage-collected; this handle is for sessions
+    that cannot wait for a GC cycle. (A plain ``df.unpersist()`` is a
+    no-op here — the blocks belong to the checkpointed RDD, not to a
+    CacheManager entry.)"""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getName().endswith(".LogicalRDD"):
+            node.rdd().unpersist(False)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
 
 #: internal column names (dropped before returning)
 _PID = "__pid"
@@ -75,6 +106,39 @@ def _shuffle_partitions(df: DataFrame) -> int:
     )
 
 
+def _pinned_range_partition(
+    df: DataFrame, order_cols: list, num_partitions: int
+) -> DataFrame:
+    """Range-partition and PIN (persist) — the one materialization the
+    counts pass and the rank pass must share (module docstring §1)."""
+    return (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+
+
+def _offsets_frame(d: DataFrame, extra: dict[str, int] | None = None):
+    """(offsets DataFrame to broadcast-join on __pid, total row count).
+
+    Runs the tiny counts job against the pinned frame (materializing
+    its cache as a side effect) and folds the exclusive prefix on the
+    driver — O(partitions) rows, never O(data)."""
+    counts = {
+        r[_PID]: r["__n"]
+        for r in d.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    n_rows, rows = 0, []
+    for pid in sorted(counts):
+        rows.append((int(pid), int(n_rows)))
+        n_rows += counts[pid]
+    spark = d.sparkSession
+    offsets = spark.createDataFrame(
+        rows or [(0, 0)], f"{_PID} int, {_OFF} long"
+    )
+    return offsets, n_rows
+
+
 def with_exact_rank(
     df: DataFrame,
     order_cols: list,
@@ -84,35 +148,27 @@ def with_exact_rank(
 ) -> DataFrame:
     """Append the exact 1-based global rank by ``order_cols`` (which
     must be a total order — include a unique tie-break key) without a
-    single-partition window. Returns ONE lazy, never-persisted plan;
-    pass ``total_col`` to also carry the total row count as a column
-    (the lazy substitute for a driver-side ``n``)."""
+    single-partition window. The returned frame is locally
+    checkpointed (lineage-truncated, blocks freed when it is GC'd or
+    explicitly ``.unpersist()``-ed); nothing else stays cached. Pass
+    ``total_col`` to also carry the total row count as a column."""
     if num_partitions is None:
         num_partitions = _shuffle_partitions(df)
-    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
-    # O(partitions) rows: the single-partition windows below are
-    # bounded by cluster width, not data size.
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy(_PID).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    off_cols = [
-        F.col(_PID),
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFF),
-    ]
-    if total_col is not None:
-        off_cols.append(F.sum("__n").over(w_tot).cast("long").alias(total_col))
-    offsets = counts.select(*off_cols)
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    return (
-        d.withColumn(_RN, F.row_number().over(w))
-        .join(F.broadcast(offsets), _PID)
-        .withColumn(rank_col, (F.col(_RN) + F.col(_OFF)).cast("long"))
-        .drop(_PID, _RN, _OFF)
-    )
+    d = _pinned_range_partition(df, order_cols, num_partitions)
+    try:
+        offsets, n_rows = _offsets_frame(d)
+        w = Window.partitionBy(_PID).orderBy(*order_cols)
+        out = (
+            d.withColumn(_RN, F.row_number().over(w))
+            .join(F.broadcast(offsets), _PID)
+            .withColumn(rank_col, (F.col(_RN) + F.col(_OFF)).cast("long"))
+            .drop(_PID, _RN, _OFF)
+        )
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(n_rows).cast("long"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
 
 
 def ntile_from_rank(rank_col: str, n_rows, k: int) -> Column:
@@ -120,8 +176,7 @@ def ntile_from_rank(rank_col: str, n_rows, k: int) -> Column:
     rows: with n = q*k + r, the first r buckets hold q+1 rows each,
     the remaining k-r hold q. Pure INTEGER arithmetic (SQL ``div``) —
     exact at any scale, no double-division rounding edge. ``n_rows``
-    may be an int OR the name of a total-count column (the lazy path
-    from ``with_exact_rank(..., total_col=...)``)."""
+    may be an int OR the name of a total-count column."""
     k = int(k)
     n = f"CAST({n_rows} AS BIGINT)" if isinstance(n_rows, str) else str(int(n_rows))
     q = f"({n} div {k})"  # thin-bucket width (0 only when n < k)
@@ -144,41 +199,63 @@ def with_exact_cumsum(
     prefix: str = "cum_",
 ) -> DataFrame:
     """Append running totals of ``sum_cols`` by ``order_cols`` (a
-    total order) — the distributed prefix sum: range-repartition, a
-    tiny per-partition-totals branch (O(partitions) rows) folded into
-    exclusive prefix offsets and broadcast-joined back, running sum
-    WITHIN each partition. Bit-identical to
-    ``F.sum(c).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
-    currentRow))`` for exact types (integers / DECIMAL). One lazy
-    plan, nothing persisted; the shared range exchange is deduplicated
-    by ReuseExchange (plan-test-pinned)."""
+    total order) — the distributed prefix sum: range-repartition
+    (pinned internally, module docstring §1), one tiny
+    per-partition-totals job, per-column exclusive prefix offsets
+    broadcast-joined back, running sum WITHIN each partition.
+    Bit-identical to ``F.sum(c).over(Window.orderBy(...)
+    .rowsBetween(unboundedPreceding, currentRow))`` for exact types
+    (integers / DECIMAL). The returned frame is locally checkpointed;
+    nothing else stays cached."""
     if num_partitions is None:
         num_partitions = _shuffle_partitions(df)
-    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    totals = d.groupBy(_PID).agg(
-        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
-    )
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        F.col(_PID),
-        *[
-            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0)).alias(
-                f"__o_{c}"
+    d = _pinned_range_partition(df, order_cols, num_partitions)
+    try:
+        totals = (
+            d.groupBy(_PID)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .collect()
+        )
+        totals.sort(key=lambda r: r[_PID])
+        # zero-init each running offset in the SAME Python type as the
+        # collected totals (Decimal sums must not mix with int rows —
+        # createDataFrame cannot merge Long and Decimal field types)
+        import decimal
+
+        def _zero(c):
+            for r in totals:
+                if isinstance(r[c], decimal.Decimal):
+                    return decimal.Decimal(0)
+                if isinstance(r[c], float):
+                    return 0.0
+            return 0
+
+        rows, run = [], {c: _zero(c) for c in sum_cols}
+        for r in totals:
+            rows.append(tuple([int(r[_PID])] + [run[c] for c in sum_cols]))
+            for c in sum_cols:
+                run[c] += r[c] or _zero(c)
+        spark = d.sparkSession
+        # offset types follow the running Python totals (int/Decimal);
+        # let createDataFrame infer from the driver-side values
+        off_names = [f"__o_{c}" for c in sum_cols]
+        offsets = spark.createDataFrame(
+            rows or [tuple([0] + [0] * len(sum_cols))],
+            [_PID] + off_names,
+        )
+        w = (
+            Window.partitionBy(_PID)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = d.join(F.broadcast(offsets), _PID)
+        for c in sum_cols:
+            out = out.withColumn(
+                prefix + c, F.sum(c).over(w) + F.col(f"__o_{c}")
             )
-            for c in sum_cols
-        ],
-    )
-    w = (
-        Window.partitionBy(_PID)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = d.join(F.broadcast(offsets), _PID)
-    for c in sum_cols:
-        out = out.withColumn(prefix + c, F.sum(c).over(w) + F.col(f"__o_{c}"))
-    return out.drop(_PID, *[f"__o_{c}" for c in sum_cols])
+        return out.drop(_PID, *off_names).localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
 
 
 def exact_rank_of_quantile(q: float, total) -> Column:
@@ -208,29 +285,54 @@ def exact_discrete_quantiles(
     value at rank ``ceil(q*n)`` for each q — the lower discrete
     quantile, deterministic under ties (the value at a rank in the
     sorted multiset is well-defined regardless of tie order). One
-    range shuffle + one filter on O(len(qs)) exact ranks; no
+    range shuffle + one filter on O(len(qs)) exact integer ranks; no
     single-partition stage, no interpolation (interpolated
     percentiles' double arithmetic is engine-dependent at the ulp),
-    and no float ``ceil`` (the rank is exact integer arithmetic).
+    and no float ``ceil``. The single result row is collected and
+    re-created driver-side, so NOTHING stays cached after the call.
     Returns one row: ``n`` plus a ``q_<q>`` column per requested
     quantile (NULLs and n=0 on empty input). The approximate path at
     extreme scale is the DDSketch operator; this is the exact one for
     when the answer must be a real data value."""
-    ranked = with_exact_rank(df, [col], "__rk", num_partitions, "__n_tot")
-    rank_exprs = {q: exact_rank_of_quantile(q, "__n_tot") for q in qs}
-    cond = None
-    for e in rank_exprs.values():
-        c = F.col("__rk") == e
-        cond = c if cond is None else (cond | c)
-    return ranked.filter(cond).agg(
-        F.coalesce(F.max("__n_tot"), F.lit(0)).cast("long").alias("n"),
-        *[
-            F.max(F.when(F.col("__rk") == e, F.col(col))).alias(
-                f"q_{str(q).replace('.', '_')}"
+    if num_partitions is None:
+        num_partitions = _shuffle_partitions(df)
+    d = _pinned_range_partition(df, [col], num_partitions)
+    try:
+        offsets, n = _offsets_frame(d)
+        qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
+        spark = d.sparkSession
+        if n == 0:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n"),
+                *[
+                    F.lit(None).cast(df.schema[col].dataType).alias(qc)
+                    for qc in qcols
+                ],
             )
-            for q, e in rank_exprs.items()
-        ],
-    )
+        ks = {
+            q: max(1, -(-Fraction(str(q)).numerator * n
+                        // Fraction(str(q)).denominator))
+            for q in qs
+        }
+        w = Window.partitionBy(_PID).orderBy(col)
+        ranked = (
+            d.withColumn(_RN, F.row_number().over(w))
+            .join(F.broadcast(offsets), _PID)
+            .withColumn("__rk", (F.col(_RN) + F.col(_OFF)).cast("long"))
+        )
+        agg_df = ranked.filter(
+            F.col("__rk").isin(list(set(ks.values())))
+        ).agg(
+            F.lit(n).cast("long").alias("n"),
+            *[
+                F.max(F.when(F.col("__rk") == F.lit(k), F.col(col))).alias(qc)
+                for (q, k), qc in zip(ks.items(), qcols)
+            ],
+        )
+        row = agg_df.collect()[0]
+        return spark.createDataFrame([row], agg_df.schema)
+    finally:
+        d.unpersist()
 
 
 def with_exact_ntile(
@@ -243,9 +345,25 @@ def with_exact_ntile(
     """Append NTILE(k) by ``order_cols`` (a total order), computed via
     the distributed exact rank — bit-identical to
     ``F.ntile(k).over(Window.orderBy(*order_cols))`` with no
-    single-partition stage. One lazy plan, nothing persisted; the
-    bucket is integer arithmetic on (rank, total-count column)."""
-    ranked = with_exact_rank(df, order_cols, "__rank", num_partitions, "__nt")
-    return ranked.withColumn(
-        out_col, ntile_from_rank("__rank", "__nt", k)
-    ).drop("__rank", "__nt")
+    single-partition stage. The returned frame is locally
+    checkpointed (see :func:`with_exact_rank` for the lifecycle);
+    the bucket is integer arithmetic on (rank, n)."""
+    if num_partitions is None:
+        num_partitions = _shuffle_partitions(df)
+    d = _pinned_range_partition(df, order_cols, num_partitions)
+    try:
+        offsets, n = _offsets_frame(d)
+        w = Window.partitionBy(_PID).orderBy(*order_cols)
+        ranked = (
+            d.withColumn(_RN, F.row_number().over(w))
+            .join(F.broadcast(offsets), _PID)
+            .withColumn("__rank", (F.col(_RN) + F.col(_OFF)).cast("long"))
+            .drop(_PID, _RN, _OFF)
+        )
+        if n == 0:
+            out = ranked.withColumn(out_col, F.lit(None).cast("int"))
+        else:
+            out = ranked.withColumn(out_col, ntile_from_rank("__rank", n, k))
+        return out.drop("__rank").localCheckpoint(eager=True)
+    finally:
+        d.unpersist()

@@ -58,34 +58,75 @@ def test_no_single_partition_window_in_plan(spark):
             assert "__pid" in line or "__n" in line, line
 
 
-def test_range_exchange_is_reused_not_resampled(spark):
-    """Load-bearing pin: the counts branch and the rank branch MUST
-    observe the same range-shuffle boundaries. Spark guarantees this
-    via ReuseExchange / AQE stage reuse (the two exchanges are
-    canonically identical); were the exchange executed twice, the
-    seeded range sampler could pick different boundaries and the
-    offsets would be wrong. Assert the executed plan dedups it."""
-    df = _df(spark, 500)
-    mine = with_exact_rank(df, ["v", "id"], "rk")
-    mine.collect()
-    plan = mine._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan
+def test_correct_over_cached_input(spark):
+    """The failure mode that killed the round-11 lazy design: over a
+    PERSISTED input, Spark's ReuseExchange does not dedup the two
+    range exchanges, each pass resamples different boundaries, and
+    rank offsets go silently wrong (measured at 20M rows: uneven
+    ntile buckets). The pinned-materialization design must be exact
+    over cached inputs too."""
+    df = _df(spark, 997).persist()
+    try:
+        df.count()
+        mine = with_exact_ntile(df, 5, ["v", "id"], "t")
+        w = Window.orderBy("v", "id")
+        theirs = df.withColumn("t", F.ntile(5).over(w))
+        a = sorted(map(tuple, mine.select("id", "t").collect()))
+        b = sorted(map(tuple, theirs.select("id", "t").collect()))
+        assert a == b
+        mine.unpersist()
+    finally:
+        df.unpersist()
 
 
-def test_nothing_persisted_after_full_run(spark):
-    """The r9 module persisted an internal frame that no caller could
-    ever unpersist (the documented protocol was a no-op on a derived
-    plan — VERDICT r10). The lazy redesign persists NOTHING: after a
-    full rank + ntile + cumsum + quantile run, the storage registry
-    must be empty."""
-    from tabata_spark.operators.ranking import exact_discrete_quantiles
+def test_internal_frame_released_result_owns_its_blocks(spark):
+    """Cache-lifecycle pin (the r9 leak: every call pinned an internal
+    entity-sized frame no caller could release). Now: immediately
+    after a call, the ONLY storage is the returned frame's own
+    localCheckpoint blocks — freed deterministically by release()
+    (or by the ContextCleaner at GC) — and the quantile helper, whose
+    result is a collected single row, leaves storage EMPTY."""
+    from tabata_spark.operators.ranking import (
+        exact_discrete_quantiles,
+        release,
+    )
 
+    def n_persisted():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    base = n_persisted()
     df = _df(spark, 200)
-    with_exact_rank(df, ["v", "id"], "rk").collect()
-    with_exact_ntile(df, 5, ["v", "id"], "t").collect()
-    with_exact_cumsum(df, ["id"], ["v"]).collect()
+
+    ranked = with_exact_rank(df, ["v", "id"], "rk")
+    assert n_persisted() == base + 1  # the result only, never two
+    ranked.collect()
+    release(ranked)
+    assert n_persisted() == base
+
+    tiled = with_exact_ntile(df, 5, ["v", "id"], "t")
+    summed = with_exact_cumsum(df, ["id"], ["v"])
+    assert n_persisted() == base + 2
+    # release() walks DERIVED frames to the checkpointed leaf too
+    release(tiled.select("id"))
+    release(summed)
+    assert n_persisted() == base
+
     exact_discrete_quantiles(df, "v", [0.5, 0.9]).collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert n_persisted() == base  # single-row result: zero residue
+
+
+def test_result_survives_after_internal_release(spark):
+    """The returned frame must be usable arbitrarily later (its
+    lineage is truncated at the checkpoint — it can never recompute
+    through the internal frame that was unpersisted)."""
+    df = _df(spark, 300)
+    ranked = with_exact_rank(df, ["v", "id"], "rk", total_col="nt")
+    import gc
+
+    gc.collect()  # drop any lingering internal references
+    rows = ranked.orderBy("rk").limit(3).collect()
+    assert [r["rk"] for r in rows] == [1, 2, 3]
+    assert rows[0]["nt"] == 300
 
 
 @pytest.mark.parametrize("n", [1, 5, 97, 500])
