@@ -1415,31 +1415,31 @@ def dedup_containment(spark, sf_dir):
 @register(
     "dedup_clusters",
     """
-    WITH RECURSIVE corpus AS (
+    WITH RECURSIVE corpus AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text FROM documents
-    ), toks AS (
+    ), toks AS MATERIALIZED (
       SELECT doc_id, string_split(text, ' ') AS t FROM corpus
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT doc_id AS id, unnest(list_distinct(
                list_transform(generate_series(1, greatest(len(t) - 2, 1)),
                               i -> array_to_string(list_slice(t, i, i + 2), ' '))
              )) AS sh
       FROM toks
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
       SELECT id, count(*) AS n_sh FROM sh GROUP BY id
-    ), inter AS (
+    ), inter AS MATERIALIZED (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
       GROUP BY a.id, b.id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM inter
       JOIN sizes sa ON sa.id = id_a
       JOIN sizes sb ON sb.id = id_b
       WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
       SELECT id_b, id_a FROM pairs
@@ -1447,9 +1447,9 @@ def dedup_containment(spark, sf_dir):
       SELECT src, dst FROM edges
       UNION
       SELECT reach.id, e.dst FROM edges e JOIN reach ON e.src = reach.r
-    ), comps AS (
+    ), comps AS MATERIALIZED (
       SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
-    ), allc AS (
+    ), allc AS MATERIALIZED (
       SELECT c.doc_id AS id, coalesce(comps.comp, c.doc_id) AS comp
       FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id
     )
@@ -8837,28 +8837,28 @@ def sketch_join_cardinality(spark, sf_dir):
 @register(
     "q_triangles",
     """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT p, count(*) AS d FROM (
         SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e
       ) GROUP BY p
     ),
-    o AS (
+    o AS MATERIALIZED (
       SELECT CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
              CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS v
       FROM e JOIN deg d1 ON d1.p = e.p1 JOIN deg d2 ON d2.p = e.p2
     ),
-    w AS (
+    w AS MATERIALIZED (
       SELECT CASE WHEN o1.v < o2.v THEN o1.v ELSE o2.v END AS a,
              CASE WHEN o1.v < o2.v THEN o2.v ELSE o1.v END AS b
       FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
     ),
-    tri AS (SELECT count(*) AS t FROM w JOIN e ON e.p1 = w.a AND e.p2 = w.b),
-    tot AS (
+    tri AS MATERIALIZED (SELECT count(*) AS t FROM w JOIN e ON e.p1 = w.a AND e.p2 = w.b),
+    tot AS MATERIALIZED (
       SELECT count(*) AS n_nodes, sum(d * (d - 1) / 2) AS wedges
       FROM deg
     )
@@ -10033,24 +10033,24 @@ def q_bloom_join(spark, sf_dir):
 @register(
     "q_shortest_paths",
     """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ),
-    d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+    d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
            FROM part WHERE p_partkey <= 3),
-    d1 AS (SELECT node, min(dist) AS dist FROM (
+    d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
              SELECT node, dist FROM d0
              UNION ALL
              SELECT e.d, d0.dist + 1 FROM d0 JOIN edges e ON d0.node = e.s
            ) GROUP BY node),
-    d2 AS (SELECT node, min(dist) AS dist FROM (
+    d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
              SELECT node, dist FROM d1
              UNION ALL
              SELECT e.d, d1.dist + 1 FROM d1 JOIN edges e ON d1.node = e.s
            ) GROUP BY node),
-    d3 AS (SELECT node, min(dist) AS dist FROM (
+    d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
              SELECT node, dist FROM d2
              UNION ALL
              SELECT e.d, d2.dist + 1 FROM d2 JOIN edges e ON d2.node = e.s
@@ -10176,30 +10176,30 @@ def q_bitext_margin(spark, sf_dir):
 @register(
     "q_label_propagation",
     """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ),
-    nodes AS (SELECT DISTINCT a AS node FROM e0),
-    l0 AS (SELECT node, node AS label FROM nodes),
-    c1 AS (SELECT e0.b AS node, l0.label, count(*) AS c
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e0),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+    c1 AS MATERIALIZED (SELECT e0.b AS node, l0.label, count(*) AS c
            FROM e0 JOIN l0 ON e0.a = l0.node GROUP BY e0.b, l0.label),
-    a1 AS (SELECT node, label FROM (
+    a1 AS MATERIALIZED (SELECT node, label FROM (
              SELECT node, label,
                     row_number() OVER (PARTITION BY node
                                        ORDER BY c DESC, label ASC) AS rn
              FROM c1) WHERE rn = 1),
-    l1 AS (SELECT n.node, coalesce(a1.label, n.node) AS label
+    l1 AS MATERIALIZED (SELECT n.node, coalesce(a1.label, n.node) AS label
            FROM nodes n LEFT JOIN a1 ON n.node = a1.node),
-    c2 AS (SELECT e0.b AS node, l1.label, count(*) AS c
+    c2 AS MATERIALIZED (SELECT e0.b AS node, l1.label, count(*) AS c
            FROM e0 JOIN l1 ON e0.a = l1.node GROUP BY e0.b, l1.label),
-    a2 AS (SELECT node, label FROM (
+    a2 AS MATERIALIZED (SELECT node, label FROM (
              SELECT node, label,
                     row_number() OVER (PARTITION BY node
                                        ORDER BY c DESC, label ASC) AS rn
              FROM c2) WHERE rn = 1),
-    l2 AS (SELECT n.node, coalesce(a2.label, n.node) AS label
+    l2 AS MATERIALIZED (SELECT n.node, coalesce(a2.label, n.node) AS label
            FROM nodes n LEFT JOIN a2 ON n.node = a2.node)
     SELECT node, label FROM l2 ORDER BY node
     """,
@@ -11319,39 +11319,39 @@ def q_logrank_segments(spark, sf_dir):
 @register(
     "q_kcore_parts",
     """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ),
-    kk AS (
+    kk AS MATERIALIZED (
       SELECT (count(*) + 2 * count(DISTINCT s) - 1) // (2 * count(DISTINCT s))
              AS k
       FROM e0
     ),
-    k1 AS (SELECT s FROM e0 GROUP BY s
+    k1 AS MATERIALIZED (SELECT s FROM e0 GROUP BY s
            HAVING count(*) >= (SELECT k FROM kk)),
-    e1 AS (SELECT e.s, e.d FROM e0 e
+    e1 AS MATERIALIZED (SELECT e.s, e.d FROM e0 e
            JOIN k1 x ON e.s = x.s JOIN k1 y ON e.d = y.s),
-    k2 AS (SELECT s FROM e1 GROUP BY s
+    k2 AS MATERIALIZED (SELECT s FROM e1 GROUP BY s
            HAVING count(*) >= (SELECT k FROM kk)),
-    e2 AS (SELECT e.s, e.d FROM e1 e
+    e2 AS MATERIALIZED (SELECT e.s, e.d FROM e1 e
            JOIN k2 x ON e.s = x.s JOIN k2 y ON e.d = y.s),
-    k3 AS (SELECT s FROM e2 GROUP BY s
+    k3 AS MATERIALIZED (SELECT s FROM e2 GROUP BY s
            HAVING count(*) >= (SELECT k FROM kk)),
-    e3 AS (SELECT e.s, e.d FROM e2 e
+    e3 AS MATERIALIZED (SELECT e.s, e.d FROM e2 e
            JOIN k3 x ON e.s = x.s JOIN k3 y ON e.d = y.s),
-    k4 AS (SELECT s FROM e3 GROUP BY s
+    k4 AS MATERIALIZED (SELECT s FROM e3 GROUP BY s
            HAVING count(*) >= (SELECT k FROM kk)),
-    e4 AS (SELECT e.s, e.d FROM e3 e
+    e4 AS MATERIALIZED (SELECT e.s, e.d FROM e3 e
            JOIN k4 x ON e.s = x.s JOIN k4 y ON e.d = y.s),
-    k5 AS (SELECT s FROM e4 GROUP BY s
+    k5 AS MATERIALIZED (SELECT s FROM e4 GROUP BY s
            HAVING count(*) >= (SELECT k FROM kk)),
-    e5 AS (SELECT e.s, e.d FROM e4 e
+    e5 AS MATERIALIZED (SELECT e.s, e.d FROM e4 e
            JOIN k5 x ON e.s = x.s JOIN k5 y ON e.d = y.s),
-    k6 AS (SELECT s FROM e5 GROUP BY s
+    k6 AS MATERIALIZED (SELECT s FROM e5 GROUP BY s
            HAVING count(*) >= (SELECT k FROM kk)),
-    e6 AS (SELECT e.s, e.d FROM e5 e
+    e6 AS MATERIALIZED (SELECT e.s, e.d FROM e5 e
            JOIN k6 x ON e.s = x.s JOIN k6 y ON e.d = y.s)
     SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
     FROM e6 GROUP BY s ORDER BY node
