@@ -5975,7 +5975,7 @@ def a_conversion_latency(spark, sf_dir):
     range-repartition + per-partition offsets, no single-partition
     window anywhere; ties in lat_us leave the value-at-rank-k
     deterministic). O(converted users), not O(events). The rank
-    ceil(q·n) is exact INTEGER arithmetic on the lazily-joined total
+    ceil(q·n) is exact INTEGER arithmetic on the folded-back total
     (both here and in the oracle) — ``ceil`` on a double overshoots
     when the product lands epsilon above an integer."""
     from tabata_spark.operators.ranking import (
@@ -5999,7 +5999,7 @@ def a_conversion_latency(spark, sf_dir):
         k = exact_rank_of_quantile(q, "__n")
         return F.max(F.when(F.col("rn") == k, F.col("lat_us")))
 
-    # the total travels as a lazy column (ONE job end to end); NULL on
+    # the total is carried as a column by the rank helper; NULL on
     # an empty converted set to match the oracle's max-over-empty
     return ranked.agg(
         F.max("__n").cast("long").alias("n_converted"),
