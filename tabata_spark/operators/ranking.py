@@ -99,6 +99,22 @@ _PID = "__pid"
 _RN = "__rn"
 _OFF = "__off"
 
+#: Test hook: the localCheckpoint TRUNCATES the returned frame's
+#: lineage, so plan audits of the final query see only a LogicalRDD
+#: scan — the windowed internal plan (the thing the "no global
+#: window" pins must inspect) is invisible from outside. With the
+#: flag on, each helper appends its pre-checkpoint executed-plan
+#: string here before materializing. Off by default: zero cost.
+CAPTURE_INTERNAL_PLANS = False
+INTERNAL_PLANS: list[str] = []
+
+
+def _capture(df: DataFrame) -> None:
+    if CAPTURE_INTERNAL_PLANS:
+        INTERNAL_PLANS.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
 
 def _shuffle_partitions(df: DataFrame) -> int:
     return int(
@@ -166,6 +182,7 @@ def with_exact_rank(
         )
         if total_col is not None:
             out = out.withColumn(total_col, F.lit(n_rows).cast("long"))
+        _capture(out)
         return out.localCheckpoint(eager=True)
     finally:
         d.unpersist()
@@ -253,7 +270,9 @@ def with_exact_cumsum(
             out = out.withColumn(
                 prefix + c, F.sum(c).over(w) + F.col(f"__o_{c}")
             )
-        return out.drop(_PID, *off_names).localCheckpoint(eager=True)
+        out = out.drop(_PID, *off_names)
+        _capture(out)
+        return out.localCheckpoint(eager=True)
     finally:
         d.unpersist()
 
@@ -329,6 +348,7 @@ def exact_discrete_quantiles(
                 for (q, k), qc in zip(ks.items(), qcols)
             ],
         )
+        _capture(agg_df)
         row = agg_df.collect()[0]
         return spark.createDataFrame([row], agg_df.schema)
     finally:
@@ -364,6 +384,8 @@ def with_exact_ntile(
             out = ranked.withColumn(out_col, F.lit(None).cast("int"))
         else:
             out = ranked.withColumn(out_col, ntile_from_rank("__rank", n, k))
-        return out.drop("__rank").localCheckpoint(eager=True)
+        out = out.drop("__rank")
+        _capture(out)
+        return out.localCheckpoint(eager=True)
     finally:
         d.unpersist()

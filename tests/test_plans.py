@@ -559,6 +559,22 @@ def _unbounded_global_windows(df):
     return out
 
 
+def _unbounded_global_window_lines(plan_str):
+    import re
+
+    out = []
+    for line in plan_str.splitlines():
+        if not re.search(r"\bWindow \[", line):
+            continue
+        tail = re.findall(r"\]\s*,\s*\[([^\]]*)\]", line)
+        if len(tail) >= 2:
+            continue
+        if len(tail) == 1 and not re.search(r"\b(ASC|DESC)\b", tail[0]):
+            continue
+        out.append(line.strip()[:160])
+    return out
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -567,12 +583,37 @@ def _unbounded_global_windows(df):
         "a_conversion_latency",
         "q_heaps_fit",
         "q_skew_report",
+        # NOT q_lorenz_customers: its one remaining global window is
+        # the documented 10-row cumulative over the decile AGGREGATE
+        # (bounded by k, not by data) — its ntile stage is still
+        # covered by the ranking module's own plan pins.
     ],
 )
 def test_fact_scale_queries_have_no_global_window(spark, sf, name):
     """Round-9 audit pins: these queries window over unbounded
     (corpus/entity-scale) inputs and were converted to the distributed
     exact rank/ntile/cumsum forms — no unpartitioned Window node may
-    reappear in their executed plans."""
-    bad = _unbounded_global_windows(battery.QUERIES[name](spark, sf))
+    reappear in their executed plans.
+
+    Since round 11 the ranking helpers materialize their result with a
+    localCheckpoint, which TRUNCATES the returned plan — auditing only
+    the final frame would be vacuous. The ranking module's capture
+    hook records each helper's pre-checkpoint executed plan; both the
+    final plan AND every captured internal plan must be free of
+    unpartitioned windows. The assertion that internal plans were
+    actually captured keeps this pin from silently going vacuous if
+    a query stops using the helpers."""
+    from tabata_spark.operators import ranking
+
+    ranking.INTERNAL_PLANS.clear()
+    ranking.CAPTURE_INTERNAL_PLANS = True
+    try:
+        df = battery.QUERIES[name](spark, sf)
+    finally:
+        ranking.CAPTURE_INTERNAL_PLANS = False
+    bad = _unbounded_global_windows(df)
+    assert ranking.INTERNAL_PLANS, "pin gone vacuous: no internal plans"
+    for plan in ranking.INTERNAL_PLANS:
+        bad.extend(_unbounded_global_window_lines(plan))
+    ranking.INTERNAL_PLANS.clear()
     assert bad == [], bad

@@ -15,6 +15,22 @@ from tabata_spark.operators.ranking import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _drain_storage(spark):
+    """Checkpointed results left by a test are freed by the
+    ContextCleaner at some later GC — asynchronous enough to shift
+    getPersistentRDDs counts MIDWAY through a later test (observed:
+    the lifecycle pin flaked batch-only). Deterministically drain the
+    registry after every test in this module; each test builds its
+    own frames, so nothing here is shared state."""
+    yield
+    jsc = spark.sparkContext._jsc
+    for i in list(jsc.getPersistentRDDs().keySet().toArray()):
+        opt = jsc.sc().persistentRdds().get(int(i))
+        if opt.isDefined():
+            opt.get().unpersist(False)
+
+
 def _df(spark, n, parts=7):
     # deterministic scrambled values with a unique tie-break id
     return spark.range(n).repartition(parts).select(
@@ -48,14 +64,24 @@ def test_exact_ntile_matches_window_ntile(spark, n, k):
 
 
 def test_no_single_partition_window_in_plan(spark):
+    # the localCheckpoint truncates the RETURNED plan, so the audit
+    # must read the captured INTERNAL plan (the capture hook exists
+    # exactly for this — a final-plan-only check would be vacuous)
+    from tabata_spark.operators import ranking
+
     df = _df(spark, 100)
-    mine = with_exact_ntile(df, 5, ["v", "id"], "t")
-    plan = mine._jdf.queryExecution().executedPlan().toString()
-    # the only data-sized Window in the plan must be partitioned (by
-    # __pid); the offsets branch's window runs over O(partitions) rows
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            assert "__pid" in line or "__n" in line, line
+    ranking.INTERNAL_PLANS.clear()
+    ranking.CAPTURE_INTERNAL_PLANS = True
+    try:
+        with_exact_ntile(df, 5, ["v", "id"], "t")
+    finally:
+        ranking.CAPTURE_INTERNAL_PLANS = False
+    assert ranking.INTERNAL_PLANS  # the hook fired
+    for plan in ranking.INTERNAL_PLANS:
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, line
+    ranking.INTERNAL_PLANS.clear()
 
 
 def test_correct_over_cached_input(spark):
@@ -151,12 +177,21 @@ def test_exact_cumsum_matches_running_window(spark, n):
 
 
 def test_exact_cumsum_plan_has_no_global_window(spark):
+    from tabata_spark.operators import ranking
+
     df = spark.range(100).select("id", (F.col("id") % 3).alias("a"))
-    mine = with_exact_cumsum(df, ["id"], ["a"])
-    plan = mine._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line:
-            assert "__pid" in line or "__t_" in line, line
+    ranking.INTERNAL_PLANS.clear()
+    ranking.CAPTURE_INTERNAL_PLANS = True
+    try:
+        with_exact_cumsum(df, ["id"], ["a"])
+    finally:
+        ranking.CAPTURE_INTERNAL_PLANS = False
+    assert ranking.INTERNAL_PLANS
+    for plan in ranking.INTERNAL_PLANS:
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "__pid" in line, line
+    ranking.INTERNAL_PLANS.clear()
 
 
 def test_ntile_formula_fat_then_thin_buckets(spark):
