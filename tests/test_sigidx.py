@@ -428,3 +428,43 @@ def test_vacuum_on_emptied_index_is_noop(spark, tmp_path, batches):
     # the next idle-loop vacuum hits the emptied snapshot: no-op
     vac2 = sigidx_vacuum(spark, root, idx)
     assert vac2["total_rows"] == 0 and not vac2["vacuumed"]
+
+
+def test_indexed_ingest_over_object_store_log(spark, tmp_path, batches):
+    """Composition pin: the indexed ingest pipeline (corpus txlog +
+    signature-index txlog, exactly-once txn tokens, catch-up) runs
+    with BOTH tables' logs living entirely in an object store
+    (tx_set_log_store) — no _txlog directory anywhere. The geometry
+    meta sidecar is the one deliberate filesystem file (static JSON,
+    no concurrency semantics needed)."""
+    import os
+
+    from tabata_spark.sources.objectstore import (
+        InMemoryObjectStore,
+        ObjectStoreLogStore,
+    )
+    from tabata_spark.sources.txlog import tx_set_log_store
+
+    b1, b2, _ = batches
+    root, idx = str(tmp_path / "os"), str(tmp_path / "os_sig")
+    store = InMemoryObjectStore()
+    tx_set_log_store(root, ObjectStoreLogStore(store))
+    tx_set_log_store(idx, ObjectStoreLogStore(store))
+    try:
+        d1 = spark.createDataFrame(b1[:60], "doc_id string, text string")
+        d2 = spark.createDataFrame(b2[:40], "doc_id string, text string")
+        dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+        # replay of the same txn is swallowed end to end
+        dedup_ingest_batch_indexed(spark, root, idx, d1, txn="t0")
+        dedup_ingest_batch_indexed(spark, root, idx, d2, txn="t1")
+        kept = tx_read(spark, root).count()
+        assert 0 < kept <= 100
+        assert tx_read(spark, idx).count() == kept * 16  # bands rows
+        assert _indexed_through(idx) == tx_version(root)
+        # the logs never touched the filesystem
+        assert not os.path.exists(os.path.join(root, "_txlog"))
+        assert not os.path.exists(os.path.join(idx, "_txlog"))
+        assert any(k.endswith(".json") for k in store.list_prefix(""))
+    finally:
+        tx_set_log_store(root, None)
+        tx_set_log_store(idx, None)
