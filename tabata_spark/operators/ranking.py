@@ -39,8 +39,9 @@ fully parallel pieces:
      different boundaries (persist-without-truncation would
      recompute wrong);
    - the returned frame's own blocks are freed by Spark's
-     ContextCleaner when the frame is garbage-collected (or
-     immediately via ``.unpersist()`` once consumers are done) —
+     ContextCleaner when the frame is garbage-collected, or
+     immediately via :func:`release` once consumers are done (a
+     plain ``.unpersist()`` is a no-op on a checkpointed result) —
      storage lifetime equals result lifetime, the correct hygiene.
 5. The ntile bucket / quantile rank is pure INTEGER arithmetic on
    (rank, n) — never ``ceil`` on a double (``math.ceil(q * n)``
@@ -165,9 +166,10 @@ def with_exact_rank(
     """Append the exact 1-based global rank by ``order_cols`` (which
     must be a total order — include a unique tie-break key) without a
     single-partition window. The returned frame is locally
-    checkpointed (lineage-truncated, blocks freed when it is GC'd or
-    explicitly ``.unpersist()``-ed); nothing else stays cached. Pass
-    ``total_col`` to also carry the total row count as a column."""
+    checkpointed (lineage-truncated; blocks freed when it is GC'd, or
+    deterministically via :func:`release`); nothing else stays
+    cached. Pass ``total_col`` to also carry the total row count as a
+    column."""
     if num_partitions is None:
         num_partitions = _shuffle_partitions(df)
     d = _pinned_range_partition(df, order_cols, num_partitions)
