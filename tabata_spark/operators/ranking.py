@@ -135,7 +135,7 @@ def _pinned_range_partition(
     )
 
 
-def _offsets_frame(d: DataFrame, extra: dict[str, int] | None = None):
+def _offsets_frame(d: DataFrame):
     """(offsets DataFrame to broadcast-join on __pid, total row count).
 
     Runs the tiny counts job against the pinned frame (materializing
