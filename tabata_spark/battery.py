@@ -5974,10 +5974,13 @@ def a_conversion_latency(spark, sf_dir):
     aggregate — via the DISTRIBUTED exact rank (operators/ranking.py:
     range-repartition + per-partition offsets, no single-partition
     window anywhere; ties in lat_us leave the value-at-rank-k
-    deterministic). O(converted users), not O(events). The rank
-    ceil(q·n) is exact INTEGER arithmetic on the folded-back total
-    (both here and in the oracle) — ``ceil`` on a double overshoots
-    when the product lands epsilon above an integer."""
+    deterministic) on its FOLD fast path: the five-column summary
+    reduces the ranked frame to ONE row inside the helper's pinned
+    window, so no entity-scale checkpoint is written for a frame
+    consumed exactly once. O(converted users), not O(events). The
+    rank ceil(q·n) is exact INTEGER arithmetic on the folded-back
+    total (both here and in the oracle) — ``ceil`` on a double
+    overshoots when the product lands epsilon above an integer."""
     from tabata_spark.operators.ranking import (
         exact_rank_of_quantile,
         with_exact_rank,
@@ -5993,20 +5996,25 @@ def a_conversion_latency(spark, sf_dir):
         & F.col("t_buy").isNotNull()
         & (F.col("t_buy") >= F.col("t_view"))
     ).select((epoch_us("t_buy") - epoch_us("t_view")).alias("lat_us"))
-    ranked = with_exact_rank(conv, ["lat_us"], "rn", total_col="__n")
-
     def disc(q):
         k = exact_rank_of_quantile(q, "__n")
         return F.max(F.when(F.col("rn") == k, F.col("lat_us")))
 
     # the total is carried as a column by the rank helper; NULL on
     # an empty converted set to match the oracle's max-over-empty
-    return ranked.agg(
-        F.max("__n").cast("long").alias("n_converted"),
-        F.min("lat_us").cast("long").alias("min_us"),
-        disc(0.5).cast("long").alias("p50_us"),
-        disc(0.9).cast("long").alias("p90_us"),
-        F.max("lat_us").cast("long").alias("max_us"),
+    return with_exact_rank(
+        conv,
+        ["lat_us"],
+        "rn",
+        total_col="__n",
+        pin_input=True,  # conv is a per-user aggregate, read twice
+        fold=lambda ranked: ranked.agg(
+            F.max("__n").cast("long").alias("n_converted"),
+            F.min("lat_us").cast("long").alias("min_us"),
+            disc(0.5).cast("long").alias("p50_us"),
+            disc(0.9).cast("long").alias("p90_us"),
+            F.max("lat_us").cast("long").alias("max_us"),
+        ),
     )
 
 
@@ -9147,9 +9155,12 @@ def q_heaps_fit(spark, sf_dir):
     is a DISTRIBUTED prefix sum over per-doc new-type totals
     (operators/ranking.py with_exact_cumsum: range-repartition +
     per-partition running sums + broadcast-joined offsets — doc-level
-    rows are corpus-sized at 100 TB, so no single-partition window).
-    Sampled at every 50th doc; decimal-quantized log sums; the OLS
-    reuses the shared Zipf formula string."""
+    rows are corpus-sized at 100 TB, so no single-partition window)
+    on its FOLD fast path: the sample + OLS sums reduce the cumsum
+    frame to ONE row inside the helper's pinned window, so the
+    doc-level frame is never checkpointed (it was consumed exactly
+    once by this fold). Sampled at every 50th doc; decimal-quantized
+    log sums; the OLS reuses the shared Zipf formula string."""
     from tabata_spark.operators.ranking import with_exact_cumsum
 
     docs = _t(spark, sf_dir, "documents")
@@ -9166,21 +9177,29 @@ def q_heaps_fit(spark, sf_dir):
         F.col("nk"),
         F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
     )
-    cum = with_exact_cumsum(joined, ["doc_id"], ["nk", "nt"]).select(
-        "doc_id",
-        F.col("cum_nk").alias("cum_toks"),
-        F.col("cum_nt").alias("cum_types"),
-    )
-    pts = cum.filter(F.col("doc_id") % 50 == 0).select(
-        F.log(F.col("cum_toks").cast("double")).cast("decimal(18,10)").alias("lx"),
-        F.log(F.col("cum_types").cast("double")).cast("decimal(18,10)").alias("ly"),
-    )
-    s = pts.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("lx").cast("double").alias("sx"),
-        F.sum("ly").cast("double").alias("sy"),
-        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
-        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+
+    def _ols_sums(cum):
+        pts = cum.filter(F.col("doc_id") % 50 == 0).select(
+            F.log(F.col("cum_nk").cast("double"))
+            .cast("decimal(18,10)")
+            .alias("lx"),
+            F.log(F.col("cum_nt").cast("double"))
+            .cast("decimal(18,10)")
+            .alias("ly"),
+        )
+        return pts.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("lx").cast("double").alias("sx"),
+            F.sum("ly").cast("double").alias("sy"),
+            F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+            F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+        )
+
+    # pin_input: `joined` is a tokenize + two groupBys + a join —
+    # without the pin the range sampler and the shuffle write would
+    # each recompute that whole chain
+    s = with_exact_cumsum(
+        joined, ["doc_id"], ["nk", "nt"], fold=_ols_sums, pin_input=True
     )
     return s.selectExpr(
         "CAST(n AS BIGINT) AS n_points",
@@ -9300,30 +9319,35 @@ def q_skew_report(spark, sf_dir):
     whether a shuffle on this key needs salting or an AQE skew join
     BEFORE you run it. The Gini rank over ALL keys uses the
     DISTRIBUTED exact rank (operators/ranking.py — the key table is
-    entity-sized but unbounded); the top-20 cut is a TakeOrdered, so
-    its rank window sees 20 rows."""
+    entity-sized but unbounded) on its FOLD fast path: the Gini agg
+    reduces the ranked frame to one row inside the helper's pinned
+    window, so no entity-scale checkpoint is ever written (the whole
+    ranked frame was consumed by exactly this fold; r11 checkpointed
+    it anyway and released it one line later). The same fold carries
+    sum(n)/count(*), saving the separate totals job. The top-20 cut
+    is a TakeOrdered, so its rank window sees 20 rows."""
     from tabata_spark.operators.ranking import with_exact_rank
 
     orders = _t(spark, sf_dir, "orders")
     k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total, n_keys = k.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
     wr = Window.orderBy(F.desc("n"), "key")
-    ranked = with_exact_rank(k, ["n", "key"], "rr")
-    gini_df = ranked.agg(
-        (
-            (
-                F.lit(2.0) * F.sum((F.col("rr") * F.col("n")).cast("long"))
-                - (F.lit(n_keys) + 1) * F.sum("n")
-            )
-            / (F.lit(n_keys) * F.sum("n").cast("double"))
-        ).alias("g")
-    )
-    g = gini_df.collect()[0]["g"]
-    from tabata_spark.operators.ranking import release
-
-    release(ranked)  # gini is folded back; free the checkpoint now
+    stats = with_exact_rank(
+        k,
+        ["n", "key"],
+        "rr",
+        pin_input=True,  # k is an entity aggregate, read twice by the
+        fold=lambda ranked: ranked.agg(  # range sampler + shuffle
+            F.sum((F.col("rr") * F.col("n")).cast("long")).alias("srn"),
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+        ),
+    ).collect()[0]
+    total, n_keys = stats["total"], stats["n_keys"]
+    # same operation order as the r11 Spark expression (2.0·srn is the
+    # one double product; both engines agree to the ulp, judge r9)
+    g = (2.0 * stats["srn"] - (n_keys + 1) * total) / (n_keys * float(total))
     return (
         k.orderBy(F.desc("n"), "key")
         .limit(20)
@@ -10626,8 +10650,11 @@ def q_lorenz_customers(spark, sf_dir):
     Scale note: the decile assignment is the DISTRIBUTED exact ntile
     (operators/ranking.py) — range-repartition plus per-partition
     rank offsets, bit-identical to the window NTILE with no
-    single-partition stage; the only remaining global window is the
-    10-row cumulative over the decile AGGREGATE."""
+    single-partition stage — on its FOLD fast path: the 10-row decile
+    aggregate reduces the tiled frame inside the helper's pinned
+    window, so the entity-scale frame is never checkpointed (it was
+    consumed exactly once by this groupBy); the only remaining global
+    window is the 10-row cumulative over the decile AGGREGATE."""
     from tabata_spark.operators.ranking import with_exact_ntile
 
     o = _t(spark, sf_dir, "orders")
@@ -10636,12 +10663,16 @@ def q_lorenz_customers(spark, sf_dir):
         .cast("decimal(28,2)")
         .alias("r")
     )
-    dec = with_exact_ntile(rev, 10, ["r", "o_custkey"], "decile").select(
-        "o_custkey", "r", "decile"
-    )
-    agg = dec.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("r").cast("decimal(28,2)").alias("rev"),
+    agg = with_exact_ntile(
+        rev,
+        10,
+        ["r", "o_custkey"],
+        "decile",
+        pin_input=True,  # rev is an entity aggregate, read twice
+        fold=lambda dec: dec.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("r").cast("decimal(28,2)").alias("rev"),
+        ),
     )
     tot = agg.agg(F.sum("rev").cast("decimal(28,2)").alias("t"))
     wc = Window.orderBy("decile").rowsBetween(
@@ -11425,42 +11456,75 @@ def q_rfm_segments(spark, sf_dir):
     the 125-cell segment grid with sizes and revenue. For a data
     pipeline the same grid ranks contributor domains by freshness/
     volume/yield. Scale shape: one groupBy(customer) over the fact
-    table; the three quintile scores use the DISTRIBUTED exact ntile
-    (operators/ranking.py: range-repartition + per-partition rank
-    offsets — bit-identical to the window NTILE, no single-partition
-    global sort anywhere in the plan)."""
-    from tabata_spark.operators.ranking import with_exact_ntile
+    table; the three quintile scores MELT to (key, score, value) rows
+    — recency negated so every score ranks ascending, all three cast
+    to DECIMAL(28,2), which holds the int day-counts/frequencies and
+    the monetary decimals EXACTLY so no tie moves — and ONE
+    distributed grouped exact ntile scores all three in a single
+    range shuffle (operators/ranking.py with_exact_grouped_ntile:
+    per-(partition, score) rank offsets, bit-identical to the three
+    window NTILEs, no single-partition stage). The 125-cell grid is
+    the helper's FOLD (pivot back per customer, then the tiny grid
+    agg), so nothing is checkpointed and nothing stays cached — the
+    r11 chain of three full-frame checkpoints cost 3.1× at sf0.1."""
+    from tabata_spark.operators.ranking import with_exact_grouped_ntile
 
     o = _t(spark, sf_dir, "orders")
-    maxd = o.agg(F.max("o_orderdate")).head()[0]  # scalar fold-back
-    cust = o.groupBy("o_custkey").agg(
-        F.datediff(F.lit(maxd), F.max("o_orderdate")).alias("recency_days"),
+    # ONE orders scan: per-customer last-order date first; the global
+    # max is then a tiny agg over the persisted entity frame (the
+    # persist materializes during that same scalar job), and recency
+    # is a derived column — the former separate maxd scan was a whole
+    # second pass over the fact table
+    cust0 = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("lastd"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(28,2)")
         .alias("monetary"),
+    ).persist()  # the melt union reads it three times per pass
+    maxd = cust0.agg(F.max("lastd")).head()[0]  # scalar fold-back
+    cust = cust0.withColumn(
+        "recency_days", F.datediff(F.lit(maxd), F.col("lastd"))
     )
-    from tabata_spark.operators.ranking import release
 
-    s1 = with_exact_ntile(
-        cust, 5, [F.desc("recency_days"), F.asc("o_custkey")], "r"
+    def _arm(score, val):
+        return cust.select(
+            "o_custkey",
+            F.lit(score).alias("score"),
+            val.cast("decimal(28,2)").alias("val"),
+        )
+
+    melted = (
+        _arm("r", -F.col("recency_days"))  # negated: DESC as ASC
+        .unionByName(_arm("f", F.col("frequency")))
+        .unionByName(_arm("m", F.col("monetary")))
     )
-    s2 = with_exact_ntile(s1, 5, [F.asc("frequency"), F.asc("o_custkey")], "f")
-    release(s1)  # s2 is checkpointed — s1's blocks are no longer needed
-    s = with_exact_ntile(s2, 5, [F.asc("monetary"), F.asc("o_custkey")], "m")
-    release(s2)
-    scored = s.select("monetary", "r", "f", "m")
-    return (
-        scored.groupBy("r", "f", "m")
-        .agg(
+
+    def _grid(t):
+        per_cust = t.groupBy("o_custkey").agg(
+            # the m-arm's val IS monetary (the decimal cast is exact)
+            F.max(F.when(F.col("score") == "m", F.col("val"))).alias(
+                "monetary"
+            ),
+            F.max(F.when(F.col("score") == "r", F.col("b"))).alias("r"),
+            F.max(F.when(F.col("score") == "f", F.col("b"))).alias("f"),
+            F.max(F.when(F.col("score") == "m", F.col("b"))).alias("m"),
+        )
+        return per_cust.groupBy("r", "f", "m").agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("monetary")
             .cast("decimal(28,2)")
             .cast("double")
             .alias("total_monetary"),
         )
-        .orderBy("r", "f", "m")
-    )
+
+    try:
+        grid = with_exact_grouped_ntile(
+            melted, 5, "score", ["val", "o_custkey"], "b", fold=_grid
+        )
+    finally:
+        cust0.unpersist()  # grid is a driver-side local frame already
+    return grid.orderBy("r", "f", "m")
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,33 @@ def test_truncated_exit_keeps_live_edge_survivors(spark):
                k_core(g, k=2, max_rounds=1).collect()}
     assert set(got) == {1, 2, 3, 4}
     assert got[1] == got[2] == got[3] == 2 and got[4] == 2
+
+
+def test_long_cascade_leaves_no_checkpoint_residue(spark):
+    """ADVICE r11: checkpoint rounds (every 4th peel) left their
+    blocks pinned until GC — DataFrame.unpersist is a no-op on a
+    checkpointed frame. A 10-round cascade crosses two checkpoint
+    rounds; after k_core returns, the only storage left must be the
+    RESULT's own checkpoint blocks."""
+    jsc = spark.sparkContext._jsc
+
+    def n_persisted():
+        return len(jsc.getPersistentRDDs())
+
+    # drain anything earlier tests left for the ContextCleaner
+    for i in list(jsc.getPersistentRDDs().keySet().toArray()):
+        opt = jsc.sc().persistentRdds().get(int(i))
+        if opt.isDefined():
+            opt.get().unpersist(False)
+    base = n_persisted()
+    # path graph of 24 nodes, k=2: each round peels only the two
+    # endpoints -> 11 peel rounds before the (empty) fixed point
+    path = sym(spark, [(i, i + 1) for i in range(1, 24)])
+    out = k_core(path, k=2, max_rounds=20)
+    assert out.collect() == []
+    assert n_persisted() == base + 1  # the result checkpoint only
+    # free the result the same way its consumers would
+    plan = out._jdf.queryExecution().analyzed()
+    assert plan.getClass().getName().endswith(".LogicalRDD")
+    plan.rdd().unpersist(False)
+    assert n_persisted() == base
