@@ -40,6 +40,10 @@ __all__ = [
     "InMemoryObjectStore",
     "ConditionalPutClaim",
     "ObjectStoreLogStore",
+    "TransientStoreError",
+    "PagedObjectStore",
+    "RetryingStoreAdapter",
+    "Boto3StyleObjectStore",
 ]
 
 
@@ -199,3 +203,293 @@ class ObjectStoreLogStore:
         return self.store.put_if_absent(
             f"{self._dir_key(logd)}/{name}", payload
         )
+
+
+# ---------------------------------------------------------------------------
+# Contract-test harness + production adapter shapes (round 12).
+#
+# InMemoryObjectStore presents the CONVENIENT surface (one-shot
+# list_prefix, infallible calls). Real stores present neither: LIST is
+# paginated (S3 caps at 1000 keys/page), any call can fail transiently
+# (throttling, 5xx), and a failed-then-retried conditional PUT is
+# AMBIGUOUS — the first attempt may have landed before the error
+# reached the client, so the retry sees "key exists" and the writer
+# wrongly concludes it lost its own commit. The classes below make
+# those behaviors testable without a network: PagedObjectStore is a
+# fake whose native surface is paged + fault-injectable (and does NOT
+# offer list_prefix, so nothing can accidentally bypass pagination),
+# and RetryingStoreAdapter is the production-shape wrapper that drains
+# pages, retries transients, and read-back-disambiguates the ambiguous
+# conditional PUT. The whole txlog protocol matrix runs against the
+# stacked pair in tests/test_objectstore_contract.py.
+
+
+class TransientStoreError(Exception):
+    """A retryable store failure (throttle / 5xx / connection reset).
+    Adapters retry these; anything else propagates."""
+
+
+class PagedObjectStore:
+    """Contract-test double with a REAL store's awkward surface.
+
+    - Listing only via ``list_page(prefix, token) -> (keys, token)``,
+      ``page_size`` keys at a time; key order is deterministically
+      SCRAMBLED (consumers must not rely on lexicographic listing —
+      the txlog parses versions from names and sorts).
+    - ``inject(op, n)`` makes the next ``n`` calls of ``op`` raise
+      :class:`TransientStoreError` BEFORE applying;
+      ``inject_after("put_if_absent", n)`` applies the write and THEN
+      raises — the ambiguous-ack case a real conditional PUT has.
+    """
+
+    def __init__(self, page_size: int = 2) -> None:
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        self.page_size = int(page_size)
+        self._fail: dict[str, int] = {}
+        self._fail_after: dict[str, int] = {}
+        self.calls: dict[str, int] = {}
+
+    def inject(self, op: str, n: int = 1) -> None:
+        self._fail[op] = self._fail.get(op, 0) + n
+
+    def inject_after(self, op: str, n: int = 1) -> None:
+        self._fail_after[op] = self._fail_after.get(op, 0) + n
+
+    def _enter(self, op: str) -> None:
+        self.calls[op] = self.calls.get(op, 0) + 1
+        if self._fail.get(op, 0) > 0:
+            self._fail[op] -= 1
+            raise TransientStoreError(f"injected transient on {op}")
+
+    def _exit(self, op: str) -> None:
+        if self._fail_after.get(op, 0) > 0:
+            self._fail_after[op] -= 1
+            raise TransientStoreError(f"injected post-apply transient on {op}")
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        with self._lock:
+            self._enter("put_if_absent")
+            if key in self._objects:
+                return False
+            self._objects[key] = bytes(body)
+            self._exit("put_if_absent")  # ambiguous ack: landed, then raised
+            return True
+
+    def put(self, key: str, body: bytes) -> None:
+        with self._lock:
+            self._enter("put")
+            self._objects[key] = bytes(body)
+
+    def get(self, key: str) -> bytes:
+        with self._lock:
+            self._enter("get")
+            try:
+                return self._objects[key]
+            except KeyError:
+                raise KeyError(f"object store: no such key {key!r}") from None
+
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            self._enter("exists")
+            return key in self._objects
+
+    def _scrambled(self, prefix: str) -> list[str]:
+        # deterministic non-lexicographic order: sort by a hash of the
+        # key so the order is stable per key-set but never alphabetical
+        import hashlib
+
+        ks = [k for k in self._objects if k.startswith(prefix)]
+        return sorted(ks, key=lambda k: hashlib.md5(k.encode()).hexdigest())
+
+    def list_page(self, prefix: str, token: int | None = None):
+        """(keys, next_token) — next_token is None on the last page.
+        A fresh listing starts at token=None."""
+        with self._lock:
+            self._enter("list_page")
+            ks = self._scrambled(prefix)
+            start = 0 if token is None else int(token)
+            page = ks[start : start + self.page_size]
+            nxt = start + self.page_size
+            return page, (nxt if nxt < len(ks) else None)
+
+
+class RetryingStoreAdapter:
+    """Production-shape wrapper turning a paged, fallible store into
+    the 4-method contract :class:`ObjectStoreLogStore` needs.
+
+    - ``list_prefix`` DRAINS ``list_page`` to completion (a real S3
+      LIST returns at most 1000 keys per page; a log directory passes
+      that within days of production traffic).
+    - Every call retries :class:`TransientStoreError` up to
+      ``max_attempts`` (inject ``sleep`` for backoff; tests pass
+      ``None`` for no delay).
+    - ``put_if_absent`` handles the AMBIGUOUS ack: when an attempt
+      raised and a later attempt reports "exists", the winning object
+      is read back and compared to our payload — byte-equality means
+      OUR earlier attempt landed and we actually won. This requires
+      writer-unique payloads, which txlog commit entries are (their
+      ``add`` lists carry per-writer unique data-file names; replayed
+      writers use ``txn`` tokens and never reach a second claim).
+    """
+
+    def __init__(self, store, max_attempts: int = 4, sleep=None) -> None:
+        self.store = store
+        self.max_attempts = int(max_attempts)
+        self.sleep = sleep
+
+    def _retry(self, fn):
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                return fn()
+            except TransientStoreError as exc:
+                last = exc
+                if self.sleep is not None:
+                    self.sleep(attempt)
+        raise last  # exhausted: surface the transient loudly
+
+    def get(self, key: str) -> bytes:
+        return self._retry(lambda: self.store.get(key))
+
+    def put(self, key: str, body: bytes) -> None:
+        # unconditional PUT is idempotent bytes (checkpoints): a
+        # landed-then-errored attempt retried is a same-bytes overwrite
+        self._retry(lambda: self.store.put(key, body))
+
+    def exists(self, key: str) -> bool:
+        return self._retry(lambda: self.store.exists(key))
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        body = bytes(body)
+        ambiguous = False
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                if self.store.put_if_absent(key, body):
+                    return True
+                break  # a definite "exists"
+            except TransientStoreError as exc:
+                ambiguous = True
+                last = exc
+                if self.sleep is not None:
+                    self.sleep(attempt)
+        else:
+            raise last  # every attempt raised: genuinely unknown — loud
+        if ambiguous:
+            # denial after an errored attempt: the error may have been
+            # raised AFTER our write landed; read back and compare
+            try:
+                return self.get(key) == body
+            except KeyError:
+                return False
+        return False
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        keys: list[str] = []
+        token = None
+        while True:
+            page, token = self._retry(
+                lambda t=token: self.store.list_page(prefix, t)
+            )
+            keys.extend(page)
+            if token is None:
+                return sorted(keys)
+
+
+class Boto3StyleObjectStore:
+    """The documented production adapter, written against the boto3 S3
+    client CALL SHAPES (the client is injected — this module never
+    imports boto3; tests run the same code against a fake client that
+    honors those shapes, including 412 conditional failures and
+    ``list_objects_v2`` continuation tokens):
+
+        import boto3
+        from tabata_spark.sources.objectstore import (
+            Boto3StyleObjectStore, ObjectStoreLogStore)
+        from tabata_spark.sources.txlog import tx_set_log_store
+
+        store = Boto3StyleObjectStore(boto3.client("s3"), "my-bucket")
+        tx_set_log_store(table_root, ObjectStoreLogStore(store))
+
+    ``put_if_absent`` maps to PutObject with ``IfNoneMatch="*"`` — S3
+    answers 412 ``PreconditionFailed`` when the key already exists and
+    409 ``ConditionalRequestConflict`` while a concurrent conditional
+    write is in flight; both mean "you did not create it" (the 409
+    loser's commit loop re-resolves and retries at the next version,
+    so mapping it to False is safe and lock-free). Transient failures
+    (throttles, 5xx) are the caller's retry concern: stack
+    :class:`RetryingStoreAdapter` on top, mapping client retryable
+    errors to :class:`TransientStoreError`, or rely on botocore's own
+    retry config for everything except the ambiguous conditional PUT.
+    GCS/ABFS adapters are the same four methods over
+    ``ifGenerationMatch=0`` / ``If-None-Match`` blob create."""
+
+    #: ClientError codes that mean "the conditional create did not win"
+    _LOST = ("PreconditionFailed", "ConditionalRequestConflict", "412", "409")
+
+    def __init__(self, client, bucket: str, key_prefix: str = "") -> None:
+        self.client = client
+        self.bucket = bucket
+        self.key_prefix = key_prefix
+
+    @staticmethod
+    def _code(exc) -> str:
+        try:
+            return str(exc.response["Error"]["Code"])
+        except Exception:
+            return ""
+
+    def _k(self, key: str) -> str:
+        return f"{self.key_prefix}{key.lstrip('/')}"
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._k(key),
+                Body=bytes(body),
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as exc:
+            if self._code(exc) in self._LOST:
+                return False
+            raise
+
+    def put(self, key: str, body: bytes) -> None:
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._k(key), Body=bytes(body)
+        )
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self.client.get_object(
+                Bucket=self.bucket, Key=self._k(key)
+            )["Body"].read()
+        except Exception as exc:
+            if self._code(exc) in ("NoSuchKey", "404"):
+                raise KeyError(f"object store: no such key {key!r}") from None
+            raise
+
+    def exists(self, key: str) -> bool:
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=self._k(key))
+            return True
+        except Exception as exc:
+            if self._code(exc) in ("NoSuchKey", "NotFound", "404"):
+                return False
+            raise
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        keys: list[str] = []
+        kwargs = {"Bucket": self.bucket, "Prefix": self._k(prefix)}
+        while True:
+            resp = self.client.list_objects_v2(**kwargs)
+            keys.extend(
+                o["Key"][len(self.key_prefix):]
+                for o in resp.get("Contents", [])
+            )
+            if not resp.get("IsTruncated"):
+                return sorted(keys)
+            kwargs["ContinuationToken"] = resp["NextContinuationToken"]
