@@ -2808,7 +2808,21 @@ def pack_length_batches(spark, sf_dir):
     )
 
 
-def _vocab_topk_impl(spark, sf_dir):
+@register(
+    "vocab_topk",
+    """
+    SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by collection frequency with
+    document frequency (the IDF numerator) — one explode + one
+    map-side-combinable aggregation; top-k is a total order (freq
+    desc, tok asc) so the cutoff is deterministic. At 100 TB the
+    token key space is uniform (no skewed shuffle) and the result is
+    bounded by k."""
     from tabata_spark.operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -2822,22 +2836,6 @@ def _vocab_topk_impl(spark, sf_dir):
         .orderBy(F.desc("freq"), "tok")
         .limit(100)
     )
-
-
-register(
-    "vocab_topk",
-    """
-    SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS df
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-    GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
-    """,
-)(_vocab_topk_impl)
-_vocab_topk_impl.__doc__ = """Corpus vocabulary: top-100 tokens by
-collection frequency with document frequency (the IDF numerator) —
-one explode + one map-side-combinable aggregation; top-k is a total
-order (freq desc, tok asc) so the cutoff is deterministic. At 100 TB
-the token key space is uniform (no skewed shuffle) and the result is
-bounded by k."""
 
 
 @register(
@@ -11844,6 +11842,85 @@ _DRIVER_WINDOW_R11 = [
 ]
 
 
+# Round 12: the SIXTH rotation — staleness-only (VERDICT r11 item 4:
+# the ledger is closed at 209/209, so this window chases no reds).
+# Composition:
+#   (a) every query whose CODE changed this round after its latest
+#       green hash — the five ranking-rewrite consumers (q_rfm now on
+#       the melted grouped ntile; lorenz/skew/conversion/heaps on the
+#       fold fast path), pack_length_batches (with_exact_ntile
+#       internals), q_kcore_parts (k_core checkpoint freeing),
+#       a_winsorize_events / sketch_dd_quantiles / quality_topfrac
+#       (exact_rank_of_quantile now computes its product in
+#       DECIMAL(38,0) behind a short-decimal guard),
+#       multimodal_features (PNG filter arithmetic de-warned), and
+#       vocab_topk (re-registered via the decorator idiom);
+#   (b) the entire 25-query r7 cohort — the oldest certifications in
+#       the ledger (five rounds stale);
+#   (c) 13 r8-cohort fills, oldest-first weighted by shared-helper
+#       churn since r8: the sketch family (DDSketch ranks moved to
+#       exact integers r11), the graph headliners (graph.py churned
+#       r11+r12), the quantile/rank/gini analytics, and the
+#       end-to-end pipeline integration query.
+# Pinned in tests/test_battery_window.py.
+
+_DRIVER_WINDOW_R12 = [
+    # (a) changed code this round
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "q_heaps_fit",
+    "q_skew_report",
+    "a_conversion_latency",
+    "pack_length_batches",
+    "q_kcore_parts",
+    "a_winsorize_events",
+    "sketch_dd_quantiles",
+    "quality_topfrac",
+    "multimodal_features",
+    "vocab_topk",
+    # (b) the r7 cohort — stalest certifications
+    "a_detect_error",
+    "a_out_of_tube",
+    "a_standardize",
+    "a_user_summary",
+    "j_highlight",
+    "j_slice_left",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_anti_parts",
+    "q_cube_orders",
+    "q_distinct_parts",
+    "q_except_customers",
+    "q_month_revenue",
+    "q_rollup_nation",
+    "q_semi_customers",
+    "q_setops_customers",
+    "q_topk_orders",
+    "sample_dsir",
+    "w_indicator_full",
+    "w_positions",
+    "w_rev_indicator",
+    "w_running",
+    "w_savgol_interior",
+    "w_segment_ramp",
+    "w_sliding",
+    # (c) r8 fills — helper-churn-weighted
+    "q_bloom_join",
+    "q_kmv_overlap",
+    "sketch_cms_tokens",
+    "sketch_bloom_customers",
+    "sketch_join_cardinality",
+    "q_pagerank",
+    "q_shortest_paths",
+    "q_label_propagation",
+    "q_triangles",
+    "q_quantiles",
+    "q_window_rank",
+    "q_gini_sources",
+    "pipeline_end_to_end",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -11856,4 +11933,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R11)
+_rotate_driver_window(_DRIVER_WINDOW_R12)

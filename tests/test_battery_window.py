@@ -258,7 +258,7 @@ R10_WINDOW = [
 # deliberately REPEATS prior greens — the invariants below check the
 # never-certified coverage and the changed-code re-checks instead of
 # disjointness.
-DRIVER_WINDOW = [
+R11_WINDOW = [
     "q_eval_slices",
     "a_label_centroids",
     "a_quadratic_trend",
@@ -344,7 +344,9 @@ def _hash_green_union(files):
 
 
 def test_first_50_registration_order_is_pinned():
-    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    from tabata_spark.battery import _DRIVER_WINDOW_R12
+
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R12 == R12_WINDOW
 
 
 def test_historical_windows_are_mutually_disjoint():
@@ -380,9 +382,9 @@ def test_r11_window_covers_every_never_certified_query():
     assert len(files) >= 10, "expected the committed r1-r10 artifacts"
     green = _hash_green_union(files)
     never = [n for n in QUERIES if n not in green]
-    missing = [n for n in never if n not in DRIVER_WINDOW]
+    missing = [n for n in never if n not in R11_WINDOW]
     assert missing == [], f"never-certified queries left out: {missing}"
-    head = DRIVER_WINDOW[: len(never)]
+    head = R11_WINDOW[: len(never)]
     assert sorted(head) == sorted(never), (
         "the never-certified set must occupy the window head"
     )
@@ -408,7 +410,7 @@ def test_r11_window_recheks_every_changed_code_query():
         "dedup_ingest_pipeline",
         "q_sigidx_probe",
     ]
-    left_out = [n for n in changed if n not in DRIVER_WINDOW]
+    left_out = [n for n in changed if n not in R11_WINDOW]
     assert left_out == [], f"changed-code queries not re-audited: {left_out}"
 
 
@@ -450,3 +452,116 @@ def test_register_lint_rejects_decimal_outputs(spark):
             Q[name](spark, "/root/testdata/sf0.001")
     finally:
         Q.pop(name, None)
+
+
+# The r12 driver window: staleness-only rotation (no reds to chase —
+# the ledger closed 209/209 in r11). Changed-code first, then the
+# whole r7 cohort (the stalest certifications), then r8 fills
+# weighted by shared-helper churn.
+R12_WINDOW = [
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "q_heaps_fit",
+    "q_skew_report",
+    "a_conversion_latency",
+    "pack_length_batches",
+    "q_kcore_parts",
+    "a_winsorize_events",
+    "sketch_dd_quantiles",
+    "quality_topfrac",
+    "multimodal_features",
+    "vocab_topk",
+    "a_detect_error",
+    "a_out_of_tube",
+    "a_standardize",
+    "a_user_summary",
+    "j_highlight",
+    "j_slice_left",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_anti_parts",
+    "q_cube_orders",
+    "q_distinct_parts",
+    "q_except_customers",
+    "q_month_revenue",
+    "q_rollup_nation",
+    "q_semi_customers",
+    "q_setops_customers",
+    "q_topk_orders",
+    "sample_dsir",
+    "w_indicator_full",
+    "w_positions",
+    "w_rev_indicator",
+    "w_running",
+    "w_savgol_interior",
+    "w_segment_ramp",
+    "w_sliding",
+    "q_bloom_join",
+    "q_kmv_overlap",
+    "sketch_cms_tokens",
+    "sketch_bloom_customers",
+    "sketch_join_cardinality",
+    "q_pagerank",
+    "q_shortest_paths",
+    "q_label_propagation",
+    "q_triangles",
+    "q_quantiles",
+    "q_window_rank",
+    "q_gini_sources",
+    "pipeline_end_to_end",
+]
+
+
+def test_r12_window_rechecks_every_changed_code_query():
+    # Every query whose implementation changed in round 12 after its
+    # latest green hash must be re-audited: the five ranking-rewrite
+    # consumers, the with_exact_ntile/k_core internals consumers, the
+    # exact_rank_of_quantile expression consumers, the PNG-codec
+    # query, and the re-registered vocab_topk.
+    changed = [
+        "q_rfm_segments",
+        "q_lorenz_customers",
+        "q_heaps_fit",
+        "q_skew_report",
+        "a_conversion_latency",
+        "pack_length_batches",
+        "q_kcore_parts",
+        "a_winsorize_events",
+        "sketch_dd_quantiles",
+        "quality_topfrac",
+        "multimodal_features",
+        "vocab_topk",
+    ]
+    left_out = [n for n in changed if n not in R12_WINDOW]
+    assert left_out == [], f"changed-code queries not re-audited: {left_out}"
+    # and they occupy the head, so a driver auditing fewer slots
+    # still re-hashes the changed code first
+    assert R12_WINDOW[: len(changed)] == changed
+
+
+def test_r12_window_rechecks_the_stalest_cohort():
+    # Staleness invariant: every slot that is NOT a changed-code
+    # re-check must come from the two oldest certification cohorts
+    # (latest green hash in r7 or r8) — deepest staleness first: the
+    # whole r7 cohort is present.
+    import json
+
+    files = _prior_driver_artifacts(11)
+    assert len(files) >= 11, "expected the committed r1-r11 artifacts"
+    latest: dict[str, int] = {}
+    for f in files:
+        import re as _re
+
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    r7_cohort = sorted(n for n, r in latest.items() if r == 7)
+    missing = [n for n in r7_cohort if n not in R12_WINDOW]
+    assert missing == [], f"r7-stale queries left out: {missing}"
+    changed_head = set(R12_WINDOW[:12])
+    for n in R12_WINDOW:
+        if n in changed_head:
+            continue
+        assert latest.get(n) in (7, 8), (n, latest.get(n))
