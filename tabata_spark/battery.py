@@ -11419,6 +11419,53 @@ def q_kcore_parts(spark, sf_dir):
 
 
 @register(
+    "q_lang_length_deciles",
+    """
+    WITH d AS (
+      SELECT lang, n_chars, doc_id,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS decile
+      FROM documents
+    )
+    SELECT lang, decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM d GROUP BY lang, decile ORDER BY lang, decile
+    """,
+)
+def q_lang_length_deciles(spark, sf_dir):
+    """Per-language document-length deciles — the corpus-balance
+    diagnostic behind per-language truncation/packing budgets (and the
+    canonical FEW-HEAVY-GROUPS ranking regime: a handful of languages,
+    each corpus-scale). ``Window.partitionBy(lang)`` would funnel each
+    language through ONE task at 100 TB; the DISTRIBUTED grouped exact
+    ntile (operators/ranking.py with_exact_grouped_ntile) scores every
+    language in a single range shuffle with per-(partition, language)
+    rank offsets — bit-identical to the per-language window NTILE, no
+    single-partition stage — and the 10-cells-per-language summary is
+    the helper's FOLD, so nothing is checkpointed and nothing stays
+    cached. Exact integer stats only."""
+    from tabata_spark.operators.ranking import with_exact_grouped_ntile
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    return with_exact_grouped_ntile(
+        docs,
+        10,
+        "lang",
+        ["n_chars", "doc_id"],
+        "decile",
+        fold=lambda d: d.groupBy("lang", "decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ),
+    ).orderBy("lang", "decile")
+
+
+@register(
     "q_rfm_segments",
     """
     WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
