@@ -6005,7 +6005,6 @@ def a_conversion_latency(spark, sf_dir):
         ["lat_us"],
         "rn",
         total_col="__n",
-        pin_input=True,  # conv is a per-user aggregate, read twice
         fold=lambda ranked: ranked.agg(
             F.max("__n").cast("long").alias("n_converted"),
             F.min("lat_us").cast("long").alias("min_us"),
@@ -9193,12 +9192,10 @@ def q_heaps_fit(spark, sf_dir):
             F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
         )
 
-    # pin_input: `joined` is a tokenize + two groupBys + a join —
-    # without the pin the range sampler and the shuffle write would
-    # each recompute that whole chain
-    s = with_exact_cumsum(
-        joined, ["doc_id"], ["nk", "nt"], fold=_ols_sums, pin_input=True
-    )
+    # measured sf0.1 surprise (SCALE.md r12): pin_input=True costs a
+    # flat ~0.45s here — the cache encode/decode exceeds one recompute
+    # of even this tokenize chain; the double execution stays cheaper
+    s = with_exact_cumsum(joined, ["doc_id"], ["nk", "nt"], fold=_ols_sums)
     return s.selectExpr(
         "CAST(n AS BIGINT) AS n_points",
         f"round({_ZIPF_SLOPE}, 8) AS beta",
@@ -9335,8 +9332,7 @@ def q_skew_report(spark, sf_dir):
         k,
         ["n", "key"],
         "rr",
-        pin_input=True,  # k is an entity aggregate, read twice by the
-        fold=lambda ranked: ranked.agg(  # range sampler + shuffle
+        fold=lambda ranked: ranked.agg(
             F.sum((F.col("rr") * F.col("n")).cast("long")).alias("srn"),
             F.sum("n").alias("total"),
             F.count(F.lit(1)).alias("n_keys"),
@@ -10666,7 +10662,6 @@ def q_lorenz_customers(spark, sf_dir):
         10,
         ["r", "o_custkey"],
         "decile",
-        pin_input=True,  # rev is an entity aggregate, read twice
         fold=lambda dec: dec.groupBy("decile").agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("r").cast("decimal(28,2)").alias("rev"),
