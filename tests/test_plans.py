@@ -583,6 +583,7 @@ def _unbounded_global_window_lines(plan_str):
         "a_conversion_latency",
         "q_heaps_fit",
         "q_skew_report",
+        "q_lang_length_deciles",
         # NOT q_lorenz_customers: its one remaining global window is
         # the documented 10-row cumulative over the decile AGGREGATE
         # (bounded by k, not by data) — its ntile stage is still

@@ -6,14 +6,14 @@ set -u
 cd "$(dirname "$0")/.."
 rm -rf .tmp
 timeout 3500 python tools/oracle_check.py /root/testdata/sf0.01 \
-  > /tmp/oracle_r11_final.txt 2>/dev/null
-echo "sf0.01 exit: $?" >> /tmp/oracle_r11_final.txt
+  > /tmp/oracle_r12_final.txt 2>/dev/null
+echo "sf0.01 exit: $?" >> /tmp/oracle_r12_final.txt
 rm -rf .tmp
 timeout 1800 python tools/oracle_check.py /root/testdata/sf0.001 \
-  > /tmp/oracle_r11_sf0001.txt 2>/dev/null
-echo "sf0.001 exit: $?" >> /tmp/oracle_r11_sf0001.txt
+  > /tmp/oracle_r12_sf0001.txt 2>/dev/null
+echo "sf0.001 exit: $?" >> /tmp/oracle_r12_sf0001.txt
 rm -rf .tmp
 timeout 900 python tools/oracle_check.py /root/testdata/sf0.01 --lint-only \
-  > /tmp/oracle_r11_lint.txt 2>/dev/null
-echo "lint exit: $?" >> /tmp/oracle_r11_lint.txt
+  > /tmp/oracle_r12_lint.txt 2>/dev/null
+echo "lint exit: $?" >> /tmp/oracle_r12_lint.txt
 rm -rf .tmp
