@@ -609,20 +609,32 @@ def with_exact_ntiles(
     one row per key). Returns one row per key:
     ``key_cols + carry + one bucket column per spec``.
 
-    Why not chain :func:`with_exact_ntile`? Each chained call
+    Versus chaining :func:`with_exact_ntile`: each chained call
     range-shuffles and checkpoints the FULL frame, and the
-    checkpointed width grows with every appended score — measured
-    3.1× on the RFM three-ntile chain at sf0.1 (judge r11, "What's
-    wrong #1"). Here the source is persisted ONCE; each spec
-    range-shuffles only its ``(key, order-cols)`` projection (2-3
-    columns), only those slim frames are checkpointed, and the score
-    frames are reassembled by equi-joins on the key (slim × slim —
-    AQE broadcasts them when small; at entity scale they
-    shuffle-join on the key, which is exactly the partitioning the
-    consumer's next groupBy wants). ``carry`` columns ride on the
-    first spec's projection so no join back to ``df`` (and no
-    recompute of its plan) is ever needed. :func:`release` on the
-    result frees all the slim checkpoints at once."""
+    checkpointed width grows with every appended score. Here the
+    source is persisted ONCE; each spec range-shuffles only its
+    ``(key, order-cols)`` projection (2-3 columns), only those slim
+    frames are checkpointed, and the score frames are reassembled by
+    equi-joins on the key (slim × slim — AQE broadcasts them when
+    small; at entity scale they shuffle-join on the key, which is
+    exactly the partitioning the consumer's next groupBy wants).
+    ``carry`` columns ride on the first spec's projection so no join
+    back to ``df`` (and no recompute of its plan) is ever needed.
+    :func:`release` on the result frees all the slim checkpoints at
+    once.
+
+    HONEST COST NOTE (measured, SCALE.md round 12): at entity counts
+    where per-job scheduling dominates (~15k rows, sf0.1), this is NOT
+    faster than the chain — both pay ~3 jobs per spec, and the extra
+    reassembly joins make it measurably slower (3.7 s vs 3.0 s for the
+    RFM triple). Its win is storage shape at real scale: slim
+    checkpoints instead of full-and-growing ones. When every spec's
+    order is a single NUMERIC column castable to one exact type,
+    prefer MELTING to ``(key, score, value)`` rows and ONE
+    :func:`with_exact_grouped_ntile` call — all specs for the fixed
+    cost of one exact ntile (the q_rfm_segments shape; 8.0 s vs
+    11.1 s at 2M entities). This helper remains the generic path for
+    heterogeneous/multi-column orders that cannot melt."""
     carry = list(carry or [])
     src = df.persist()
     try:
