@@ -11510,11 +11510,12 @@ def q_rfm_segments(spark, sf_dir):
     from tabata_spark.operators.ranking import with_exact_grouped_ntile
 
     o = _t(spark, sf_dir, "orders")
-    # ONE orders scan: per-customer last-order date first; the global
-    # max is then a tiny agg over the persisted entity frame (the
-    # persist materializes during that same scalar job), and recency
-    # is a derived column — the former separate maxd scan was a whole
-    # second pass over the fact table
+    # ONE orders scan, and NO maxd scalar job at all: the oracle's
+    # quintile order `recency_days DESC` (days before the corpus-max
+    # date, descending) is the SAME permutation as last-order-date
+    # ascending — datediff against any fixed epoch is a strictly
+    # monotone map of the date, so ranks, ties, and buckets are
+    # bit-identical without ever computing the corpus max
     cust0 = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("lastd"),
         F.count(F.lit(1)).alias("frequency"),
@@ -11522,20 +11523,16 @@ def q_rfm_segments(spark, sf_dir):
         .cast("decimal(28,2)")
         .alias("monetary"),
     ).persist()  # the melt union reads it three times per pass
-    maxd = cust0.agg(F.max("lastd")).head()[0]  # scalar fold-back
-    cust = cust0.withColumn(
-        "recency_days", F.datediff(F.lit(maxd), F.col("lastd"))
-    )
 
     def _arm(score, val):
-        return cust.select(
+        return cust0.select(
             "o_custkey",
             F.lit(score).alias("score"),
             val.cast("decimal(28,2)").alias("val"),
         )
 
     melted = (
-        _arm("r", -F.col("recency_days"))  # negated: DESC as ASC
+        _arm("r", F.datediff(F.col("lastd"), F.lit("1970-01-01")))
         .unionByName(_arm("f", F.col("frequency")))
         .unionByName(_arm("m", F.col("monetary")))
     )
