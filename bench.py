@@ -173,6 +173,80 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Host-drift calibration (VERDICT r12 "what's wrong" #1): raw totals
+# moved 21% between rounds with ZERO code change — pure ambient host
+# drift that had to be proven by hand-diffing byte-unchanged queries.
+# The bench now times a CODE-FROZEN sentinel workload in the same run
+# and reports a normalized total next to the raw one, so
+# round-over-round comparisons are self-normalizing.
+
+#: Reference sentinel time: pinned 2026-08-16 (round 13) on a quiet
+#: host (load < 0.5) from a FULL bench run — the mean of the pre
+#: (post-warmup, half-JIT'd JVM: 1.0231 s) and post (battery-warm
+#: JVM: 0.5873 s) readings, because that asymmetry is systematic JVM
+#: warmth, not host drift, and every bench run measures the sentinel
+#: at exactly those two protocol positions, so the bias cancels.
+#: Observed same-host noise of the mean is ~±7%; drift beyond that
+#: band is the HOST, and normalized_total divides it out. NEVER
+#: re-pin casually — the ref constant and the sentinel code together
+#: DEFINE the neutral host; changing either resets cross-round
+#: comparability.
+SENTINEL_REF_S = 0.8052
+SENTINEL_REF_SF = 0.1
+
+
+def _run_sentinel(spark, sf_dir) -> None:
+    """CODE-FROZEN since round 13 — never edit (its byte-stability is
+    what makes its time a pure HOST measurement). Exercises the cost
+    components the battery is made of: a parquet scan, a fact-fact
+    shuffle join, a per-key window, a low- and a high-cardinality
+    groupBy (the latter with a distinct agg), executed as two actions
+    — all plain spark.read + DataFrame ops, no battery/session
+    helpers (those evolve; this must not)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("rn", SF.row_number().over(w))
+        .groupBy("l_returnflag", "l_linestatus", "o_orderpriority")
+        .agg(
+            SF.sum("l_quantity").alias("sq"),
+            SF.sum(SF.col("l_extendedprice") * (1 - SF.col("l_discount"))).alias("sr"),
+            SF.max("rn").alias("mx"),
+            SF.count(SF.lit(1)).alias("n"),
+        )
+        .count()
+    )
+    (
+        li.groupBy("l_partkey")
+        .agg(
+            SF.sum("l_extendedprice").alias("s"),
+            SF.count_distinct(SF.col("l_orderkey")).alias("no"),
+        )
+        .count()
+    )
+
+
+def _time_sentinel(spark, sf_dir) -> float:
+    """min-of-3-steady sentinel seconds after TWO unmeasured warm
+    runs — the first pays whole-stage codegen, the second damps
+    second-order JIT/page-cache effects (measured: a single cold run
+    left the next reading ~35% above steady state)."""
+    for _ in range(2):
+        _run_sentinel(spark, sf_dir)
+    steady = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run_sentinel(spark, sf_dir)
+        steady.append(time.perf_counter() - t0)
+    return round(min(steady), 4)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -185,6 +259,9 @@ def main():
 
     spark = get_spark("tabata_spark-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    sentinel_pre = _time_sentinel(spark, sf_dir)
+    print(f"# sentinel(pre): {sentinel_pre:.3f}s", file=sys.stderr)
 
     # Methodology: each query runs THREE times at the target SF; the
     # JSON reports the MIN of the two steady-state runs. The first run
@@ -227,6 +304,25 @@ def main():
 
     total = round(sum(times.values()), 4)
 
+    # second sentinel reading AFTER the battery: drift DURING the run
+    # (a co-tenant starting mid-bench) shows up as pre/post spread;
+    # the host factor averages the two readings
+    sentinel_post = _time_sentinel(spark, sf_dir)
+    print(f"# sentinel(post): {sentinel_post:.3f}s", file=sys.stderr)
+    calibration = {
+        "sentinel_pre_s": sentinel_pre,
+        "sentinel_post_s": sentinel_post,
+        "ref_s": SENTINEL_REF_S,
+        "ref_sf": SENTINEL_REF_SF,
+    }
+    normalized_total = None
+    if abs(sf - SENTINEL_REF_SF) < 1e-9:
+        host_factor = round(
+            (sentinel_pre + sentinel_post) / 2.0 / SENTINEL_REF_S, 4
+        )
+        calibration["host_factor"] = host_factor
+        normalized_total = round(total / host_factor, 4)
+
     # Artifact discipline (round-6 lesson): the driver tail-captures
     # stdout, and a 112-entry single-line JSON outgrew that capture —
     # BENCH_r06.json lost its first ~37 entries and parsed as null. The
@@ -240,6 +336,8 @@ def main():
         "queries": times,
         "sf": sf,
         "errors": errors,
+        "calibration": calibration,
+        "normalized_total": normalized_total,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -256,6 +354,8 @@ def main():
         "sf": sf,
         "n_queries": len(times),
         "queries": slowest,
+        "calibration": calibration,
+        "normalized_total": normalized_total,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
