@@ -11579,6 +11579,303 @@ def q_rfm_segments(spark, sf_dir):
     return grid.orderBy("r", "f", "m")
 
 
+@register(
+    "q_good_turing",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS ng
+      FROM d
+    ),
+    cnt AS (SELECT ng, count(*) AS f FROM g GROUP BY ng),
+    fof AS (SELECT f, count(*) AS n_r FROM cnt GROUP BY f),
+    tot AS (SELECT CAST(sum(f * n_r) AS BIGINT) AS nt,
+                   CAST(sum(n_r) AS BIGINT) AS vocab,
+                   coalesce(max(CASE WHEN f = 1 THEN n_r END), 0) AS n1
+            FROM fof)
+    SELECT CAST(a.f AS BIGINT) AS r,
+           CAST(a.n_r AS BIGINT) AS n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_next,
+           round((a.f + 1) * coalesce(b.n_r, 0) * 1.0 / a.n_r, 6) AS r_star,
+           (SELECT nt FROM tot) AS total_tokens,
+           (SELECT vocab FROM tot) AS vocab,
+           round((SELECT n1 FROM tot) * 1.0 / (SELECT nt FROM tot), 6)
+             AS p_unseen
+    FROM fof a LEFT JOIN fof b ON b.f = a.f + 1
+    WHERE a.f <= 5 ORDER BY r
+    """,
+)
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies over the corpus word
+    TRIGRAM distribution: the smoothed count r* = (r+1)·n_{r+1}/n_r
+    for the rare ranks r ≤ 5 plus the unseen-mass estimate P0 = n1/N
+    (Good 1953) — the statistic behind held-out coverage estimates
+    ("how much probability mass do n-grams we have NOT seen carry?")
+    when judging whether a corpus sample saturates its domain.
+    Trigrams, not unigrams: Good-Turing lives in the rare-event
+    regime, and a unigram tally over a bounded vocabulary has no
+    rare ranks at all (this corpus: 31 word types, min frequency 26
+    at sf0.01 — zero rows). Shape: one n-gram aggregation (the
+    dedup-shingle explode idiom), then a frequency-of-frequencies
+    aggregation whose output is O(distinct frequencies) — a few
+    hundred rows at any corpus size — from which N, V and n1 are all
+    derived WITHOUT re-aggregating the corpus; the r→r+1 self-join
+    and the totals cross-join are broadcast-trivial; exact integer
+    counts end to end, the one double division rounded at the
+    boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    k = F.size(toks) - F.lit(2)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda p: F.array_join(F.slice(toks, p, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ngr = docs.select(F.explode(grams).alias("ng"))
+    cnt = ngr.groupBy("ng").agg(F.count(F.lit(1)).alias("f"))
+    fof = cnt.groupBy("f").agg(F.count(F.lit(1)).alias("n_r"))
+    # totals DERIVED FROM fof (N = Σ f·n_r, V = Σ n_r, n1 = n_r@f=1):
+    # aggregating cnt again would re-run the full corpus token agg —
+    # fof is O(distinct frequencies), a few hundred rows at any scale
+    tot = fof.agg(
+        F.sum(F.col("f") * F.col("n_r")).cast("long").alias("nt"),
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.coalesce(
+            F.max(F.when(F.col("f") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n1"),
+    )
+    nxt = fof.select(F.col("f").alias("f1"), F.col("n_r").alias("nn"))
+    return (
+        fof.filter(F.col("f") <= 5)
+        .join(F.broadcast(nxt), F.col("f") + 1 == F.col("f1"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("f").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.coalesce(F.col("nn"), F.lit(0)).cast("long").alias("n_next"),
+            F.round(
+                (F.col("f") + 1)
+                * F.coalesce(F.col("nn"), F.lit(0))
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.col("nt").alias("total_tokens"),
+            F.col("vocab").alias("vocab"),
+            F.round(F.col("n1") / F.col("nt"), 6).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )
+
+
+@register(
+    "q_ttr_sources",
+    """
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t2 AS (SELECT source, tok FROM t WHERE tok <> ''),
+    s AS (
+      SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+      FROM t2 GROUP BY source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           round(n_types * 1.0 / n_tokens, 6) AS ttr,
+           round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS rttr
+    FROM s ORDER BY source
+    """,
+)
+def q_ttr_sources(spark, sf_dir):
+    """Per-source lexical diversity: type-token ratio and Guiraud's
+    root TTR (types/√tokens, the length-corrected form — raw TTR
+    falls mechanically with corpus size, so only RTTR compares sources
+    of different volumes). Low diversity flags boilerplate/templated
+    sources before they dilute a training mix — the lexical companion
+    to q_oov_rate (vocabulary fit) and text_fertility (tokenizer
+    fit). Shape: one (source, tok) aggregation; count_distinct runs
+    as the standard two-phase partial dedup, so both counts come off
+    one exploded scan with map-side combine — no row ever leaves the
+    executor un-aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ", -1)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct(F.col("tok")).cast("long").alias("n_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(
+                F.col("n_types") / F.sqrt(F.col("n_tokens").cast("double")), 6
+            ).alias("rttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_emb_isotropy",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, v),
+                              (acc, x) -> acc + x * x)) AS nrm
+      FROM e
+    ),
+    b AS (SELECT * FROM n WHERE nrm > 0),
+    u AS (
+      SELECT generate_subscripts(v, 1) - 1 AS pos,
+             unnest(v) / nrm AS uval
+      FROM b
+    ),
+    q2 AS (SELECT pos, CAST(uval AS DECIMAL(28,14)) AS qu FROM u),
+    p AS (
+      SELECT pos, CAST(sum(qu) AS DOUBLE) / count(*) AS mean_i
+      FROM q2 GROUP BY pos
+    ),
+    iso AS (
+      SELECT CAST(sum(CAST(mean_i * mean_i AS DECIMAL(28,14))) AS DOUBLE)
+               AS siso,
+             count(*) AS dim
+      FROM p
+    ),
+    s AS (
+      SELECT count(*) AS n_vecs,
+             CAST(sum(CAST(nrm AS DECIMAL(28,14))) AS DOUBLE) AS sn
+      FROM b
+    )
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs, CAST(dim AS INT) AS dim,
+           round(sn / n_vecs, 6) AS avg_norm, round(siso, 6) AS isotropy
+    FROM iso, s
+    """,
+)
+def q_emb_isotropy(spark, sf_dir):
+    """Embedding-space isotropy report: mean L2 norm plus the squared
+    norm of the mean unit vector — 0 for a perfectly isotropic
+    (direction-balanced) space, →1 as all vectors collapse onto one
+    direction. Anisotropy is the classic degenerate-embedding signal
+    (Ethayarajh 2019: contextual embeddings occupy a narrow cone;
+    Mu & Viswanath 2018 remove the common mean for exactly this
+    reason) — at corpus scale it gates whether cosine similarity in
+    dedup/ANN is meaningful at all. Shape: the per-row norm is a
+    row-LOCAL left-to-right double fold (F.aggregate — identical IEEE
+    op order in both engines, no cross-row float sums); cross-row
+    sums (per-dimension unit-element means, the final isotropy sum,
+    the norm total) are DECIMAL(28,14)-quantized so every shuffle-order
+    permutation yields the same bits; the per-dimension groupBy has
+    dim=64 groups with map-side combine — O(partitions × dim)
+    intermediate rows, never a fact-scale shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = emb.select(F.col("embedding"), norm.alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    pos = base.select(
+        "nrm", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    qu = (F.col("val").cast("double") / F.col("nrm")).cast("decimal(28,14)")
+    per_pos = pos.groupBy("pos").agg(
+        F.sum(qu).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean_i = F.col("s").cast("double") / F.col("n")
+    iso = per_pos.select(
+        (mean_i * mean_i).cast("decimal(28,14)").alias("qm")
+    ).agg(
+        F.sum("qm").cast("double").alias("siso"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+    nsum = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("nrm").cast("decimal(28,14)")).cast("double").alias("sn"),
+    )
+    return iso.crossJoin(F.broadcast(nsum)).select(
+        F.col("n_vecs"),
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("sn") / F.col("n_vecs"), 6).alias("avg_norm"),
+        F.round(F.col("siso"), 6).alias("isotropy"),
+    )
+
+
+@register(
+    "q_trimmed_mean_events",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ntile(20) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS b
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE b BETWEEN 2 AND 19) AS BIGINT)
+             AS n_kept,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE b BETWEEN 2 AND 19) AS DOUBLE)
+                 / count(*) FILTER (WHERE b BETWEEN 2 AND 19), 6)
+             AS trimmed_mean,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS raw_mean
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_trimmed_mean_events(spark, sf_dir):
+    """Per-type 10%-trimmed mean of event value (drop the first and
+    last NTILE(20) buckets, average the middle 18) next to the raw
+    mean — the robust-location report that survives the heavy-tailed
+    value distributions raw means drown in (the winsorize family
+    CLIPS to the cut; trimming EXCLUDES, the estimator of choice when
+    outliers are noise rather than censored signal). Few heavy groups
+    ordered within-group at fact scale is exactly the grouped exact
+    ntile's regime (operators/ranking.py — `Window.partitionBy(type)`
+    funnels each type through one task); the per-type summary is the
+    helper's FOLD, so nothing is checkpointed and nothing stays
+    cached. Sums are DECIMAL-quantized (exact, shuffle-order-proof);
+    the two divisions happen once in double at the boundary."""
+    from tabata_spark.operators.ranking import with_exact_grouped_ntile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    kept = F.col("b").between(2, 19)
+    qv = F.col("value").cast("decimal(18,6)")
+
+    def _fold(d):
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.when(kept, qv)).cast("double")
+                / F.sum(F.when(kept, 1).otherwise(0)),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(F.sum(qv).cast("double") / F.count(F.lit(1)), 6).alias(
+                "raw_mean"
+            ),
+        )
+
+    return with_exact_grouped_ntile(
+        ev, 20, "event_type", ["value", "event_id"], "b", fold=_fold
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #
