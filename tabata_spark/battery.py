@@ -12272,6 +12272,73 @@ _DRIVER_WINDOW_R12 = [
 ]
 
 
+# The r13 window — the SEVENTH rotation. Head: the queries with NO
+# driver hash ever (q_lang_length_deciles, added after the r12 run —
+# VERDICT r12 next-round #1 — plus this round's four additions), then
+# every query whose executed code changed this round (the ranking
+# module's fold/guard/registry changes and its fold consumers, the
+# k_core reliable/pin change, the q_skew_report empty guard), then the
+# ENTIRE 34-query r8 cohort (the stalest certifications — five rounds
+# old), then 4 r9 fills weighted by shared-helper families
+# (sampling/dedup/similarity). Pinned in tests/test_battery_window.py.
+_DRIVER_WINDOW_R13 = [
+    # (a) never driver-certified
+    "q_lang_length_deciles",
+    "q_good_turing",
+    "q_ttr_sources",
+    "q_emb_isotropy",
+    "q_trimmed_mean_events",
+    # (b) changed code this round
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "q_heaps_fit",
+    "q_skew_report",
+    "a_conversion_latency",
+    "pack_length_batches",
+    "q_kcore_parts",
+    # (c) the r8 cohort — stalest certifications
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q_pivot_orders",
+    "q_grouping_sets",
+    "q_corr_stats",
+    "j_asof_purchase",
+    "j_interval_attrib",
+    "sample_stratified",
+    "a_salted_agg",
+    "a_normalize",
+    "q8_market_share",
+    "q2_min_cost_supp",
+    "q9_nation_profit",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q20_qualified_suppliers",
+    "text_bm25",
+    "text_inverted",
+    "text_bpe_merges",
+    "a_bootstrap_ci",
+    "q_ks_sources",
+    "q_mannwhitney_sources",
+    "q_chi2_source_lang",
+    "q_psi_sources",
+    "text_decontaminate",
+    "q_scd2_customers",
+    "q_pit_orders",
+    "q_snapshot_diff",
+    "q_pagerank_weighted",
+    "q_bitext_margin",
+    "q_conformal_coverage",
+    "q_mutual_info",
+    "q_quantile_normalize",
+    "a_theilsen_trend",
+    # (d) r9 fills — shared-helper families
+    "sample_weighted",
+    "sample_domain_cap",
+    "dedup_span_stats",
+    "sim_pq_adc",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -12284,4 +12351,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R12)
+_rotate_driver_window(_DRIVER_WINDOW_R13)

@@ -344,9 +344,9 @@ def _hash_green_union(files):
 
 
 def test_first_50_registration_order_is_pinned():
-    from tabata_spark.battery import _DRIVER_WINDOW_R12
+    from tabata_spark.battery import _DRIVER_WINDOW_R13
 
-    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R12 == R12_WINDOW
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R13 == R13_WINDOW
 
 
 def test_historical_windows_are_mutually_disjoint():
@@ -381,7 +381,13 @@ def test_r11_window_covers_every_never_certified_query():
     files = _prior_driver_artifacts(10)
     assert len(files) >= 10, "expected the committed r1-r10 artifacts"
     green = _hash_green_union(files)
-    added_after_r11 = {"q_lang_length_deciles"}  # r12+ additions are
+    added_after_r11 = {  # r12+ additions are
+        "q_lang_length_deciles",
+        "q_good_turing",
+        "q_ttr_sources",
+        "q_emb_isotropy",
+        "q_trimmed_mean_events",
+    }
     never = [  # outside this HISTORICAL invariant's universe
         n for n in QUERIES if n not in green and n not in added_after_r11
     ]
@@ -420,7 +426,7 @@ def test_r11_window_recheks_every_changed_code_query():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 210
+    assert len(QUERIES) == len(set(QUERIES)) == 214
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
@@ -568,3 +574,122 @@ def test_r12_window_rechecks_the_stalest_cohort():
         if n in changed_head:
             continue
         assert latest.get(n) in (7, 8), (n, latest.get(n))
+
+
+# The r13 driver window — the SEVENTH rotation: never-certified head
+# (q_lang_length_deciles — VERDICT r12 next-round #1 — plus this
+# round's four additions), then this round's changed-code re-checks,
+# then the ENTIRE 34-query r8 cohort (stalest certifications), then 4
+# r9 fills from shared-helper families.
+R13_WINDOW = [
+    "q_lang_length_deciles",
+    "q_good_turing",
+    "q_ttr_sources",
+    "q_emb_isotropy",
+    "q_trimmed_mean_events",
+    "q_rfm_segments",
+    "q_lorenz_customers",
+    "q_heaps_fit",
+    "q_skew_report",
+    "a_conversion_latency",
+    "pack_length_batches",
+    "q_kcore_parts",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q_pivot_orders",
+    "q_grouping_sets",
+    "q_corr_stats",
+    "j_asof_purchase",
+    "j_interval_attrib",
+    "sample_stratified",
+    "a_salted_agg",
+    "a_normalize",
+    "q8_market_share",
+    "q2_min_cost_supp",
+    "q9_nation_profit",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q20_qualified_suppliers",
+    "text_bm25",
+    "text_inverted",
+    "text_bpe_merges",
+    "a_bootstrap_ci",
+    "q_ks_sources",
+    "q_mannwhitney_sources",
+    "q_chi2_source_lang",
+    "q_psi_sources",
+    "text_decontaminate",
+    "q_scd2_customers",
+    "q_pit_orders",
+    "q_snapshot_diff",
+    "q_pagerank_weighted",
+    "q_bitext_margin",
+    "q_conformal_coverage",
+    "q_mutual_info",
+    "q_quantile_normalize",
+    "a_theilsen_trend",
+    "sample_weighted",
+    "sample_domain_cap",
+    "dedup_span_stats",
+    "sim_pq_adc",
+]
+
+
+def test_r13_window_leads_with_every_never_certified_query():
+    # After this window runs green the cumulative ledger is 214/214.
+    # Every query with no hash-green row in ANY committed artifact
+    # (r1-r12) must lead the window, so a driver auditing fewer slots
+    # still hits them first.
+    files = _prior_driver_artifacts(12)
+    assert len(files) >= 12, "expected the committed r1-r12 artifacts"
+    green = _hash_green_union(files)
+    never = [n for n in QUERIES if n not in green]
+    assert sorted(never) == sorted(R13_WINDOW[: len(never)]), (
+        "never-certified queries must occupy the window head",
+        never,
+    )
+
+
+def test_r13_window_rechecks_every_changed_code_query():
+    # Round-13 changed code: the ranking module (fold take-guard,
+    # grouped-ntile cardinality guard, context-keyed release registry)
+    # and its materializing/fold consumers; k_core (reliable= +
+    # durable pins); q_skew_report (empty-orders guard).
+    changed = [
+        "q_rfm_segments",
+        "q_lorenz_customers",
+        "q_heaps_fit",
+        "q_skew_report",
+        "a_conversion_latency",
+        "pack_length_batches",
+        "q_kcore_parts",
+    ]
+    left_out = [n for n in changed if n not in R13_WINDOW]
+    assert left_out == [], f"changed-code queries not re-audited: {left_out}"
+    assert R13_WINDOW[5 : 5 + len(changed)] == changed
+
+
+def test_r13_window_rechecks_the_r8_cohort():
+    # Staleness invariant: every slot that is neither never-certified
+    # nor a changed-code re-check must come from the two oldest
+    # cohorts (latest green in r8 or r9), and the ENTIRE r8 cohort is
+    # present — after r13 the oldest certification moves to r9.
+    import json
+    import re as _re
+
+    files = _prior_driver_artifacts(12)
+    latest: dict[str, int] = {}
+    for f in files:
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    r8_cohort = sorted(n for n, r in latest.items() if r == 8)
+    missing = [n for n in r8_cohort if n not in R13_WINDOW]
+    assert missing == [], f"r8-stale queries left out: {missing}"
+    head = set(R13_WINDOW[:12])
+    for n in R13_WINDOW:
+        if n in head:
+            continue
+        assert latest.get(n) in (8, 9), (n, latest.get(n))
