@@ -154,6 +154,14 @@ HEADLINE = [
     "q_logrank_segments",
     "q_kcore_parts",
     "q_rfm_segments",
+    # round 12-13 additions: per-language deciles (grouped exact
+    # ntile), Good-Turing trigram fof, per-source TTR, embedding
+    # isotropy, per-type trimmed mean
+    "q_lang_length_deciles",
+    "q_good_turing",
+    "q_ttr_sources",
+    "q_emb_isotropy",
+    "q_trimmed_mean_events",
     # q_txlog_orders / q_txlog_merge / q_txlog_zorder /
     # dedup_ingest_pipeline / q_sigidx_probe rebuild their
     # transactional store from
