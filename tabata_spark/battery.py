@@ -11876,6 +11876,103 @@ def q_trimmed_mean_events(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@register(
+    "q_dedup_keep_best",
+    """
+    WITH RECURSIVE corpus AS MATERIALIZED (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents
+    ), toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS MATERIALIZED (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS MATERIALIZED (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM edges e JOIN reach ON e.src = reach.r
+    ), comps AS MATERIALIZED (
+      SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+    ), allc AS MATERIALIZED (
+      SELECT c.doc_id AS id, c.n_chars,
+             coalesce(comps.comp, c.doc_id) AS comp
+      FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id
+    ), ranked AS (
+      SELECT id, n_chars, comp,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, id) AS rn,
+             count(*) OVER (PARTITION BY comp) AS csize
+      FROM allc
+    )
+    SELECT comp, id AS kept_id, CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(csize AS BIGINT) AS csize,
+           CAST(csize - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1 ORDER BY comp
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection — the curation step AFTER
+    clustering: for every transitive near-dup cluster keep the BEST
+    document (here: longest, min-id tie-break — the common keep-the-
+    longest-duplicate heuristic; swap the order column for a model
+    quality score in production) instead of the min-id survivor
+    dedup_clusters defaults to. One row per cluster: the kept doc and
+    how many near-dups it displaced. Same audited pipeline as
+    dedup_clusters (exact-Jaccard pairs → min-label components, the
+    oracle replays the transitive closure as a recursive CTE), then a
+    per-cluster argmax — clusters are near-cliques of bounded size,
+    so the `Window.partitionBy(comp)` here is the MANY-SMALL-GROUPS
+    regime where the plain window is already parallel (contrast
+    q_lang_length_deciles, the few-heavy-groups regime)."""
+    from tabata_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars")
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_cluster_assignments(corpus, pairs)
+    sized = clusters.join(
+        corpus.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "id")
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "comp",
+            F.col("id").alias("kept_id"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            F.col("csize").cast("long").alias("csize"),
+            (F.col("csize") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("comp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-audit window rotation (round 8).
 #
@@ -12288,6 +12385,7 @@ _DRIVER_WINDOW_R13 = [
     "q_ttr_sources",
     "q_emb_isotropy",
     "q_trimmed_mean_events",
+    "q_dedup_keep_best",
     # (b) changed code this round
     "q_rfm_segments",
     "q_lorenz_customers",
@@ -12335,7 +12433,6 @@ _DRIVER_WINDOW_R13 = [
     "sample_weighted",
     "sample_domain_cap",
     "dedup_span_stats",
-    "sim_pq_adc",
 ]
 
 

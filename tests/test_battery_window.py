@@ -387,6 +387,7 @@ def test_r11_window_covers_every_never_certified_query():
         "q_ttr_sources",
         "q_emb_isotropy",
         "q_trimmed_mean_events",
+        "q_dedup_keep_best",
     }
     never = [  # outside this HISTORICAL invariant's universe
         n for n in QUERIES if n not in green and n not in added_after_r11
@@ -426,7 +427,7 @@ def test_r11_window_recheks_every_changed_code_query():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 214
+    assert len(QUERIES) == len(set(QUERIES)) == 215
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
@@ -587,6 +588,7 @@ R13_WINDOW = [
     "q_ttr_sources",
     "q_emb_isotropy",
     "q_trimmed_mean_events",
+    "q_dedup_keep_best",
     "q_rfm_segments",
     "q_lorenz_customers",
     "q_heaps_fit",
@@ -631,12 +633,11 @@ R13_WINDOW = [
     "sample_weighted",
     "sample_domain_cap",
     "dedup_span_stats",
-    "sim_pq_adc",
 ]
 
 
 def test_r13_window_leads_with_every_never_certified_query():
-    # After this window runs green the cumulative ledger is 214/214.
+    # After this window runs green the cumulative ledger is 215/215.
     # Every query with no hash-green row in ANY committed artifact
     # (r1-r12) must lead the window, so a driver auditing fewer slots
     # still hits them first.
@@ -666,7 +667,7 @@ def test_r13_window_rechecks_every_changed_code_query():
     ]
     left_out = [n for n in changed if n not in R13_WINDOW]
     assert left_out == [], f"changed-code queries not re-audited: {left_out}"
-    assert R13_WINDOW[5 : 5 + len(changed)] == changed
+    assert R13_WINDOW[6 : 6 + len(changed)] == changed
 
 
 def test_r13_window_rechecks_the_r8_cohort():
@@ -688,7 +689,7 @@ def test_r13_window_rechecks_the_r8_cohort():
     r8_cohort = sorted(n for n, r in latest.items() if r == 8)
     missing = [n for n in r8_cohort if n not in R13_WINDOW]
     assert missing == [], f"r8-stale queries left out: {missing}"
-    head = set(R13_WINDOW[:12])
+    head = set(R13_WINDOW[:13])
     for n in R13_WINDOW:
         if n in head:
             continue
