@@ -7388,13 +7388,19 @@ def q_pagerank(spark, sf_dir):
     the small rank vector + one exact integer aggregation (map-side
     partials absorb hub skew); the edge list is persisted once and the
     vector lineage checkpointed per round. The oracle replays all 5
-    rounds in DuckDB bit-for-bit."""
+    rounds in DuckDB bit-for-bit. The loop runs on LONG node ids
+    (orderkey·2 / partkey·2+1 — the bipartite parity encoding) and
+    the display labels are derived once at the boundary: hashing and
+    broadcasting a 5-round rank vector on STRING keys measured 1.22×
+    slower end-to-end at sf0.1 (4.58 s vs 3.76 s min-of-3, SCALE.md
+    round 13) — at web scale the per-round join key should always be
+    a fixed-width integer."""
     from tabata_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
     fwd = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -7406,7 +7412,15 @@ def q_pagerank(spark, sf_dir):
         broadcast_ranks=True,
         complete_graph=True,  # symmetrized: every node has an in-edge
     )
-    return pr.select("node", "rank_fp", "rank").orderBy("node")
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("node div 2").cast("string"))
+    )
+    return pr.select(
+        label.alias("node"), "rank_fp", "rank"
+    ).orderBy("node")
 
 
 @register(
@@ -8990,13 +9004,15 @@ def q_pagerank_weighted(spark, sf_dir):
     uses for link prominence. Same fixed-point integer loop as
     q_pagerank with (rank * w) // W_out contributions; the oracle
     replays all 5 rounds bit-for-bit (operators/graph.pagerank
-    weight=...)."""
+    weight=...). LONG node ids in the loop, string labels at the
+    boundary (the q_pagerank measurement: string keys 1.22× slower
+    per round)."""
     from tabata_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
     fwd = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
         F.floor("l_quantity").cast("long").alias("w"),
     )
     edges = fwd.unionByName(
@@ -9012,7 +9028,15 @@ def q_pagerank_weighted(spark, sf_dir):
         weight="w",
         complete_graph=True,  # symmetrized: every node has an in-edge
     )
-    return pr.select("node", "rank_fp", "rank").orderBy("node")
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("node div 2").cast("string"))
+    )
+    return pr.select(
+        label.alias("node"), "rank_fp", "rank"
+    ).orderBy("node")
 
 
 #: Wilson 95% score interval for a proportion, one shared formula
