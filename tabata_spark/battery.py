@@ -12418,6 +12418,7 @@ _DRIVER_WINDOW_R13 = [
     "a_conversion_latency",
     "pack_length_batches",
     "q_kcore_parts",
+    "q_pagerank",
     # (c) the r8 cohort — stalest certifications
     "q6_forecast_revenue",
     "q18_large_orders",
@@ -12456,7 +12457,6 @@ _DRIVER_WINDOW_R13 = [
     # (d) r9 fills — shared-helper families
     "sample_weighted",
     "sample_domain_cap",
-    "dedup_span_stats",
 ]
 
 

@@ -596,6 +596,7 @@ R13_WINDOW = [
     "a_conversion_latency",
     "pack_length_batches",
     "q_kcore_parts",
+    "q_pagerank",
     "q6_forecast_revenue",
     "q18_large_orders",
     "q_pivot_orders",
@@ -632,7 +633,6 @@ R13_WINDOW = [
     "a_theilsen_trend",
     "sample_weighted",
     "sample_domain_cap",
-    "dedup_span_stats",
 ]
 
 
@@ -664,6 +664,7 @@ def test_r13_window_rechecks_every_changed_code_query():
         "a_conversion_latency",
         "pack_length_batches",
         "q_kcore_parts",
+        "q_pagerank",
     ]
     left_out = [n for n in changed if n not in R13_WINDOW]
     assert left_out == [], f"changed-code queries not re-audited: {left_out}"
@@ -689,7 +690,7 @@ def test_r13_window_rechecks_the_r8_cohort():
     r8_cohort = sorted(n for n, r in latest.items() if r == 8)
     missing = [n for n in r8_cohort if n not in R13_WINDOW]
     assert missing == [], f"r8-stale queries left out: {missing}"
-    head = set(R13_WINDOW[:13])
+    head = set(R13_WINDOW[:14])
     for n in R13_WINDOW:
         if n in head:
             continue
