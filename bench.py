@@ -288,7 +288,17 @@ def main():
     # "errors" and excluded from the total; the JSON line always prints.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    sentinel_mid = None
     for name in HEADLINE:
+        # one extra DIAGNOSTIC sentinel reading mid-battery: a
+        # co-tenant burst confined to the middle of the run is
+        # invisible to the pre/post pair (observed r13: 10 consecutive
+        # HEADLINE entries 2-10x inflated while both endpoint readings
+        # were quiet). NOT part of host_factor — the pinned reference
+        # is defined over the pre/post mean only.
+        if sentinel_mid is None and len(times) + len(errors) >= len(HEADLINE) // 2:
+            sentinel_mid = _time_sentinel(spark, sf_dir)
+            print(f"# sentinel(mid): {sentinel_mid:.3f}s", file=sys.stderr)
         fn = battery.QUERIES.get(name) or battery.BENCH_EXTRA[name]
         try:
             t0 = time.perf_counter()
@@ -319,9 +329,11 @@ def main():
     print(f"# sentinel(post): {sentinel_post:.3f}s", file=sys.stderr)
     calibration = {
         "sentinel_pre_s": sentinel_pre,
+        "sentinel_mid_s": sentinel_mid,
         "sentinel_post_s": sentinel_post,
         "ref_s": SENTINEL_REF_S,
         "ref_sf": SENTINEL_REF_SF,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     normalized_total = None
     if abs(sf - SENTINEL_REF_SF) < 1e-9:

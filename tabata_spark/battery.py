@@ -1598,13 +1598,23 @@ def dedup_minhash_sig(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+def _simhash_oracle_sql(
+    max_hamming: int = 3, blocks: int = 4, max_bucket_size: int = 200
+) -> str:
     """Machine-generate the DuckDB bit-exact SimHash replica: same
     md5-prefix 60-bit token hash, same per-bit majority vote, same
-    fingerprint layout — then all-pairs Hamming ≤ d. Matching the
-    Spark pigeonhole-block join proves both the fingerprint math and
-    the block join's total recall (Hamming ≤ 3 < 4 blocks ⇒ some
-    block agrees — a theorem, not a tuning)."""
+    fingerprint layout — then the SAME capped pigeonhole block join
+    the engine runs (a pair is found iff some 16-bit prefix block
+    agrees AND that block's bucket is ≤ ``max_bucket_size``). Recall
+    within the cap is total (Hamming ≤ 3 < 4 blocks ⇒ some block
+    agrees — a theorem); the cap itself is the documented quadratic
+    guard on hot buckets, and the oracle MODELS it — the first sf0.1
+    sweep (round 13) showed the boilerplate corpus pushes hot-block
+    buckets past 200 there, so an uncapped all-pairs oracle disagrees
+    at scale while both engines are behaving exactly as specified
+    (the sim_neardup_lsh oracle models its cap for the same
+    reason)."""
+    width = 64 // blocks
     counts = ",\n             ".join(
         f"count(*) FILTER (WHERE (h >> {i}) & 1 = 1) AS c{i}" for i in range(60)
     )
@@ -1627,11 +1637,26 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
       FROM th GROUP BY doc_id
     ), fp AS (
       SELECT doc_id, ({fp_terms})::BIGINT AS simhash FROM cnt
+    ), blk AS (
+      SELECT doc_id, simhash, i AS b,
+             (simhash >> (i * {width})) & {(1 << width) - 1} AS bv
+      FROM fp, range(0, {blocks}) t(i)
+    ), bsz AS (
+      SELECT b, bv, count(*) AS bn FROM blk GROUP BY b, bv
+    ), keep AS (
+      SELECT blk.doc_id, blk.simhash, blk.b, blk.bv
+      FROM blk JOIN bsz ON bsz.b = blk.b AND bsz.bv = blk.bv
+      WHERE bsz.bn <= {max_bucket_size}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM keep a
+      JOIN keep b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     ORDER BY id_a, id_b
     """
 
@@ -1640,9 +1665,11 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs with the engine-portable md5-prefix
     token hash — the DuckDB oracle recomputes the identical 60-bit
-    fingerprints and does all-pairs Hamming ≤ 3, so the hash check
-    covers fingerprint math AND the pigeonhole block join end-to-end.
-    Production default stays on xxhash64 (operators/dedup.simhash)."""
+    fingerprints and replays the SAME capped pigeonhole block join
+    (incl. the max_bucket_size=200 hot-block guard), so the hash
+    check covers fingerprint math AND the block join AND the cap
+    end-to-end at every sf. Production default stays on xxhash64
+    (operators/dedup.simhash)."""
     from tabata_spark.operators.dedup import (
         md5_token_hash,
         simhash,
@@ -8665,7 +8692,9 @@ def q_mixing_plan(spark, sf_dir):
     """
     WITH b AS (
       SELECT event_type,
-             CAST(ceil(ln(value) / ln(1.02)) AS BIGINT) AS bucket,
+             CASE WHEN value > 0
+                  THEN CAST(ceil(ln(value) / ln(1.02)) AS BIGINT)
+                  ELSE CAST(-4611686018427387904 AS BIGINT) END AS bucket,
              count(*) AS c
       FROM events GROUP BY 1, 2
     ),
@@ -8697,9 +8726,12 @@ def q_mixing_plan(spark, sf_dir):
       FROM ranked GROUP BY event_type
     )
     SELECT est.event_type, est.n,
-           round(2.0 * pow(1.02, CAST(b50 AS DOUBLE)) / (1.02 + 1.0), 6) AS p50_est,
-           round(2.0 * pow(1.02, CAST(b90 AS DOUBLE)) / (1.02 + 1.0), 6) AS p90_est,
-           round(2.0 * pow(1.02, CAST(b99 AS DOUBLE)) / (1.02 + 1.0), 6) AS p99_est,
+           round(CASE WHEN b50 = -4611686018427387904 THEN 0.0
+                 ELSE 2.0 * pow(1.02, CAST(b50 AS DOUBLE)) / (1.02 + 1.0) END, 6) AS p50_est,
+           round(CASE WHEN b90 = -4611686018427387904 THEN 0.0
+                 ELSE 2.0 * pow(1.02, CAST(b90 AS DOUBLE)) / (1.02 + 1.0) END, 6) AS p90_est,
+           round(CASE WHEN b99 = -4611686018427387904 THEN 0.0
+                 ELSE 2.0 * pow(1.02, CAST(b99 AS DOUBLE)) / (1.02 + 1.0) END, 6) AS p99_est,
            round(e50, 6) AS p50_exact,
            round(e90, 6) AS p90_exact,
            round(e99, 6) AS p99_exact

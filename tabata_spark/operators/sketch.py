@@ -314,27 +314,44 @@ def load_cms(
     return spark.read.parquet(store_path)
 
 
+#: dedicated bucket for nonpositive values — the reference DDSketch's
+#: zero counter (the log bucket map is only defined for x > 0). A
+#: sentinel far below any reachable log bucket (|ceil(ln x/ln γ)| <
+#: ~2^40 for any finite double) keeps it FIRST in bucket order, which
+#: is exactly the rank position zeros occupy in nonnegative data.
+DD_ZERO_BUCKET = -(1 << 62)
+
+
 def ddsketch_build(
     df: DataFrame,
     value_col: str,
     key_cols: list[str] | None = None,
     gamma: float = 1.02,
 ) -> DataFrame:
-    """DDSketch (relative-error quantile sketch) of a POSITIVE value
-    column: bucket = ceil(ln(x)/ln(gamma)) — a log-scaled histogram
-    whose quantile estimates carry a guaranteed (gamma-1) relative
-    error. Counts per (key, bucket) are exact integers, so the sketch
-    is DETERMINISTIC (unlike t-digest/KLL) and merges by union+sum;
-    bucket count is bounded by the value's dynamic range
-    (~log_gamma(max/min)), independent of row count. Completes the
-    mergeable-state family: HLL (distinct), CMS (frequency), Bloom
-    (membership), DD (quantiles)."""
+    """DDSketch (relative-error quantile sketch): bucket =
+    ceil(ln(x)/ln(gamma)) for x > 0 — a log-scaled histogram whose
+    quantile estimates carry a guaranteed (gamma-1) relative error.
+    Nonpositive values land in the dedicated :data:`DD_ZERO_BUCKET`
+    (the reference design's zero counter; estimate 0.0), so zeros in
+    real telemetry cannot poison the log map — before round 13 a 0
+    produced a NULL bucket Spark-side and a loud ln(0) error in the
+    SQL replay (first seen in the sf0.1 sweep: 6 zero-valued events).
+    Genuinely NEGATIVE data wants the classic mirrored second sketch;
+    this collapses it to the zero bucket, documented. Counts per
+    (key, bucket) are exact integers, so the sketch is DETERMINISTIC
+    (unlike t-digest/KLL) and merges by union+sum; bucket count is
+    bounded by the value's dynamic range (~log_gamma(max/min)),
+    independent of row count. Completes the mergeable-state family:
+    HLL (distinct), CMS (frequency), Bloom (membership), DD
+    (quantiles)."""
     import math
 
     key_cols = key_cols or []
-    bucket = F.ceil(
-        F.log(F.col(value_col).cast("double")) / F.lit(math.log(gamma))
-    ).cast("long")
+    v = F.col(value_col).cast("double")
+    bucket = F.when(
+        v > 0,
+        F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("long"),
+    ).otherwise(F.lit(DD_ZERO_BUCKET).cast("long"))
     return (
         df.select(*key_cols, bucket.alias("bucket"))
         .groupBy(*key_cols, "bucket")
@@ -383,7 +400,7 @@ def ddsketch_quantiles(
     for q in qs:
         rank = exact_rank_of_quantile(q, "n")
         b_q = F.min(F.when(F.col("cum") >= rank, F.col("bucket")))
-        est = (
+        est = F.when(b_q == F.lit(DD_ZERO_BUCKET), F.lit(0.0)).otherwise(
             F.lit(2.0)
             * F.pow(F.lit(float(gamma)), b_q.cast("double"))
             / F.lit(float(gamma) + 1.0)

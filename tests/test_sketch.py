@@ -334,3 +334,33 @@ def test_bloom_filtered_join_xxhash_prod_path_equals_plain_join(spark):
         )
     )
     assert got == sorted(map(tuple, big.join(small, "k").collect()))
+
+
+def test_ddsketch_zero_values_use_the_zero_bucket(spark):
+    """Nonpositive values must land in DD_ZERO_BUCKET (estimate 0.0),
+    never NULL buckets or ln(0) errors — first seen in the round-13
+    sf0.1 sweep, where 6 zero-valued events NULL-bucketed Spark-side
+    and blew up the SQL replay's ln()."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.sketch import (
+        DD_ZERO_BUCKET,
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    # half the rows are zero, a couple negative: p50 must be exactly
+    # 0.0; p99 must estimate the positive tail within gamma error
+    vals = [0.0] * 50 + [-1.5] * 2 + [100.0] * 48
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = ddsketch_build(df, "v", gamma=1.02)
+    buckets = {r["bucket"] for r in sk.collect()}
+    assert DD_ZERO_BUCKET in buckets
+    assert None not in buckets
+    row = ddsketch_quantiles(sk, [0.5, 0.99], gamma=1.02).collect()[0]
+    assert row["p50"] == 0.0
+    assert abs(row["p99"] - 100.0) / 100.0 <= 0.02 + 1e-9
+    # all-positive data: the zero bucket never appears (bit-identical
+    # to the pre-round-13 sketch for the positive domain)
+    pos = ddsketch_build(df.filter(F.col("v") > 0), "v", gamma=1.02)
+    assert DD_ZERO_BUCKET not in {r["bucket"] for r in pos.collect()}
