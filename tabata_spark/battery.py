@@ -1524,7 +1524,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands=16 × rows=2 puts the S-curve's miss probability at ~1e-7
     for J=0.8 (and ~3e-12 at J=0.9, the lowest organic near-dup bin
     in the testdata), and xxhash64 is deterministic, so the check is
-    stable run-to-run."""
+    stable run-to-run.
+
+    Boundary note (the round-13 simhash lesson, deliberately NOT
+    applied here): the engine's hot-bucket cap (max_bucket_size=100
+    per band bucket) is unmodeled in this oracle ON PURPOSE — the
+    oracle is the recall PROOF, and it holds at every tested sf
+    (0.001/0.01/0.1 incl. bare+shattered). If a larger corpus ever
+    reddens this check, the cap has started binding on band buckets —
+    a capacity signal to re-tune bands/rows or switch
+    hot_bucket='salt', not an engine defect. Contrast dedup_simhash,
+    whose capped block join IS the query's semantics, so its oracle
+    models the cap."""
     from tabata_spark.operators.dedup import near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
