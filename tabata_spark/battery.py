@@ -11906,9 +11906,9 @@ def q_emb_isotropy(spark, sf_dir):
     """,
 )
 def q_trimmed_mean_events(spark, sf_dir):
-    """Per-type 10%-trimmed mean of event value (drop the first and
-    last NTILE(20) buckets, average the middle 18) next to the raw
-    mean — the robust-location report that survives the heavy-tailed
+    """Per-type trimmed mean of event value — 5% per tail (10%
+    total): drop the first and last NTILE(20) buckets, average the
+    middle 18 — next to the raw mean — the robust-location report that survives the heavy-tailed
     value distributions raw means drown in (the winsorize family
     CLIPS to the cut; trimming EXCLUDES, the estimator of choice when
     outliers are noise rather than censored signal). Few heavy groups
@@ -12443,8 +12443,8 @@ _DRIVER_WINDOW_R12 = [
 # module's fold/guard/registry changes and its fold consumers, the
 # k_core reliable/pin change, the q_skew_report empty guard), then the
 # ENTIRE 34-query r8 cohort (the stalest certifications — five rounds
-# old), then 4 r9 fills weighted by shared-helper families
-# (sampling/dedup/similarity). Pinned in tests/test_battery_window.py.
+# old), then two r9 fills weighted by shared-helper families
+# (sampling). Pinned in tests/test_battery_window.py.
 _DRIVER_WINDOW_R13 = [
     # (a) never driver-certified
     "q_lang_length_deciles",

@@ -370,7 +370,21 @@ def k_core(
     the whole peel — deliberately loud, but a 100 TB host-graph peel
     that runs for hours wants to survive executor churn: with
     ``reliable=True`` recovery re-reads the checkpoint files and only
-    the rounds since the last cut are recomputed."""
+    the rounds since the last cut are recomputed.
+
+    Storage retention under ``reliable=True``: ``_free`` drops a
+    superseded cut's executor BLOCKS, but its checkpoint FILES stay in
+    the checkpoint dir for the life of the application — Spark only
+    deletes a checkpoint's files when its RDD is GC'd AND
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false). An hours-long 100 TB peel therefore accumulates one
+    edge-scale cut per 4 rounds unless that config is set; set it (and
+    keep the returned frame referenced until consumed), or point
+    ``setCheckpointDir`` at a location with a TTL/lifecycle rule.
+    Deleting the files eagerly here would break the one property this
+    mode buys — a cut must outlive its successor's MATERIALIZATION by
+    enough margin to replay executor loss during that very
+    materialization — so retention is delegated to the cleaner/TTL."""
     if reliable:
         sc = edges.sparkSession.sparkContext
         if sc._jsc.sc().checkpointDir().isEmpty():

@@ -213,6 +213,12 @@ def release(df: DataFrame) -> None:
                 is_owned = rid in owned
                 if is_owned:
                     owned.discard(rid)
+            # unpersist-outside-lock is benign: the discard above is
+            # the mutual exclusion — two threads releasing the same
+            # frame race on the set, exactly one sees is_owned=True,
+            # so the unpersist (idempotent on the JVM side anyway)
+            # runs once; holding the lock across the JVM call would
+            # only serialize unrelated releases
             if is_owned:
                 rdd.unpersist(False)
     except Exception:  # pragma: no cover - internal-API drift guard
