@@ -17,7 +17,7 @@ From-scratch reimplementation of the capabilities of jee51/tabata
 """
 
 from tabata_spark.core.naming import byunits, get_colname, nameunit
-from tabata_spark.core.signalset import SignalSet
+from tabata_spark.core.signalset import OpsetError, SignalSet
 from tabata_spark.session import get_spark
 
 
@@ -36,6 +36,7 @@ def __getattr__(name):
 
 __all__ = [
     "Opset",
+    "OpsetError",
     "Selector",
     "SignalSet",
     "Tube",

@@ -25,7 +25,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from tabata_spark.core.naming import byunits, get_colname, nameunit  # noqa: F401
-from tabata_spark.core.signalset import SignalSet
+from tabata_spark.core.signalset import OpsetError, SignalSet  # noqa: F401
 from tabata_spark.operators.slicing import highlight as _highlight_df
 
 
@@ -127,7 +127,9 @@ class Opset:
         """Upsert a pandas frame as a record (opset.py:229-260)."""
         name = record or getattr(df.index, "name", None)
         if not name:
-            raise ValueError("record name required (arg or df.index.name)")
+            raise OpsetError(
+                self.storename, "record name required (arg or df.index.name)"
+            )
         spark = _spark()
         if self.sset is None:
             SignalSet.from_records(spark, {name: df}).save(self.storename)
@@ -166,6 +168,13 @@ class Opset:
         return record_figure(
             self.sset, self.colname, self.sigpos, phase=phase or self.phase
         )
+
+    def plotc(self, phase: str | None = None, pos: int | None = None,
+              name: str | None = None):
+        """Reference ``plotc`` (opset.py:443-461) — the cufflinks
+        variant of ``plot``; here the FigureSpec is backend-agnostic,
+        so it is a straight alias."""
+        return self.plot(phase=phase, pos=pos, name=name)
 
     def browse(self, *_, **__):
         """The reference's interactive ipywidgets browser

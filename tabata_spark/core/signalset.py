@@ -39,6 +39,21 @@ from pyspark.sql import types as T
 
 from tabata_spark.core.naming import STRUCT_COLS, channel_columns, get_colname
 
+class OpsetError(ValueError):
+    """Store-level error carrying the store path (reference
+    opset.py:39-49 — ``OpsetError(filename, message)`` with the same
+    two attributes and display shape). Subclasses ``ValueError`` so
+    pre-existing ``except ValueError`` callers keep working."""
+
+    def __init__(self, filename: str, message: str):
+        super().__init__(message)
+        self.filename = filename
+        self.message = message
+
+    def __str__(self) -> str:
+        return f"Opset({self.filename})\n    {self.message}"
+
+
 _PD = None
 
 
@@ -67,7 +82,10 @@ class SignalSet:
     ):
         missing = [c for c in ("record_id", "seq") if c not in df.columns]
         if missing:
-            raise ValueError(f"SignalSet frame lacks required columns {missing}")
+            raise OpsetError(
+                path or "<frame>",
+                f"SignalSet frame lacks required columns {missing}",
+            )
         self.df = df
         self.path = path
         self._records = records
@@ -153,7 +171,15 @@ class SignalSet:
     def _resolve(self, pos: int | str) -> str:
         if isinstance(pos, str):
             return pos
-        return self.records[pos]  # python list indexing: negatives work (opset.py:135-161)
+        try:
+            # python list indexing: negatives work (opset.py:135-161)
+            return self.records[pos]
+        except IndexError:
+            n = len(self.records)
+            raise OpsetError(
+                self.path or "<frame>",
+                f"position must be between {-n} and {n - 1}",
+            ) from None
 
     def record(self, pos: int | str) -> DataFrame:
         """Point-read one record (reference ``ds[pos]``, opset.py:135-161).
@@ -232,12 +258,18 @@ class SignalSet:
         if isinstance(df, pd.DataFrame):
             name = record or df.index.name
             if not name:
-                raise ValueError("record name required (arg or df.index.name)")
+                raise OpsetError(
+                    self.path or "<frame>",
+                    "record name required (arg or df.index.name)",
+                )
             sset = SignalSet.from_records(spark, {name: df})
             new = sset.df
         else:
             if not record:
-                raise ValueError("record name required for DataFrame put")
+                raise OpsetError(
+                    self.path or "<frame>",
+                    "record name required for DataFrame put",
+                )
             name = record
             new = df.withColumn("record_id", F.lit(name))
             if "seq" not in new.columns:

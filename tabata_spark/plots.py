@@ -376,6 +376,86 @@ def pcacircle(df, comp1: int = 1, comp2: int = 2, sample: float = 0,
     )
 
 
+# ------------------------------------------------ legacy entry points
+#
+# The reference exposes every chart THREE times — plain/`*c`
+# (cufflinks) / `*m` (matplotlib) variants with identical data math
+# (reference plots.py:99-123,162-188,243-274,304-333,392-448,492-529,
+# 608-664). The engine folds each chart into ONE backend-agnostic
+# FigureSpec builder (``FigureSpec.show`` picks plotly or matplotlib
+# at render time), so the legacy names are thin aliases: verbatim
+# notebook cells keep running, and the spec they get renders on
+# whichever backend is installed.
+
+
+def _check_sep(sep: str) -> None:
+    # the engine's NAME[UNIT] convention is fixed (core/naming.py:18);
+    # the reference's ``sep`` argument re-parameterizes the bracket
+    # char, which no shipped dataset or notebook uses — fail loudly
+    # rather than silently mis-split column names
+    if sep != "[":
+        raise ValueError(
+            f"custom name/unit separator {sep!r} is not supported: the "
+            "engine's column convention is fixed to NAME[UNIT]"
+        )
+
+
+def selplotc(df, variable: str | None = None, sep: str = "[") -> FigureSpec:
+    """Reference ``selplotc`` (plots.py:99-123) — alias of
+    :func:`selplot`."""
+    _check_sep(sep)
+    return selplot(df, variable)
+
+
+def selplotm(df, variable: str | None = None, sep: str = "[") -> FigureSpec:
+    """Reference ``selplotm`` (plots.py:162-188) — alias of
+    :func:`selplot`."""
+    _check_sep(sep)
+    return selplot(df, variable)
+
+
+def byunitplotm(df, yunit: str | None = None, title: str = "",
+                sep: str = "[") -> FigureSpec:
+    """Reference ``byunitplotm`` (plots.py:243-274) — alias of
+    :func:`byunitplot`."""
+    _check_sep(sep)
+    return byunitplot(df, yunit, title)
+
+
+def groupplotm(df, title: str = "", standardize: bool = False) -> FigureSpec:
+    """Reference ``groupplotm`` (plots.py:304-333) — alias of
+    :func:`groupplot`."""
+    return groupplot(df, title=title, standardize=standardize)
+
+
+def doubleplotm(df1, df2=None, p: float = 0.5, space: float = 0.05,
+                title: str | None = None, sep: str = "[") -> FigureSpec:
+    """Reference ``doubleplotm`` (plots.py:392-448) — alias of
+    :func:`doubleplot`."""
+    _check_sep(sep)
+    return doubleplot(df1, df2, p=p, space=space, title=title)
+
+
+def tsplotm(df, cols=None, title: str | None = None,
+            sep: str = "[") -> FigureSpec:
+    """Reference ``tsplotm`` (plots.py:492-529) — alias of
+    :func:`tsplot`."""
+    _check_sep(sep)
+    return tsplot(df, cols, title=title)
+
+
+def pcacirclem(df, pca=None, comp1: int = 1, comp2: int = 2,
+               sample: float = 0, sep: str = "[") -> FigureSpec:
+    """Reference ``pcacirclem`` (plots.py:608-664) — alias of
+    :func:`pcacircle`. ``pca``: the reference optionally reuses a
+    pre-fit sklearn PCA; the engine recomputes from the frame
+    (standardize → SVD), which equals the reference's own
+    ``pca=None`` default path, so the argument is accepted for
+    signature compatibility and ignored."""
+    _check_sep(sep)
+    return pcacircle(df, comp1=comp1, comp2=comp2, sample=sample)
+
+
 # ------------------------------------------------- engine-object views
 
 

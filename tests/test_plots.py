@@ -139,3 +139,63 @@ def test_show_raises_without_renderer(frame):
     if not (P.HAS_PLOTLY or P.HAS_MPL):
         with pytest.raises(ImportError):
             spec.show()
+
+
+def test_legacy_entry_point_aliases(frame):
+    """The reference's `*c` (cufflinks) / `*m` (matplotlib) chart
+    variants (reference plots.py:99-123,162-188,243-274,304-333,
+    392-448,492-529,608-664) exist as thin aliases of the FigureSpec
+    builders, with the reference's exact signatures."""
+    base = P.selplot(frame, "ALT")
+    for fn in (P.selplotc, P.selplotm):
+        spec = fn(frame, "ALT", sep="[")
+        assert spec.title == base.title
+        assert spec.traces[0].y == base.traces[0].y
+    assert [t.name for t in P.byunitplotm(frame, yunit="m").traces] == ["ALT"]
+    assert len(P.groupplotm(frame, standardize=True).traces) == 2
+    assert P.doubleplotm(frame[["ALT[m]", "TAS[m/s]"]], "ALT").traces
+    assert [t.name for t in P.tsplotm(frame, ["ALT"]).traces] == ["ALT[m]"]
+    pq = P.pcacirclem(frame[["ALT[m]", "TAS[m/s]", "Tisa[K]"]], pca=None)
+    assert pq.title == P.pcacircle(frame[["ALT[m]", "TAS[m/s]", "Tisa[K]"]]).title
+    # the sep argument is signature-compat only: a non-default value
+    # cannot be honored against the fixed NAME[UNIT] convention
+    with pytest.raises(ValueError):
+        P.selplotc(frame, "ALT", sep="(")
+
+
+def test_opset_error_type_and_aliases():
+    """OpsetError (reference opset.py:39-49): ValueError subclass with
+    (filename, message) attributes, importable from the package root
+    and the compat facade; Opset/Selector grow the reference's plotc
+    entry point."""
+    import tabata_spark
+    from tabata_spark import compat
+    from tabata_spark.core.signalset import OpsetError
+
+    assert tabata_spark.OpsetError is OpsetError is compat.OpsetError
+    assert issubclass(OpsetError, ValueError)
+    err = OpsetError("store.parquet", "Opset is empty.")
+    assert err.filename == "store.parquet" and err.message == "Opset is empty."
+    assert str(err) == "Opset(store.parquet)\n    Opset is empty."
+    assert callable(compat.Opset.plotc)
+    assert compat.Selector.plotc is compat.Opset.plotc
+
+
+def test_opset_error_raised_from_load_put_and_position(spark, sset, flights):
+    from tabata_spark.core.signalset import OpsetError, SignalSet
+
+    name = sorted(flights)[0]
+    # load path: a frame without the structural columns
+    with pytest.raises(OpsetError):
+        SignalSet(spark.range(3).toDF("x"))
+    # put path: no record name anywhere
+    pdf = flights[name].copy()
+    pdf.index.name = None
+    with pytest.raises(OpsetError):
+        sset.put(pdf)
+    # position path: out-of-range cursor (reference opset.py:149)
+    with pytest.raises(OpsetError):
+        sset.record(len(sset.records) + 5)
+    # still catchable as ValueError (pre-existing caller contract)
+    with pytest.raises(ValueError):
+        sset.record(-len(sset.records) - 1)
