@@ -1609,6 +1609,185 @@ def dedup_minhash_sig(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _minhash_salted_oracle_sql(cap: int = 6) -> str:
+    """DuckDB bit-exact replica of the hot_bucket='salt' pipeline —
+    the shard machinery itself is the thing under test, so the oracle
+    REPLAYS it: same md5-prefix Carter-Wegman signatures (k=8), same
+    verbatim band keys (bands=4 x rows=2 — the two slot values
+    joined, no band hash, so no engine-specific hash enters the
+    bucket key), same per-(band,key) counts, same exact-integer
+    ``ceil(2n/cap) = (2n+cap-1)//cap`` shard count on over-cap keys,
+    same md5-prefix shard hash of ``id:band:key``, pairs within
+    (band, key, shard) groups still under the hard cap, then exact
+    n-gram Jaccard on the candidates. A hash-match proves drop-vs-salt
+    recall claims are measured against the real shard math, not a
+    simulation of it."""
+    P = (1 << 31) - 1
+    mins = ",\n             ".join(
+        f"min((b1 + {i} * b2) % {P}) AS h{i}" for i in range(8)
+    )
+    band_case = "\n               ".join(
+        f"WHEN {b} THEN h{2 * b} || ':' || h{2 * b + 1}" for b in range(4)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + k * 1000000 AS doc_id, text
+      FROM documents, generate_series(2, 7) AS g(k)
+      WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), arrs AS (
+      SELECT doc_id AS id, list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ) AS sh_arr
+      FROM toks
+    ), sh AS (
+      SELECT id, unnest(sh_arr) AS sh FROM arrs
+    ), hashes AS (
+      SELECT id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % {P} AS b1,
+             ('0x' || substr(md5(sh), 16, 15))::BIGINT % {P} AS b2
+      FROM sh
+    ), sig AS (
+      SELECT id,
+             {mins}
+      FROM hashes GROUP BY id
+    ), banded AS (
+      SELECT id, b.band,
+             CASE b.band
+               {band_case}
+             END AS bh
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), counts AS (
+      SELECT band, bh, count(*) AS n FROM banded GROUP BY band, bh
+    ), salted AS (
+      SELECT s.id, s.band, s.bh,
+             CASE WHEN c.n > {cap}
+                  THEN ('0x' || substr(md5(s.id || ':' || s.band || ':' ||
+                                           s.bh), 1, 15))::BIGINT
+                       % ((2 * c.n + {cap} - 1) // {cap})
+                  ELSE 0 END AS salt
+      FROM banded s JOIN counts c USING (band, bh)
+    ), grps AS (
+      SELECT band, bh, salt, count(*) AS gn
+      FROM salted GROUP BY band, bh, salt
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM salted a
+      JOIN salted b
+        ON a.band = b.band AND a.bh = b.bh AND a.salt = b.salt
+       AND a.id < b.id
+      JOIN grps g
+        ON g.band = a.band AND g.bh = a.bh AND g.salt = a.salt
+      WHERE g.gn <= {cap}
+    ), ver AS (
+      SELECT cand.id_a, cand.id_b,
+             len(list_intersect(a.sh_arr, b.sh_arr)) AS n_inter,
+             len(a.sh_arr) AS na, len(b.sh_arr) AS nb
+      FROM cand
+      JOIN arrs a ON a.id = cand.id_a
+      JOIN arrs b ON b.id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (na + nb - n_inter), 6) AS jaccard
+    FROM ver
+    WHERE n_inter / (na + nb - n_inter) >= 0.8
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_salted", _minhash_salted_oracle_sql(6))
+def dedup_minhash_salted(spark, sf_dir):
+    """MinHash LSH with ``hot_bucket='salt'`` under conditions where
+    the salt BINDS: the two-snapshot corpus plus six extra planted
+    copies of every fifth document (8-identical-copy groups), banded
+    at bands=4 x rows=2 with a deliberately low cap of 6 — every
+    planted group overruns every one of its band buckets, so with the
+    default 'drop' policy those groups would contribute ZERO pairs.
+    'salt' splits each hot bucket into ceil(2n/cap) shards keyed by a
+    per-(id, band, key) hash — decorrelated across bands — and pairs
+    generate within shards, so planted-dup recall degrades to
+    ~1-(1-1/shards)^bands per pair instead of to zero (engine:
+    operators/dedup.py bucket_candidate_pairs, salt branch).
+
+    Portability: signatures use the md5-prefix Carter-Wegman pair
+    (dedup_minhash_sig precedent), band keys are the VERBATIM slot
+    values (no band hash), and the shard hash is the md5-prefix
+    60-bit hash of ``id:band:key`` — so DuckDB replays every step
+    bit-for-bit and the oracle certifies the shard math itself. The
+    production path keeps xxhash64 everywhere (salt_hash=None).
+    Candidates are exact-verified at J >= 0.8; planted pairs that the
+    shard split parks apart stay MISSING on both engines — the cap IS
+    the semantics here, as with dedup_simhash."""
+    from tabata_spark.operators.dedup import (
+        bucket_candidate_pairs,
+        md5_hash_pair,
+        md5_token_hash,
+        minhash_signatures_from_shingles,
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(2), F.lit(7))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(planted)
+    arr = corpus.select(
+        F.col("doc_id").alias("id"),
+        token_shingles(F.col("text"), 3).alias("sh_arr"),
+    ).persist()
+    sh = arr.select("id", F.explode("sh_arr").alias("sh"))
+    sig = minhash_signatures_from_shingles(
+        sh, id_col="id", num_hashes=8, hash_pair=md5_hash_pair
+    )
+    banded = sig.select(
+        F.col("id").alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.element_at("sig", 2 * b + 1),
+                        F.element_at("sig", 2 * b + 2),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    cand = bucket_candidate_pairs(
+        banded,
+        ["band", "bh"],
+        "__id",
+        max_bucket_size=6,
+        hot_bucket="salt",
+        salt_hash=lambda idc, keys: md5_token_hash(
+            F.concat_ws(":", idc, *keys)
+        ),
+    )
+    return ngram_jaccard_pairs(
+        corpus,
+        threshold=0.8,
+        candidates=cand,
+        shingle_arrays=arr,
+    ).orderBy("id_a", "id_b")
+
+
 def _simhash_oracle_sql(
     max_hamming: int = 3, blocks: int = 4, max_bucket_size: int = 200
 ) -> str:

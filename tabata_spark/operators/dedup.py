@@ -165,6 +165,7 @@ def bucket_candidate_pairs(
     max_bucket_size: int = 100,
     precap: bool = False,
     hot_bucket: str = "drop",
+    salt_hash=None,
 ) -> DataFrame:
     """Candidate pairs from bucket membership rows (key_cols…, id):
     ONE aggregation (collect_list per bucket, size-capped) + in-array
@@ -190,6 +191,15 @@ def bucket_candidate_pairs(
       applies as a safety bound), memory stays bounded, and recall in
       hot buckets degrades to ~1/shards per band instead of zero.
       Cold buckets are untouched either way.
+
+    ``salt_hash``: optional ``(id: Column, keys: list[Column]) ->
+    Column`` producing the NONNEGATIVE long the shard is taken modulo
+    from; defaults to seeded xxhash64 (fast JVM path). Pass an
+    md5-derived hash (see :func:`md5_token_hash`) for the
+    engine-portable variant a SQL oracle can replay bit-for-bit.
+    The shard count is exact-integer ``ceil(2n/cap)`` — ``(2n + cap
+    - 1) div cap`` — so a replaying engine never disagrees on a
+    float-representation boundary.
     """
     group_cols: list = list(key_cols)
     if max_bucket_size and hot_bucket == "salt":
@@ -199,18 +209,20 @@ def bucket_candidate_pairs(
             .filter(F.col("__n") > max_bucket_size)
             .select(
                 *key_cols,
-                F.ceil(2.0 * F.col("__n") / max_bucket_size)
-                .cast("int")
-                .alias("__nsub"),
+                F.expr(
+                    f"CAST((2 * __n + {int(max_bucket_size)} - 1) "
+                    f"div {int(max_bucket_size)} AS INT)"
+                ).alias("__nsub"),
             )
         )
+        if salt_hash is None:
+            base = F.xxhash64(F.col(id_col), *[F.col(c) for c in key_cols])
+        else:
+            base = salt_hash(F.col(id_col), [F.col(c) for c in key_cols])
         keyed = keyed.join(F.broadcast(shards), key_cols, "left").withColumn(
             "__salt",
             F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
-                F.pmod(
-                    F.xxhash64(F.col(id_col), *[F.col(c) for c in key_cols]),
-                    F.col("__nsub"),
-                ).cast("int")
+                F.pmod(base, F.col("__nsub")).cast("int")
             ),
         )
         group_cols.append("__salt")
@@ -259,6 +271,7 @@ def minhash_candidates(
     materialize: str | None = "persist",
     precap: bool = False,
     hot_bucket: str = "drop",
+    salt_hash=None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, then candidate
     pairs (id_a < id_b) per (band_idx, band_hash) bucket via
@@ -282,6 +295,7 @@ def minhash_candidates(
         max_bucket_size=max_bucket_size,
         precap=precap,
         hot_bucket=hot_bucket,
+        salt_hash=salt_hash,
     )
 
 

@@ -1005,3 +1005,71 @@ def test_dedup_ingest_batch_atomic_exactly_once(spark, tmp_path):
     assert dedup_ingest_batch(spark, root, b2, txn="b2") == v2
     assert tx_read(spark, root).count() == 3
     assert len(tx_history(root)) == 2  # no third commit
+
+
+def test_salt_band_decorrelation_recovers_planted_dups(spark):
+    """The salt policy's recall claim (dedup.py bucket_candidate_pairs
+    docstring): a true pair parked in one band's hot bucket re-rolls
+    its 1/shards odds in EVERY band, because the shard hash includes
+    the band key. Plant 40 true-dup pairs whose members sit in a hot
+    bucket in all 4 bands: drop recall is ZERO, salted single-band
+    recall is partial, and the 4-band union strictly improves on the
+    best single band — the decorrelation is what a fleet of bands
+    buys. Also pins the engine-portable md5 salt_hash variant (the
+    dedup_minhash_salted oracle replays it) against the default
+    xxhash64 path: same bounded-shard structure, same planted-pair
+    guarantee."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.dedup import (
+        bucket_candidate_pairs,
+        md5_token_hash,
+    )
+
+    # 40 planted pairs (i, i+1000): both members land in bucket bh=7
+    # of every band 0..3 — an 80-member hot bucket per band (cap 10)
+    rows = []
+    for band in range(4):
+        for i in range(40):
+            rows.append((i, band, 7))
+            rows.append((1000 + i, band, 7))
+    keyed = spark.createDataFrame(rows, "__id long, band int, bh long")
+    planted = {(i, 1000 + i) for i in range(40)}
+
+    def recovered(df):
+        got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        return got & planted
+
+    drop = recovered(
+        bucket_candidate_pairs(keyed, ["band", "bh"], "__id", max_bucket_size=10)
+    )
+    assert drop == set()
+
+    one_band = recovered(
+        bucket_candidate_pairs(
+            keyed.filter(F.col("band") == 0),
+            ["band", "bh"], "__id", max_bucket_size=10, hot_bucket="salt",
+        )
+    )
+    all_bands = recovered(
+        bucket_candidate_pairs(
+            keyed, ["band", "bh"], "__id", max_bucket_size=10,
+            hot_bucket="salt",
+        )
+    )
+    # nsub = ceil(2*80/10) = 16 shards -> ~1/16 odds per band; four
+    # decorrelated bands beat any one of them on these fixed hashes
+    assert len(one_band) > 0
+    assert one_band <= all_bands
+    assert len(all_bands) > len(one_band)
+
+    portable = recovered(
+        bucket_candidate_pairs(
+            keyed, ["band", "bh"], "__id", max_bucket_size=10,
+            hot_bucket="salt",
+            salt_hash=lambda idc, keys: md5_token_hash(
+                F.concat_ws(":", idc, *keys)
+            ),
+        )
+    )
+    assert len(portable) > 0  # different hash, same structural guarantee
