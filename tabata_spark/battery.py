@@ -12682,6 +12682,74 @@ _DRIVER_WINDOW_R13 = [
 ]
 
 
+# The r14 window — the EIGHTH rotation. Head: the one query with no
+# driver hash ever (dedup_minhash_salted, new this round), then the
+# two certified queries whose executed code changed this round
+# (bucket_candidate_pairs gained the pluggable salt_hash and the
+# exact-integer shard count; dedup_minhash_lsh and dedup_containment
+# run through it via minhash_candidates), then the ENTIRE 41-query r9
+# cohort (the stalest certifications — five rounds old), then 6 r10
+# fills weighted by shared-helper families (sampling, text-ngram,
+# time-window gapfill). After a green run the oldest certification
+# moves to r10. Pinned in tests/test_battery_window.py.
+_DRIVER_WINDOW_R14 = [
+    # (a) never driver-certified
+    "dedup_minhash_salted",
+    # (b) changed code this round
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    # (c) the r9 cohort — stalest certifications
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_span_stats",
+    "dedup_span_strip",
+    "emb_int8_quant",
+    "mixture_uniform",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q_cohort_retention",
+    "q_dau_wau",
+    "q_domain_similarity",
+    "q_logrank_segments",
+    "q_mixing_plan",
+    "q_survival_km",
+    "q_zorder_key",
+    "sample_pareto",
+    "sim_hard_negatives",
+    "sim_neardup_lsh",
+    "sim_neardup_pairs",
+    "sim_pq_adc",
+    "sim_srp_project",
+    "text_fertility",
+    "text_index_search",
+    "text_pii",
+    "text_repetition",
+    "text_unigram_ppl",
+    "w_acf",
+    "w_cusum",
+    "w_ewma",
+    "w_lttb_downsample",
+    "w_m4_downsample",
+    "w_rolling_median",
+    # (d) r10 fills — shared-helper families
+    "split_assign",
+    "sample_cluster_cap",
+    "text_novelty",
+    "text_bigram_ppl",
+    "w_gapfill",
+    "w_rolling_time",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -12694,4 +12762,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R13)
+_rotate_driver_window(_DRIVER_WINDOW_R14)

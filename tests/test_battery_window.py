@@ -344,9 +344,9 @@ def _hash_green_union(files):
 
 
 def test_first_50_registration_order_is_pinned():
-    from tabata_spark.battery import _DRIVER_WINDOW_R13
+    from tabata_spark.battery import _DRIVER_WINDOW_R14
 
-    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R13 == R13_WINDOW
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R14 == R14_WINDOW
 
 
 def test_historical_windows_are_mutually_disjoint():
@@ -388,6 +388,7 @@ def test_r11_window_covers_every_never_certified_query():
         "q_emb_isotropy",
         "q_trimmed_mean_events",
         "q_dedup_keep_best",
+        "dedup_minhash_salted",  # r14
     }
     never = [  # outside this HISTORICAL invariant's universe
         n for n in QUERIES if n not in green and n not in added_after_r11
@@ -427,7 +428,7 @@ def test_r11_window_recheks_every_changed_code_query():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 215
+    assert len(QUERIES) == len(set(QUERIES)) == 216
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
@@ -644,7 +645,10 @@ def test_r13_window_leads_with_every_never_certified_query():
     files = _prior_driver_artifacts(12)
     assert len(files) >= 12, "expected the committed r1-r12 artifacts"
     green = _hash_green_union(files)
-    never = [n for n in QUERIES if n not in green]
+    added_after_r13 = {"dedup_minhash_salted"}  # r14 addition
+    never = [
+        n for n in QUERIES if n not in green and n not in added_after_r13
+    ]
     assert sorted(never) == sorted(R13_WINDOW[: len(never)]), (
         "never-certified queries must occupy the window head",
         never,
@@ -695,3 +699,113 @@ def test_r13_window_rechecks_the_r8_cohort():
         if n in head:
             continue
         assert latest.get(n) in (8, 9), (n, latest.get(n))
+
+
+R14_WINDOW = [
+    # (a) never driver-certified (new this round)
+    "dedup_minhash_salted",
+    # (b) changed code this round (bucket_candidate_pairs: salt_hash +
+    # exact-integer shard count; these two run through it)
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    # (c) the entire r9 cohort
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_span_stats",
+    "dedup_span_strip",
+    "emb_int8_quant",
+    "mixture_uniform",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q_cohort_retention",
+    "q_dau_wau",
+    "q_domain_similarity",
+    "q_logrank_segments",
+    "q_mixing_plan",
+    "q_survival_km",
+    "q_zorder_key",
+    "sample_pareto",
+    "sim_hard_negatives",
+    "sim_neardup_lsh",
+    "sim_neardup_pairs",
+    "sim_pq_adc",
+    "sim_srp_project",
+    "text_fertility",
+    "text_index_search",
+    "text_pii",
+    "text_repetition",
+    "text_unigram_ppl",
+    "w_acf",
+    "w_cusum",
+    "w_ewma",
+    "w_lttb_downsample",
+    "w_m4_downsample",
+    "w_rolling_median",
+    # (d) r10 fills
+    "split_assign",
+    "sample_cluster_cap",
+    "text_novelty",
+    "text_bigram_ppl",
+    "w_gapfill",
+    "w_rolling_time",
+]
+
+
+def test_r14_window_leads_with_every_never_certified_query():
+    # Cumulative ledger was 215/215 after r13; the only never-certified
+    # query is this round's addition and it must lead the window.
+    files = _prior_driver_artifacts(13)
+    assert len(files) >= 13, "expected the committed r1-r13 artifacts"
+    green = _hash_green_union(files)
+    never = [n for n in QUERIES if n not in green]
+    assert sorted(never) == sorted(R14_WINDOW[: len(never)]), (
+        "never-certified queries must occupy the window head",
+        never,
+    )
+
+
+def test_r14_window_rechecks_every_changed_code_query():
+    # Round-14 changed code: bucket_candidate_pairs (pluggable
+    # salt_hash, exact-integer ceil(2n/cap) shard count). Certified
+    # queries running through it: dedup_minhash_lsh and
+    # dedup_containment via minhash_candidates. (sim_neardup_lsh and
+    # dedup_incremental also do, and are already in the r9 cohort.)
+    changed = ["dedup_minhash_lsh", "dedup_containment"]
+    left_out = [n for n in changed if n not in R14_WINDOW]
+    assert left_out == [], f"changed-code queries not re-audited: {left_out}"
+    assert R14_WINDOW[1 : 1 + len(changed)] == changed
+
+
+def test_r14_window_rechecks_the_r9_cohort():
+    # Staleness invariant: every slot that is neither never-certified
+    # nor a changed-code re-check must come from the two oldest
+    # cohorts (latest green in r9 or r10), and the ENTIRE r9 cohort is
+    # present — after r14 the oldest certification moves to r10.
+    import json
+    import re as _re
+
+    files = _prior_driver_artifacts(13)
+    latest: dict[str, int] = {}
+    for f in files:
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    r9_cohort = sorted(n for n, r in latest.items() if r == 9)
+    missing = [n for n in r9_cohort if n not in R14_WINDOW]
+    assert missing == [], f"r9-stale queries left out: {missing}"
+    head = set(R14_WINDOW[:3])
+    for n in R14_WINDOW:
+        if n in head:
+            continue
+        assert latest.get(n) in (9, 10), (n, latest.get(n))
