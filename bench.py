@@ -255,6 +255,86 @@ def _time_sentinel(spark, sf_dir) -> float:
     return round(min(steady), 4)
 
 
+def run_all():
+    """``python bench.py --all`` — the one-time full-battery timing
+    pass (VERDICT r13 next-round #2): EVERY registered query (plus the
+    BENCH_EXTRA production twins) gets one cold + one steady run at
+    $SPARK_GRAFT_SF_DIR, written to BENCH_ALL.json. Not the per-round
+    driver bench (that stays min-of-steady over the HEADLINE list with
+    the sentinel protocol); this closes the blind spot where ~77
+    certified queries had neither a bench row nor a SCALE.md probe.
+    The txlog/sigidx/pipeline family rebuilds its transactional store
+    inside every call, so for those rows BOTH readings include the
+    rebuild — that is the documented reason they are excluded from the
+    per-round bench, and the cold/steady pair shown here makes the
+    rebuild share visible (cold ≈ steady ⇒ rebuild-dominated)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from tabata_spark import battery
+    from tabata_spark.session import get_spark
+
+    spark = get_spark("tabata_spark-bench-all")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    sentinel_pre = _time_sentinel(spark, sf_dir)
+    print(f"# sentinel(pre): {sentinel_pre:.3f}s", file=sys.stderr)
+
+    names = list(battery.QUERIES) + [
+        n for n in battery.BENCH_EXTRA if n not in battery.QUERIES
+    ]
+    rows: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        fn = battery.QUERIES.get(name) or battery.BENCH_EXTRA[name]
+        try:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            steady = time.perf_counter() - t0
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
+        rows[name] = {
+            "cold_s": round(cold, 4),
+            "steady_s": round(steady, 4),
+            "rows": n,
+        }
+        print(
+            f"# {name}: steady {steady:.3f}s (cold {cold:.3f}s, {n} rows)",
+            file=sys.stderr,
+        )
+    sentinel_post = _time_sentinel(spark, sf_dir)
+    print(f"# sentinel(post): {sentinel_post:.3f}s", file=sys.stderr)
+    out = {
+        "metric": "battery_all_steady_runtime",
+        "value": round(sum(r["steady_s"] for r in rows.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(rows),
+        "errors": errors,
+        "calibration": {
+            "sentinel_pre_s": sentinel_pre,
+            "sentinel_post_s": sentinel_post,
+            "ref_s": SENTINEL_REF_S,
+            "load_avg": [round(x, 2) for x in os.getloadavg()],
+        },
+        "queries": rows,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ALL.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "value", "unit", "sf", "n_queries")}))
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -384,4 +464,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv[1:]:
+        run_all()
+    else:
+        main()
