@@ -154,6 +154,9 @@ HEADLINE = [
     "q_logrank_segments",
     "q_kcore_parts",
     "q_rfm_segments",
+    # round-14 addition: salted hot-bucket minhash (md5 oracle-parity
+    # tier over the planted 8-copy corpus)
+    "dedup_minhash_salted",
     # round 12-13 additions: per-language deciles (grouped exact
     # ntile), Good-Turing trigram fof, per-source TTR, embedding
     # isotropy, per-type trimmed mean
