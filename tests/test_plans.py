@@ -618,3 +618,26 @@ def test_fact_scale_queries_have_no_global_window(spark, sf, name):
         bad.extend(_unbounded_global_window_lines(plan))
     ranking.INTERNAL_PLANS.clear()
     assert bad == [], bad
+
+
+def test_salted_candidates_broadcast_shards_no_self_join(spark):
+    """The hot_bucket='salt' path adds exactly one small frame — the
+    per-hot-key shard count — and it must meet the banded rows as a
+    BROADCAST join (the hot-key set is tiny by construction: over-cap
+    keys only). Pair generation stays the in-array expansion: no
+    sort-merge/shuffle-hash join, no window sort, anywhere in the
+    plan."""
+    from tabata_spark.operators.dedup import minhash_candidates
+
+    sig = spark.createDataFrame(
+        [(i, list(range(8))) for i in range(40)],
+        "doc_id long, sig array<bigint>",
+    )
+    df = minhash_candidates(
+        sig, bands=4, rows=2, max_bucket_size=8, hot_bucket="salt"
+    )
+    c = plan_counts(df)
+    assert c["sortmerge_joins"] == 0 and c["shuffle_hash_joins"] == 0, c
+    assert c["broadcast_joins"] >= 1, c  # the shard-count map
+    assert c["windows"] == 0, c
+    assert c["python_evals"] == 0, c
