@@ -653,6 +653,7 @@ def simhash_near_pairs(
     blocks: int = 4,
     max_bucket_size: int = 200,
     materialize: str | None = "persist",
+    hot_block: str = "drop",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks``
     16-bit prefix blocks (a pair within Hamming d < blocks must agree
@@ -661,8 +662,15 @@ def simhash_near_pairs(
     bucket_candidate_pairs; structs carry the fingerprints so no
     join-back is needed) → exact popcount filter.
 
-    Hot blocks beyond ``max_bucket_size`` are dropped (same quadratic
-    guard as minhash_candidates). ``materialize`` is unused (nothing
+    Hot blocks beyond ``max_bucket_size`` are dropped by default (same
+    quadratic guard as minhash_candidates). ``hot_block="salt"``
+    shard-splits them instead — the exact policy (and shard math:
+    exact-integer ``ceil(2n/cap)`` shards, per-(id, block) hash so a
+    Hamming-close pair re-rolls its 1/shards odds in every block it
+    agrees on) of ``bucket_candidate_pairs(hot_bucket="salt")``, whose
+    replayed-oracle certification (dedup_minhash_salted) covers this
+    code shape; boilerplate-heavy corpora keep partial recall inside
+    hot blocks instead of zero. ``materialize`` is unused (nothing
     is consumed twice anymore) and kept for signature compat."""
     width = 64 // blocks
     block_vals = F.array(
@@ -679,11 +687,36 @@ def simhash_near_pairs(
         ),
         F.posexplode(block_vals).alias("blk", "bv"),
     )
+    group_cols = ["blk", "bv"]
+    if max_bucket_size and hot_block == "salt":
+        shards = (
+            b.groupBy("blk", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select(
+                "blk",
+                "bv",
+                F.expr(
+                    f"CAST((2 * __n + {int(max_bucket_size)} - 1) "
+                    f"div {int(max_bucket_size)} AS INT)"
+                ).alias("__nsub"),
+            )
+        )
+        b = b.join(F.broadcast(shards), ["blk", "bv"], "left").withColumn(
+            "__salt",
+            F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("item.id"), F.col("blk"), F.col("bv")),
+                    F.col("__nsub"),
+                ).cast("int")
+            ),
+        )
+        group_cols.append("__salt")
     # one aggregation per block bucket (sorted by id since id is the
     # struct's first field), size-capped, then in-array pair expansion
     # — no self-join, no window sort (same shape as
     # bucket_candidate_pairs, structs carry the fingerprints along)
-    bucket = b.groupBy("blk", "bv").agg(
+    bucket = b.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list("item")).alias("__items")
     )
     if max_bucket_size:

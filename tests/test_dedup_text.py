@@ -1073,3 +1073,39 @@ def test_salt_band_decorrelation_recovers_planted_dups(spark):
         )
     )
     assert len(portable) > 0  # different hash, same structural guarantee
+
+
+def test_simhash_salt_recovers_hot_block_pairs(spark):
+    """simhash_near_pairs(hot_block='salt') — the minhash salt policy
+    on the pigeonhole join: a 200-doc cluster sharing ONE fingerprint
+    overruns every block bucket (cap 20), so 'drop' loses the whole
+    cluster; 'salt' shard-splits each hot block into ceil(2n/cap)=20
+    shards and pigeonhole (200 members, 20 shards) GUARANTEES some
+    shard holds >= 2 members — partial recall where drop has zero.
+    Cold clusters are untouched either way."""
+    from tabata_spark.operators.dedup import simhash_near_pairs
+
+    rows = [(i, 0x0123456789AB) for i in range(200)]  # hot: identical fp
+    rows += [(1000 + i, 0x7777000011112222) for i in range(5)]  # cold
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def pairs(policy):
+        return {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs(
+                fp, max_hamming=3, max_bucket_size=20, hot_block=policy
+            ).collect()
+        }
+
+    drop = pairs("drop")
+    salt = pairs("salt")
+    cold_expected = {
+        (1000 + a, 1000 + b, 0) for a in range(5) for b in range(a + 1, 5)
+    }
+    assert drop == cold_expected  # hot cluster fully lost under drop
+    assert cold_expected <= salt  # cold cluster identical under salt
+    hot = {p for p in salt if p[0] < 1000}
+    assert len(hot) > 0  # pigeonhole: recall in the hot cluster
+    assert all(h == 0 for _, _, h in hot)
+    # memory bound held: far below the quadratic C(200,2) = 19900
+    assert len(hot) < 8000
