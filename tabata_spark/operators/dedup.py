@@ -551,6 +551,7 @@ def near_dup_pairs(
     threshold: float = 0.8,
     max_bucket_size: int = 100,
     materialize: str | None = "persist",
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """The fused MinHash near-dup pipeline: the corpus is shingled
     ONCE into per-doc arrays; the explode of those arrays feeds the
@@ -560,7 +561,10 @@ def near_dup_pairs(
     verified pairs (id_a, id_b, jaccard ≥ threshold).
 
     This is the 100 TB entry point: cost = one corpus scan + one
-    shingle shuffle (signatures) + the candidate-bounded verify."""
+    shingle shuffle (signatures) + the candidate-bounded verify.
+    ``hot_bucket`` forwards to :func:`minhash_candidates` ("drop"
+    caps recall on low-entropy corpora; "salt" shard-splits over-cap
+    buckets instead — see the round-14 salt-vs-drop probe)."""
     arr = _materialize(
         df.select(
             F.col(id_col).alias("id"),
@@ -577,6 +581,7 @@ def near_dup_pairs(
         rows=rows,
         max_bucket_size=max_bucket_size,
         materialize=materialize,
+        hot_bucket=hot_bucket,
     ).select(F.col("id_a"), F.col("id_b"))
     return ngram_jaccard_pairs(
         df,

@@ -239,6 +239,44 @@ def test_near_dup_pipeline_recall_on_planted_dups(spark):
             assert r["jaccard"] == 1.0
 
 
+def test_near_dup_pairs_hot_bucket_passthrough(spark):
+    """near_dup_pairs forwards hot_bucket to the LSH stage: a 60-copy
+    boilerplate template whose band buckets all exceed the cap yields
+    ZERO pairs under 'drop' but partial recall under 'salt', while a
+    small planted pair (cold buckets) survives identically under both."""
+    from tabata_spark.operators.dedup import near_dup_pairs
+
+    words = [f"w{i}" for i in range(50)]
+    rng = np.random.default_rng(7)
+    boiler_text = " ".join(rng.choice(words, size=30))
+    docs = [(i, boiler_text) for i in range(60)]  # hot: 60 ≫ cap 10
+    pair_text = " ".join(rng.choice(words, size=30))
+    docs += [(100, pair_text), (101, pair_text)]  # cold planted pair
+    docs += [
+        (200 + i, " ".join(rng.choice(words, size=30))) for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def pairs(policy):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in near_dup_pairs(
+                df, threshold=1.0, max_bucket_size=10, hot_bucket=policy
+            ).collect()
+        }
+
+    dropped, salted = pairs("drop"), pairs("salt")
+    assert (100, 101) in dropped and (100, 101) in salted
+    hot_dropped = {p for p in dropped if p[1] < 100}
+    hot_salted = {p for p in salted if p[1] < 100}
+    assert hot_dropped == set()  # every boiler bucket is over cap
+    # salt: partial recall per band (each shard ≤ cap — the memory
+    # bound is pinned in test_bucket_salt_keeps_partial_recall); the
+    # 16 band re-rolls union toward but never past the quadratic
+    assert 0 < len(hot_salted) <= 1770  # C(60,2)
+    assert all(0 <= a < 60 and 0 <= b < 60 for a, b in hot_salted)
+
+
 def test_connected_components_chain_and_singletons(spark):
     from tabata_spark.operators.dedup import (
         connected_components,
