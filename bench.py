@@ -181,6 +181,7 @@ HEADLINE = [
     "dedup_simhash_prod",
     "a_bootstrap_ci_prod",
     "q_bloom_join_prod",
+    "dedup_minhash_salted_prod",
 ]
 
 

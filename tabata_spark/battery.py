@@ -6818,6 +6818,41 @@ def dedup_simhash_prod(spark, sf_dir):
     return simhash_near_pairs(fp, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@_bench_extra("dedup_minhash_salted_prod")
+def dedup_minhash_salted_prod(spark, sf_dir):
+    """Production salted MinHash: the same planted 8-copy corpus and
+    bands/rows/cap as dedup_minhash_salted, but through the fused
+    ``near_dup_pairs(hot_bucket='salt')`` entry point with the
+    default xxhash64 signature/shard hashes (the md5 chain in the
+    certified query exists only for DuckDB oracle replay). Benches
+    what a deployment runs on a boilerplate-heavy corpus."""
+    from tabata_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(2), F.lit(7))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(planted)
+    return near_dup_pairs(
+        corpus,
+        num_hashes=8,
+        bands=4,
+        rows=2,
+        threshold=0.8,
+        max_bucket_size=6,
+        hot_bucket="salt",
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "mixture_temp",
     """
