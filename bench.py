@@ -283,6 +283,7 @@ def run_all():
 
     spark = get_spark("tabata_spark-bench-all")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    io0 = _cpu_stat()
     sentinel_pre = _time_sentinel(spark, sf_dir)
     print(f"# sentinel(pre): {sentinel_pre:.3f}s", file=sys.stderr)
 
@@ -330,6 +331,11 @@ def run_all():
         },
         "queries": rows,
     }
+    io1 = _cpu_stat()
+    if io1[1] > io0[1]:
+        out["calibration"]["iowait_pct"] = round(
+            100.0 * (io1[0] - io0[0]) / (io1[1] - io0[1]), 2
+        )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_ALL.json"
     )
@@ -337,6 +343,22 @@ def run_all():
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("metric", "value", "unit", "sf", "n_queries")}))
+
+
+def _cpu_stat() -> tuple[int, int]:
+    """(iowait_ticks, total_ticks) from /proc/stat — the r14 lesson:
+    the CPU sentinel cannot see DISK pressure (a bench taken right
+    after the spill-heavy sf0.1 sweeps read 3-4x on checkpoint/spill
+    queries with a near-neutral host_factor). The interval iowait
+    fraction is recorded next to host_factor so an I/O-polluted
+    reading is self-identifying. Returns (0, 0) off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[4], sum(vals)
+    except Exception:
+        return 0, 0
 
 
 def main():
@@ -352,6 +374,7 @@ def main():
     spark = get_spark("tabata_spark-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    io0 = _cpu_stat()
     sentinel_pre = _time_sentinel(spark, sf_dir)
     print(f"# sentinel(pre): {sentinel_pre:.3f}s", file=sys.stderr)
 
@@ -419,6 +442,11 @@ def main():
         "ref_sf": SENTINEL_REF_SF,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
+    io1 = _cpu_stat()
+    if io1[1] > io0[1]:
+        calibration["iowait_pct"] = round(
+            100.0 * (io1[0] - io0[0]) / (io1[1] - io0[1]), 2
+        )
     normalized_total = None
     if abs(sf - SENTINEL_REF_SF) < 1e-9:
         host_factor = round(
