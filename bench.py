@@ -118,6 +118,7 @@ HEADLINE = [
     "q_dataset_fingerprint",
     "q_mixing_plan",
     "q_k_anonymity",
+    "q_dp_counts",
     "sketch_join_cardinality",
     "q_eval_slices",
     "q_heaps_fit",

@@ -9046,6 +9046,70 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def _dp_counts_oracle_sql(epsilon: float, threshold: int, salt: str) -> str:
+    """Machine-generate the DuckDB replay of the discrete-Laplace DP
+    count release: same group keys, same salted-md5 uniforms (both
+    60-bit halves of one hash), same truncated geometric inverse-CDF
+    literals (stats.geometric_cdf — shared constants, so the sampled
+    noise is bit-identical by construction), same threshold."""
+    import math as _math
+
+    from tabata_spark.operators.stats import _DENOM, geometric_cdf
+
+    cdf = geometric_cdf(_math.exp(-epsilon))
+    arms0 = " ".join(f"WHEN u0 < {c!r} THEN {k}" for k, c in enumerate(cdf))
+    arms1 = " ".join(f"WHEN u1 < {c!r} THEN {k}" for k, c in enumerate(cdf))
+    return f"""
+    WITH g AS (
+      SELECT lang, CAST(floor(n_chars / 256) AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), us AS (
+      SELECT lang, len_bucket, n,
+             (('0x' || substring(md5('{salt}:0:' || lang || ':'
+                 || CAST(len_bucket AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+               / {_DENOM!r} AS u0,
+             (('0x' || substring(md5('{salt}:0:' || lang || ':'
+                 || CAST(len_bucket AS VARCHAR)), 17, 15))::BIGINT + 1.0)
+               / {_DENOM!r} AS u1
+      FROM g
+    ), z AS (
+      SELECT lang, len_bucket,
+             n + (CASE {arms0} ELSE {len(cdf)} END)
+               - (CASE {arms1} ELSE {len(cdf)} END) AS noisy_count
+      FROM us
+    )
+    SELECT lang, len_bucket, CAST(noisy_count AS BIGINT) AS noisy_count
+    FROM z WHERE noisy_count >= {threshold}
+    ORDER BY lang, len_bucket
+    """
+
+
+@register("q_dp_counts", _dp_counts_oracle_sql(1.0, 5, "dp"))
+def q_dp_counts(spark, sf_dir):
+    """ε-differentially-private corpus-stats release (ε = 1): per
+    (lang, 256-char length bucket) document counts + two-sided-
+    geometric (discrete Laplace) noise, groups whose noisy count
+    falls under 5 suppressed — the mechanism a pipeline uses to
+    publish dataset-card statistics without exposing any single
+    document's presence; complements q_k_anonymity on the governance
+    shelf. Noise is a pure function of (group key, salt) via the same
+    salted-md5 uniforms as the bootstrap family, mapped through
+    SHARED truncated inverse-CDF literals (stats.geometric_cdf), so
+    the oracle replays every noisy count exactly and no libm ``ln``
+    enters the query. One map-side-combinable aggregation; scan reads
+    only (lang, n_chars). At 100 TB the group-key space, not the row
+    count, bounds the post-aggregation work."""
+    from tabata_spark.operators.stats import dp_release_counts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.floor(F.col("n_chars") / 256).cast("long").alias("len_bucket")
+    )
+    return dp_release_counts(
+        docs, ["lang", "len_bucket"], epsilon=1.0, threshold=5, salt="dp"
+    )
+
+
 @register(
     "sketch_join_cardinality",
     """
@@ -12730,6 +12794,7 @@ _DRIVER_WINDOW_R13 = [
 _DRIVER_WINDOW_R14 = [
     # (a) never driver-certified
     "dedup_minhash_salted",
+    "q_dp_counts",
     # (b) changed code this round
     "dedup_minhash_lsh",
     "dedup_containment",
@@ -12781,7 +12846,6 @@ _DRIVER_WINDOW_R14 = [
     "text_novelty",
     "text_bigram_ppl",
     "w_gapfill",
-    "w_rolling_time",
 ]
 
 

@@ -117,6 +117,85 @@ def bootstrap_means(
     )
 
 
+def geometric_cdf(p: float) -> tuple[float, ...]:
+    """CDF of Geometric(1-p) on {0, 1, ...}: cdf[k] = 1 - p^(k+1),
+    truncated where the tail mass p^(k+1) drops below 1e-15 (for
+    p = e^-1 that is 35 arms). Like POISSON1_CDF, these literals gate
+    the same uniforms in every engine, so the sampled value is
+    bit-identical by construction — no libm ``ln`` at query time."""
+    cdf: list[float] = []
+    k = 0
+    while True:
+        tail = p ** (k + 1)
+        cdf.append(1.0 - tail)
+        if tail < 1e-15 or k > 200:
+            return tuple(cdf)
+        k += 1
+
+
+def _geometric_sql(u_ref: str, p: float) -> str:
+    """Searched CASE mapping a (pre-projected) uniform to
+    Geometric(1-p) on {0, 1, ...} via the truncated inverse CDF."""
+    cdf = geometric_cdf(p)
+    arms = " ".join(
+        f"WHEN {u_ref} < {c!r} THEN {k}" for k, c in enumerate(cdf)
+    )
+    return f"CASE {arms} ELSE {len(cdf)} END"
+
+
+def dp_release_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    threshold: int = 5,
+    salt: str = "dp",
+    hasher: str = "md5",
+) -> DataFrame:
+    """ε-differentially-private release of per-group document counts
+    — the mechanism a pipeline uses to publish corpus statistics
+    (dataset cards, mixture reports) without exposing the presence of
+    any single document.
+
+    Per group: ``noisy_count = count + (G1 - G2)`` where each
+    G ~ Geometric(1 - e^-ε) — the difference is the two-sided
+    geometric (discrete Laplace), the exact discrete analogue of the
+    Laplace mechanism for sensitivity-1 counts (add/remove one row
+    changes exactly one disjoint group's count by 1), so the released
+    counts are ε-DP. Groups whose noisy count falls below
+    ``threshold`` are suppressed, mitigating the existence leak of
+    publishing the group-key set itself.
+
+    One scan + one aggregation; the noise is a pure function of
+    (group key, salt) via the same salted-md5 uniforms as
+    :func:`bootstrap_means` (``hasher="xxhash64"`` for the JVM fast
+    path), so releases are reproducible and the oracle replays them
+    exactly. PRODUCTION NOTE: deterministic noise means re-releasing
+    under the same salt spends no new privacy budget but re-releasing
+    under a NEW salt does — rotate salts only when accounting for the
+    additional ε."""
+    p = math.exp(-epsilon)
+    key = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in group_cols]
+    ).alias("__k")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    proj = counts.withColumn("__k", key).select(
+        *group_cols,
+        "__n",
+        F.expr(_uniform_sql(salt, 0, "__k", hasher)).alias("__u0"),
+        F.expr(_uniform_sql(salt, 1, "__k", hasher)).alias("__u1"),
+    )
+    noisy = (
+        F.col("__n")
+        + F.expr(_geometric_sql("__u0", p)).cast("long")
+        - F.expr(_geometric_sql("__u1", p)).cast("long")
+    ).alias("noisy_count")
+    return (
+        proj.select(*group_cols, noisy)
+        .filter(F.col("noisy_count") >= threshold)
+        .orderBy(*group_cols)
+    )
+
+
 def chi_squared_independence(
     df: DataFrame,
     row_col: str,

@@ -389,6 +389,7 @@ def test_r11_window_covers_every_never_certified_query():
         "q_trimmed_mean_events",
         "q_dedup_keep_best",
         "dedup_minhash_salted",  # r14
+        "q_dp_counts",  # r14
     }
     never = [  # outside this HISTORICAL invariant's universe
         n for n in QUERIES if n not in green and n not in added_after_r11
@@ -428,7 +429,7 @@ def test_r11_window_recheks_every_changed_code_query():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 216
+    assert len(QUERIES) == len(set(QUERIES)) == 217
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
@@ -645,7 +646,7 @@ def test_r13_window_leads_with_every_never_certified_query():
     files = _prior_driver_artifacts(12)
     assert len(files) >= 12, "expected the committed r1-r12 artifacts"
     green = _hash_green_union(files)
-    added_after_r13 = {"dedup_minhash_salted"}  # r14 addition
+    added_after_r13 = {"dedup_minhash_salted", "q_dp_counts"}  # r14
     never = [
         n for n in QUERIES if n not in green and n not in added_after_r13
     ]
@@ -704,6 +705,7 @@ def test_r13_window_rechecks_the_r8_cohort():
 R14_WINDOW = [
     # (a) never driver-certified (new this round)
     "dedup_minhash_salted",
+    "q_dp_counts",
     # (b) changed code this round (bucket_candidate_pairs: salt_hash +
     # exact-integer shard count; these two run through it)
     "dedup_minhash_lsh",
@@ -756,7 +758,6 @@ R14_WINDOW = [
     "text_novelty",
     "text_bigram_ppl",
     "w_gapfill",
-    "w_rolling_time",
 ]
 
 
@@ -782,7 +783,7 @@ def test_r14_window_rechecks_every_changed_code_query():
     changed = ["dedup_minhash_lsh", "dedup_containment"]
     left_out = [n for n in changed if n not in R14_WINDOW]
     assert left_out == [], f"changed-code queries not re-audited: {left_out}"
-    assert R14_WINDOW[1 : 1 + len(changed)] == changed
+    assert R14_WINDOW[2 : 2 + len(changed)] == changed
 
 
 def test_r14_window_rechecks_the_r9_cohort():
@@ -804,7 +805,7 @@ def test_r14_window_rechecks_the_r9_cohort():
     r9_cohort = sorted(n for n, r in latest.items() if r == 9)
     missing = [n for n in r9_cohort if n not in R14_WINDOW]
     assert missing == [], f"r9-stale queries left out: {missing}"
-    head = set(R14_WINDOW[:3])
+    head = set(R14_WINDOW[:4])
     for n in R14_WINDOW:
         if n in head:
             continue

@@ -223,3 +223,62 @@ def test_theilsen_recovers_slope_under_outliers(spark):
     # determinism: bit-identical on re-run
     again = theilsen_slope(df, n_pairs=64).collect()[0]
     assert again["ts_slope"] == row["ts_slope"]
+
+
+def test_dp_release_counts_python_replay_and_suppression(spark):
+    """The DP count release is a pure function of (group key, salt):
+    a hashlib replay of the md5-uniform -> geometric inverse-CDF
+    chain must predict every noisy count exactly, and a high
+    threshold must suppress exactly the groups the replay says."""
+    import hashlib
+
+    from tabata_spark.operators.stats import (
+        _DENOM,
+        dp_release_counts,
+        geometric_cdf,
+    )
+
+    rows = (
+        [("big", i) for i in range(100)]
+        + [("mid", i) for i in range(12)]
+        + [("tiny", 0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, x long")
+    cdf = geometric_cdf(math.exp(-1.0))
+
+    def replay(key: str, n: int) -> int:
+        h = hashlib.md5(f"dp:0:{key}".encode()).hexdigest()
+        gs = []
+        for start in (0, 16):
+            u = (int(h[start : start + 15], 16) + 1.0) / _DENOM
+            gs.append(next((k for k, c in enumerate(cdf) if u < c), len(cdf)))
+        return n + gs[0] - gs[1]
+
+    expected = {"big": replay("big", 100), "mid": replay("mid", 12),
+                "tiny": replay("tiny", 1)}
+
+    got = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_release_counts(df, ["grp"], threshold=-10**6).collect()
+    }
+    assert got == expected
+
+    # threshold suppression matches the replayed noisy counts
+    tau = 10
+    released = {
+        r["grp"]
+        for r in dp_release_counts(df, ["grp"], threshold=tau).collect()
+    }
+    assert released == {g for g, v in expected.items() if v >= tau}
+
+    # the xxhash64 production path: same schema, same groups released
+    # under no threshold, noise still integer-bounded by the CDF tail
+    prod = dp_release_counts(
+        df, ["grp"], threshold=-10**6, hasher="xxhash64"
+    ).collect()
+    assert {r["grp"] for r in prod} == set(expected)
+    assert all(
+        abs(r["noisy_count"] - n0) <= 2 * len(cdf)
+        for r, n0 in ((r, {"big": 100, "mid": 12, "tiny": 1}[r["grp"]])
+                      for r in prod)
+    )
