@@ -1874,6 +1874,140 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(fp, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def _simhash_salted_oracle_sql(
+    max_hamming: int = 3, blocks: int = 4, cap: int = 6
+) -> str:
+    """DuckDB bit-exact replica of SimHash with ``hot_block='salt'``
+    — the shard machinery is the thing under test, so the oracle
+    REPLAYS it (dedup_minhash_salted precedent): same md5-prefix
+    60-bit token hash and majority-vote fingerprints as
+    _simhash_oracle_sql, then per-(block, value) counts, the same
+    exact-integer ``ceil(2n/cap) = (2n+cap-1)//cap`` shard count on
+    over-cap blocks, the same md5-prefix shard hash of
+    ``id:blk:bv``, pairs within (blk, bv, shard) groups still under
+    the hard cap, then the exact popcount filter. A hash-match proves
+    the SimHash salt branch's shard math against an independent
+    engine, closing the one policy path dedup_minhash_salted's cert
+    did not reach (the pigeonhole-block variant)."""
+    width = 64 // blocks
+    counts = ",\n             ".join(
+        f"count(*) FILTER (WHERE (h >> {i}) & 1 = 1) AS c{i}" for i in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2*c{i} > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + k * 1000000 AS doc_id, text
+      FROM documents, generate_series(2, 7) AS g(k)
+      WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), cnt AS (
+      SELECT doc_id, count(*) AS n,
+             {counts}
+      FROM th GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, ({fp_terms})::BIGINT AS simhash FROM cnt
+    ), blk AS (
+      SELECT doc_id, simhash, i AS b,
+             (simhash >> (i * {width})) & {(1 << width) - 1} AS bv
+      FROM fp, range(0, {blocks}) t(i)
+    ), bsz AS (
+      SELECT b, bv, count(*) AS bn FROM blk GROUP BY b, bv
+    ), salted AS (
+      SELECT blk.doc_id, blk.simhash, blk.b, blk.bv,
+             CASE WHEN bsz.bn > {cap}
+                  THEN ('0x' || substr(md5(blk.doc_id || ':' || blk.b || ':'
+                                           || blk.bv), 1, 15))::BIGINT
+                       % ((2 * bsz.bn + {cap} - 1) // {cap})
+                  ELSE 0 END AS salt
+      FROM blk JOIN bsz ON bsz.b = blk.b AND bsz.bv = blk.bv
+    ), grps AS (
+      SELECT b, bv, salt, count(*) AS gn
+      FROM salted GROUP BY b, bv, salt
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM salted a
+      JOIN salted b
+        ON a.b = b.b AND a.bv = b.bv AND a.salt = b.salt
+       AND a.doc_id < b.doc_id
+      JOIN grps g
+        ON g.b = a.b AND g.bv = a.bv AND g.salt = a.salt
+      WHERE g.gn <= {cap}
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_salted", _simhash_salted_oracle_sql(3, 4, 6))
+def dedup_simhash_salted(spark, sf_dir):
+    """SimHash pigeonhole blocking with ``hot_block='salt'`` under
+    conditions where the salt BINDS: the two-snapshot corpus plus six
+    extra planted copies of every fifth document (8-identical-copy
+    groups, the dedup_minhash_salted corpus) at a deliberately low
+    block cap of 6 — every planted group overruns every one of its
+    four 16-bit pigeonhole blocks, so with the default 'drop' policy
+    those groups would contribute ZERO pairs. 'salt' splits each hot
+    block into ceil(2n/cap) shards keyed by a per-(id, blk, bv) hash
+    — decorrelated across blocks, so a Hamming-close pair re-rolls
+    its 1/shards odds in each of the four blocks it agrees on
+    (recall ≈ 1-(1-1/shards)^blocks per planted pair instead of
+    zero). Engine: operators/dedup.simhash_near_pairs salt branch.
+
+    Portability: fingerprints use the md5-prefix 60-bit token hash
+    (dedup_simhash precedent) and the shard hash is the md5-prefix
+    60-bit hash of ``id:blk:bv`` via ``salt_hash=`` — so DuckDB
+    replays every step bit-for-bit and the oracle certifies the
+    SimHash shard math itself, not a simulation. The production path
+    keeps xxhash64 everywhere (salt_hash=None, the planted-cluster
+    recall test covers it). Pairs the shard split parks apart stay
+    MISSING on both engines — the cap IS the semantics, as with
+    dedup_minhash_salted."""
+    from tabata_spark.operators.dedup import (
+        md5_token_hash,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(2), F.lit(7))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(planted)
+    fp = simhash(corpus, token_hash=md5_token_hash)
+    return simhash_near_pairs(
+        fp,
+        max_hamming=3,
+        max_bucket_size=6,
+        hot_block="salt",
+        salt_hash=lambda idc, keys: md5_token_hash(
+            F.concat_ws(":", idc, *keys)
+        ),
+    ).orderBy("id_a", "id_b")
+
+
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -9048,10 +9182,12 @@ def q_k_anonymity(spark, sf_dir):
 
 def _dp_counts_oracle_sql(epsilon: float, threshold: int, salt: str) -> str:
     """Machine-generate the DuckDB replay of the discrete-Laplace DP
-    count release: same group keys, same salted-md5 uniforms (both
-    60-bit halves of one hash), same truncated geometric inverse-CDF
-    literals (stats.geometric_cdf — shared constants, so the sampled
-    noise is bit-identical by construction), same threshold."""
+    count release: same SELF-DELIMITING group-key encoding (per value
+    ``v<len>:<value>``, NULL → ``n:`` — no cross-tuple collisions, no
+    NULL skip), same salted-md5 uniforms (both 60-bit halves of one
+    hash), same truncated geometric inverse-CDF literals
+    (stats.geometric_cdf — shared constants, so the sampled noise is
+    bit-identical by construction), same threshold."""
     import math as _math
 
     from tabata_spark.operators.stats import _DENOM, geometric_cdf
@@ -9059,6 +9195,16 @@ def _dp_counts_oracle_sql(epsilon: float, threshold: int, salt: str) -> str:
     cdf = geometric_cdf(_math.exp(-epsilon))
     arms0 = " ".join(f"WHEN u0 < {c!r} THEN {k}" for k, c in enumerate(cdf))
     arms1 = " ".join(f"WHEN u1 < {c!r} THEN {k}" for k, c in enumerate(cdf))
+
+    def enc(expr: str) -> str:
+        return (
+            f"CASE WHEN {expr} IS NULL THEN 'n:' "
+            f"ELSE 'v' || length({expr}) || ':' || {expr} END"
+        )
+
+    key = (
+        enc("lang") + " || " + enc("CAST(len_bucket AS VARCHAR)")
+    )
     return f"""
     WITH g AS (
       SELECT lang, CAST(floor(n_chars / 256) AS BIGINT) AS len_bucket,
@@ -9066,12 +9212,10 @@ def _dp_counts_oracle_sql(epsilon: float, threshold: int, salt: str) -> str:
       FROM documents GROUP BY 1, 2
     ), us AS (
       SELECT lang, len_bucket, n,
-             (('0x' || substring(md5('{salt}:0:' || lang || ':'
-                 || CAST(len_bucket AS VARCHAR)), 1, 15))::BIGINT + 1.0)
-               / {_DENOM!r} AS u0,
-             (('0x' || substring(md5('{salt}:0:' || lang || ':'
-                 || CAST(len_bucket AS VARCHAR)), 17, 15))::BIGINT + 1.0)
-               / {_DENOM!r} AS u1
+             (('0x' || substring(md5('{salt}:0:' || {key}), 1, 15))::BIGINT
+                 + 1.0) / {_DENOM!r} AS u0,
+             (('0x' || substring(md5('{salt}:0:' || {key}), 17, 15))::BIGINT
+                 + 1.0) / {_DENOM!r} AS u1
       FROM g
     ), z AS (
       SELECT lang, len_bucket,

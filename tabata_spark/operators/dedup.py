@@ -659,6 +659,7 @@ def simhash_near_pairs(
     max_bucket_size: int = 200,
     materialize: str | None = "persist",
     hot_block: str = "drop",
+    salt_hash=None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks``
     16-bit prefix blocks (a pair within Hamming d < blocks must agree
@@ -675,7 +676,12 @@ def simhash_near_pairs(
     agrees on) of ``bucket_candidate_pairs(hot_bucket="salt")``, whose
     replayed-oracle certification (dedup_minhash_salted) covers this
     code shape; boilerplate-heavy corpora keep partial recall inside
-    hot blocks instead of zero. ``materialize`` is unused (nothing
+    hot blocks instead of zero. ``salt_hash``: optional ``(id:
+    Column, keys: list[Column]) -> Column`` (same convention as
+    bucket_candidate_pairs) producing the nonnegative long the shard
+    is taken modulo from; defaults to seeded xxhash64. Pass an
+    md5-derived hash for the engine-portable variant a SQL oracle can
+    replay bit-for-bit. ``materialize`` is unused (nothing
     is consumed twice anymore) and kept for signature compat."""
     width = 64 // blocks
     block_vals = F.array(
@@ -707,13 +713,14 @@ def simhash_near_pairs(
                 ).alias("__nsub"),
             )
         )
+        if salt_hash is None:
+            base = F.xxhash64(F.col("item.id"), F.col("blk"), F.col("bv"))
+        else:
+            base = salt_hash(F.col("item.id"), [F.col("blk"), F.col("bv")])
         b = b.join(F.broadcast(shards), ["blk", "bv"], "left").withColumn(
             "__salt",
             F.when(F.col("__nsub").isNull(), F.lit(0)).otherwise(
-                F.pmod(
-                    F.xxhash64(F.col("item.id"), F.col("blk"), F.col("bv")),
-                    F.col("__nsub"),
-                ).cast("int")
+                F.pmod(base, F.col("__nsub")).cast("int")
             ),
         )
         group_cols.append("__salt")

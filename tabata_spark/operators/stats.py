@@ -122,14 +122,28 @@ def geometric_cdf(p: float) -> tuple[float, ...]:
     truncated where the tail mass p^(k+1) drops below 1e-15 (for
     p = e^-1 that is 35 arms). Like POISSON1_CDF, these literals gate
     the same uniforms in every engine, so the sampled value is
-    bit-identical by construction — no libm ``ln`` at query time."""
+    bit-identical by construction — no libm ``ln`` at query time.
+
+    The table is capped at 202 arms; a ``p`` whose 1e-15 tail is not
+    reached by then (for the DP release: epsilon below ~0.172, noise
+    scale ≳ 6) raises ValueError rather than silently clipping the
+    distribution — a clipped geometric would weaken the stated ε-DP
+    guarantee while still replaying consistently on both engines."""
     cdf: list[float] = []
     k = 0
     while True:
         tail = p ** (k + 1)
         cdf.append(1.0 - tail)
-        if tail < 1e-15 or k > 200:
+        if tail < 1e-15:
             return tuple(cdf)
+        if k > 200:
+            raise ValueError(
+                f"geometric_cdf(p={p!r}): tail mass {tail:.3e} has not "
+                "reached 1e-15 within 202 arms — the truncated inverse "
+                "CDF cannot honor this noise scale (for "
+                "dp_release_counts this means epsilon < ~0.172; use a "
+                "larger epsilon)"
+            )
         k += 1
 
 
@@ -169,14 +183,29 @@ def dp_release_counts(
     (group key, salt) via the same salted-md5 uniforms as
     :func:`bootstrap_means` (``hasher="xxhash64"`` for the JVM fast
     path), so releases are reproducible and the oracle replays them
-    exactly. PRODUCTION NOTE: deterministic noise means re-releasing
+    exactly. The noise key is a SELF-DELIMITING encoding of the group
+    tuple — per value ``v<len>:<value>``, NULL → ``n:`` — so distinct
+    tuples can never collide into shared noise (a plain ':'-join
+    would conflate ('a:b','c') with ('a','b:c')) and NULL group
+    values get deterministic noise instead of being silently skipped.
+    Supported epsilon floor ~0.172 (see :func:`geometric_cdf`; below
+    it the truncated CDF would clip the noise and ValueError is
+    raised). PRODUCTION NOTE: deterministic noise means re-releasing
     under the same salt spends no new privacy budget but re-releasing
     under a NEW salt does — rotate salts only when accounting for the
-    additional ε."""
+    additional ε (:func:`dp_budget`)."""
     p = math.exp(-epsilon)
-    key = F.concat_ws(
-        ":", *[F.col(c).cast("string") for c in group_cols]
-    ).alias("__k")
+    parts = []
+    for c in group_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("n:")).otherwise(
+                F.concat(
+                    F.lit("v"), F.length(s).cast("string"), F.lit(":"), s
+                )
+            )
+        )
+    key = F.concat(*parts).alias("__k")
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
     proj = counts.withColumn("__k", key).select(
         *group_cols,
@@ -194,6 +223,23 @@ def dp_release_counts(
         .filter(F.col("noisy_count") >= threshold)
         .orderBy(*group_cols)
     )
+
+
+def dp_budget(releases: list[tuple[str, float]]) -> float:
+    """Total ε spent by a sequence of :func:`dp_release_counts`
+    releases, as (salt, epsilon) pairs — the accounting the
+    PRODUCTION NOTE on that function states, made checkable.
+
+    Because the noise is a pure function of (group key, salt),
+    re-releasing under the SAME (salt, epsilon) is a bit-identical
+    replay and spends nothing new; each DISTINCT salt draws fresh
+    noise and composes sequentially (budgets add). The same salt at a
+    DIFFERENT epsilon maps the same underlying uniforms through a
+    different inverse CDF — correlated with, but not identical to,
+    the earlier release — and is charged conservatively as a fresh
+    release. Hence: total = sum of epsilon over distinct
+    (salt, epsilon) pairs."""
+    return float(sum(e for _, e in {(s, float(e)) for s, e in releases}))
 
 
 def chi_squared_independence(

@@ -1147,3 +1147,24 @@ def test_simhash_salt_recovers_hot_block_pairs(spark):
     assert all(h == 0 for _, _, h in hot)
     # memory bound held: far below the quadratic C(200,2) = 19900
     assert len(hot) < 8000
+
+    # salt_hash= (engine-portable shard hash, the oracle-replayable
+    # variant dedup_simhash_salted certifies): different hash, same
+    # structural guarantees — cold cluster intact, hot cluster
+    # partially recovered, bound held
+    from tabata_spark.operators.dedup import md5_token_hash
+
+    portable = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            fp, max_hamming=3, max_bucket_size=20, hot_block="salt",
+            salt_hash=lambda idc, keys: md5_token_hash(
+                F.concat_ws(":", idc, *keys)
+            ),
+        ).collect()
+    }
+    assert cold_expected <= portable
+    portable_hot = {p for p in portable if p[0] < 1000}
+    assert len(portable_hot) > 0
+    assert len(portable_hot) < 8000
+    assert portable_hot != hot  # genuinely different shard assignment

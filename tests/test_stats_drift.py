@@ -247,7 +247,9 @@ def test_dp_release_counts_python_replay_and_suppression(spark):
     cdf = geometric_cdf(math.exp(-1.0))
 
     def replay(key: str, n: int) -> int:
-        h = hashlib.md5(f"dp:0:{key}".encode()).hexdigest()
+        # the self-delimiting group-key encoding: v<len>:<value>
+        enc = f"v{len(key)}:{key}"
+        h = hashlib.md5(f"dp:0:{enc}".encode()).hexdigest()
         gs = []
         for start in (0, 16):
             u = (int(h[start : start + 15], 16) + 1.0) / _DENOM
@@ -282,3 +284,76 @@ def test_dp_release_counts_python_replay_and_suppression(spark):
         for r, n0 in ((r, {"big": 100, "mid": 12, "tiny": 1}[r["grp"]])
                       for r in prod)
     )
+
+
+def test_dp_release_key_encoding_no_collisions_and_null(spark):
+    """The noise key is self-delimiting: group tuples ('a:b','c') and
+    ('a','b:c') — identical under a naive ':'-join — must draw
+    DIFFERENT noise, and a NULL group value must get deterministic
+    noise (the 'n:' sentinel) instead of being dropped from the key."""
+    from tabata_spark.operators.stats import dp_release_counts
+
+    import hashlib
+
+    from tabata_spark.operators.stats import _DENOM, geometric_cdf
+
+    rows = [("a:b", "c")] * 50 + [("a", "b:c")] * 50 + [(None, "z")] * 50
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    out = {
+        (r["g1"], r["g2"]): r["noisy_count"]
+        for r in dp_release_counts(
+            df, ["g1", "g2"], threshold=-10**6
+        ).collect()
+    }
+    assert len(out) == 3  # NULL group released, not skipped
+
+    cdf = geometric_cdf(math.exp(-1.0))
+
+    def enc(v):
+        return "n:" if v is None else f"v{len(v)}:{v}"
+
+    def replay(g1, g2, n=50):
+        h = hashlib.md5(f"dp:0:{enc(g1)}{enc(g2)}".encode()).hexdigest()
+        gs = []
+        for start in (0, 16):
+            u = (int(h[start : start + 15], 16) + 1.0) / _DENOM
+            gs.append(next((k for k, c in enumerate(cdf) if u < c), len(cdf)))
+        return n + gs[0] - gs[1]
+
+    # exact replay under the self-delimiting encoding — including the
+    # NULL sentinel; the two ':'-join-colliding tuples hash DIFFERENT
+    # key strings ('v3:a:bv1:c' vs 'v1:av3:b:c') even when the drawn
+    # noise coincides
+    assert out == {k: replay(*k) for k in out}
+    assert enc("a:b") + enc("c") != enc("a") + enc("b:c")
+
+
+def test_geometric_cdf_epsilon_floor():
+    """Below the supported noise scale the truncated inverse CDF
+    would silently clip the geometric tail — it must refuse instead
+    (ADVICE r14: the 201-arm cap must not weaken the stated ε-DP
+    guarantee while parity still holds)."""
+    import pytest as _pytest
+
+    from tabata_spark.operators.stats import geometric_cdf
+
+    # supported: epsilon 1.0 and the documented floor region
+    assert geometric_cdf(math.exp(-1.0))[-1] > 1 - 1e-14
+    assert geometric_cdf(math.exp(-0.18))[-1] > 1 - 1e-14
+    with _pytest.raises(ValueError, match="epsilon"):
+        geometric_cdf(math.exp(-0.01))
+
+
+def test_dp_budget_composition():
+    """k distinct-salt releases compose to k*eps; same-(salt, eps)
+    re-release is a bit-identical replay and spends eps once; the
+    same salt at a different eps is charged as a fresh release."""
+    from tabata_spark.operators.stats import dp_budget
+
+    assert dp_budget([]) == 0.0
+    assert dp_budget([("s1", 1.0)]) == 1.0
+    assert dp_budget([("s1", 1.0), ("s1", 1.0), ("s1", 1.0)]) == 1.0
+    assert dp_budget([("s1", 1.0), ("s2", 1.0), ("s3", 1.0)]) == 3.0
+    assert dp_budget([("s1", 1.0), ("s2", 0.5)]) == 1.5
+    # same salt, different epsilon: conservative fresh charge
+    assert dp_budget([("s1", 1.0), ("s1", 0.5)]) == 1.5
