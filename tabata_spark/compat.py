@@ -301,6 +301,41 @@ class Selector(Opset):
         self._engine.variables.clear()
         self._engine.computed.clear()
 
+    # --------------------------------------------- labeling recorder
+    #
+    # The reference's ipywidgets labeling loop (instants.py:692-1058)
+    # drives exactly three state transitions; these methods replay
+    # them programmatically (widget RENDERING is out of scope — see
+    # README). A click session `slider→pos; click at seq` is
+    # `mark_viewed(pos); label(pos, seq)`, and a replayed session
+    # produces the same fit() inputs as the reference's dict
+    # assignment (instants_doc cell 14).
+
+    def mark_viewed(self, pos: int, name: str | None = None) -> "Selector":
+        """The slider-navigation transition (reference update_plot,
+        instants.py:727-740): move the cursor to ``pos`` (optionally
+        switching the displayed column to ``name``) and add the
+        position to ``viewed``."""
+        self.sigpos = pos % max(len(self.records), 1)
+        if name is not None:
+            self.colname = get_colname(self.sset.channels, name)
+        self.viewed.add(self.sigpos)
+        return self
+
+    def label(self, pos: int, seq: int, name: str | None = None) -> "Selector":
+        """The click-to-label transition (reference selection_fn,
+        instants.py:825-858): navigate to ``pos`` (marking it
+        viewed, as the slider callback does before any click can
+        land), add the DISPLAYED column to ``variables`` — the
+        reference adds ``self.colname``, i.e. labeling a curve
+        enrolls that curve as a feature — and record
+        ``selected[pos] = seq``."""
+        self.mark_viewed(pos, name)
+        if self.colname is not None:
+            self._engine.variables.add(self.colname)
+        self._engine.selected[self._name(self.sigpos)] = int(seq)
+        return self
+
     # ------------------------------------------------- model surface
 
     def fit(self) -> "Selector":

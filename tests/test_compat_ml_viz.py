@@ -140,6 +140,60 @@ def test_compat_selector_storename(tmp_path, spark, sset, flights):
     assert sel.selected == {} and sel.viewed == set() and sel.variables == set()
 
 
+def test_compat_selector_labeling_recorder(tmp_path, spark, sset):
+    """The programmatic labeling recorder replays the reference's
+    ipywidgets state transitions (instants.py:692-1058): a recorder
+    session `mark_viewed(pos); label(pos, seq)` must produce the SAME
+    fit inputs — engine-keyed selected, variables, viewed — as the
+    dict-assignment style of instants_doc cell 14 (labels/viewed/
+    variables assigned wholesale), which the reference documents as
+    the non-interactive path. Cell 14's labels are scaled into the
+    6-record/600-row fixture (pos < 6, seq // 10)."""
+    from tabata_spark.compat import Selector
+
+    # instants_doc cell 14, scaled: {0:1960, 1:1821, 3:1732, 4:1600,
+    # 5:1391, ...} -> positions < 6, seq // 10
+    labels = {0: 196, 1: 182, 3: 173, 4: 160, 5: 139}
+
+    store = str(tmp_path / "rec_store")
+    sset.save(store)
+
+    # reference style: wholesale dict assignment (cell 14)
+    ref = Selector(store, spark=spark)
+    ref.selected = dict(labels)
+    ref.viewed = set(labels)
+    ref.variables = {"ALT[m]"}
+
+    # recorder style: slider-navigate + click per label
+    rec = Selector(store, spark=spark)
+    for pos, seq in labels.items():
+        rec.mark_viewed(pos, name="ALT")  # slider transition
+        rec.label(pos, seq)  # click transition (adds colname to variables)
+
+    assert rec._engine.selected == ref._engine.selected
+    assert rec.variables == ref.variables == {"ALT[m]"}
+    assert rec.viewed == set(labels)
+    assert rec.selected == labels
+    # cursor follows the last navigation, as the widget loop's does
+    assert rec.sigpos == 5 and rec.colname == "ALT[m]"
+
+    # a viewed-but-unlabeled record joins viewed only
+    rec.mark_viewed(2)
+    assert rec.viewed == set(labels) | {2}
+    assert 2 not in rec.selected
+
+    # the recorder's labels train end-to-end exactly like cell 14's
+    rec.feature_params = dict(
+        range_width=range(10, 51, 20), range_sigma=[5, 15], max_order=2
+    )
+    rec.learn_params = dict(
+        retry_number=3, retry_percentile=80, samples_percent=0.05,
+        min_samples_split=0.05,
+    )
+    computed = rec.fit().predict()
+    assert set(computed) == set(range(len(sset.records)))
+
+
 def test_compat_tube_storename(tmp_path, spark, sset):
     """Tube(storename): cursor estimate() returns per-record bound
     arrays; scores() is a pandas frame indexed by record."""
