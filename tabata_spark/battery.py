@@ -6987,6 +6987,35 @@ def dedup_minhash_salted_prod(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@_bench_extra("dedup_simhash_salted_prod")
+def dedup_simhash_salted_prod(spark, sf_dir):
+    """Production salted SimHash: the same planted 8-copy corpus and
+    block cap as dedup_simhash_salted, but with the default xxhash64
+    token AND shard hashes (the md5 chain in the certified query
+    exists only for DuckDB oracle replay). Benches what a deployment
+    runs on a boilerplate-heavy corpus."""
+    from tabata_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(2), F.lit(7))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(planted)
+    fp = simhash(corpus)
+    return simhash_near_pairs(
+        fp, max_hamming=3, max_bucket_size=6, hot_block="salt"
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "mixture_temp",
     """
@@ -12993,6 +13022,72 @@ _DRIVER_WINDOW_R14 = [
 ]
 
 
+# Round-15 window: (a) the one never-certified query (this round's
+# dedup_simhash_salted), (b) changed-code re-checks (q_dp_counts —
+# self-delimiting noise keys; dedup_simhash — simhash_near_pairs grew
+# the salt_hash seam), (c) the ENTIRE r10 cohort (the stalest
+# certifications — five rounds old), then 11 r11 fills weighted toward
+# the dedup/text families that share helpers with this round's changed
+# module. After a green run the oldest certification moves to r11.
+# Pinned in tests/test_battery_window.py.
+_DRIVER_WINDOW_R15 = [
+    # (a) never driver-certified
+    "dedup_simhash_salted",
+    # (b) changed code this round
+    "q_dp_counts",
+    "dedup_simhash",
+    # (c) the r10 cohort — stalest certifications
+    "a_attrib_summary",
+    "a_bootstrap_by_type",
+    "a_funnel_depth",
+    "a_label_dispersion",
+    "a_quantile_transform",
+    "a_record_trend",
+    "a_robust_zscore",
+    "a_winsorize",
+    "pack_chunks",
+    "pipeline_crawl",
+    "q_ab_test",
+    "q_dataset_card",
+    "q_dataset_fingerprint",
+    "q_event_transitions",
+    "q_fuzzy_parts",
+    "q_histogram_value",
+    "q_html_extract",
+    "q_k_anonymity",
+    "q_keyness_llr",
+    "q_label_confusability",
+    "q_langid_eval",
+    "q_last_touch",
+    "q_markov_transitions",
+    "q_oov_rate",
+    "q_ppl_buckets",
+    "q_purchase_cadence",
+    "q_revenue_growth",
+    "q_rrf_fusion",
+    "q_seasonal_anomaly",
+    "q_session_sequences",
+    "q_streaks",
+    "q_type_entropy_daily",
+    "q_url_canonical",
+    "q_weighted_median",
+    "q_zipf_fit",
+    "w_rolling_time",
+    # (d) r11 fills — dedup/text families sharing this round's module
+    "dedup_exact",
+    "dedup_norm_hash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "text_tokens",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "w_tumbling",
+    "w_sessionize",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -13005,4 +13100,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R14)
+_rotate_driver_window(_DRIVER_WINDOW_R15)

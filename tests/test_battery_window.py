@@ -344,9 +344,9 @@ def _hash_green_union(files):
 
 
 def test_first_50_registration_order_is_pinned():
-    from tabata_spark.battery import _DRIVER_WINDOW_R14
+    from tabata_spark.battery import _DRIVER_WINDOW_R15
 
-    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R14 == R14_WINDOW
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R15 == R15_WINDOW
 
 
 def test_historical_windows_are_mutually_disjoint():
@@ -390,6 +390,7 @@ def test_r11_window_covers_every_never_certified_query():
         "q_dedup_keep_best",
         "dedup_minhash_salted",  # r14
         "q_dp_counts",  # r14
+        "dedup_simhash_salted",  # r15
     }
     never = [  # outside this HISTORICAL invariant's universe
         n for n in QUERIES if n not in green and n not in added_after_r11
@@ -429,7 +430,7 @@ def test_r11_window_recheks_every_changed_code_query():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 217
+    assert len(QUERIES) == len(set(QUERIES)) == 218
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
@@ -646,7 +647,10 @@ def test_r13_window_leads_with_every_never_certified_query():
     files = _prior_driver_artifacts(12)
     assert len(files) >= 12, "expected the committed r1-r12 artifacts"
     green = _hash_green_union(files)
-    added_after_r13 = {"dedup_minhash_salted", "q_dp_counts"}  # r14
+    added_after_r13 = {
+        "dedup_minhash_salted", "q_dp_counts",  # r14
+        "dedup_simhash_salted",  # r15
+    }
     never = [
         n for n in QUERIES if n not in green and n not in added_after_r13
     ]
@@ -767,7 +771,10 @@ def test_r14_window_leads_with_every_never_certified_query():
     files = _prior_driver_artifacts(13)
     assert len(files) >= 13, "expected the committed r1-r13 artifacts"
     green = _hash_green_union(files)
-    never = [n for n in QUERIES if n not in green]
+    added_after_r14 = {"dedup_simhash_salted"}  # r15
+    never = [
+        n for n in QUERIES if n not in green and n not in added_after_r14
+    ]
     assert sorted(never) == sorted(R14_WINDOW[: len(never)]), (
         "never-certified queries must occupy the window head",
         never,
@@ -810,3 +817,112 @@ def test_r14_window_rechecks_the_r9_cohort():
         if n in head:
             continue
         assert latest.get(n) in (9, 10), (n, latest.get(n))
+
+
+R15_WINDOW = [
+    # (a) never driver-certified (new this round)
+    "dedup_simhash_salted",
+    # (b) changed code this round (dp_release_counts: self-delimiting
+    # noise keys; simhash_near_pairs: salt_hash seam)
+    "q_dp_counts",
+    "dedup_simhash",
+    # (c) the entire r10 cohort
+    "a_attrib_summary",
+    "a_bootstrap_by_type",
+    "a_funnel_depth",
+    "a_label_dispersion",
+    "a_quantile_transform",
+    "a_record_trend",
+    "a_robust_zscore",
+    "a_winsorize",
+    "pack_chunks",
+    "pipeline_crawl",
+    "q_ab_test",
+    "q_dataset_card",
+    "q_dataset_fingerprint",
+    "q_event_transitions",
+    "q_fuzzy_parts",
+    "q_histogram_value",
+    "q_html_extract",
+    "q_k_anonymity",
+    "q_keyness_llr",
+    "q_label_confusability",
+    "q_langid_eval",
+    "q_last_touch",
+    "q_markov_transitions",
+    "q_oov_rate",
+    "q_ppl_buckets",
+    "q_purchase_cadence",
+    "q_revenue_growth",
+    "q_rrf_fusion",
+    "q_seasonal_anomaly",
+    "q_session_sequences",
+    "q_streaks",
+    "q_type_entropy_daily",
+    "q_url_canonical",
+    "q_weighted_median",
+    "q_zipf_fit",
+    "w_rolling_time",
+    # (d) r11 fills
+    "dedup_exact",
+    "dedup_norm_hash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "text_tokens",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "w_tumbling",
+    "w_sessionize",
+]
+
+
+def test_r15_window_leads_with_every_never_certified_query():
+    # Cumulative ledger was 217/217 after r14; the only never-certified
+    # query is this round's addition and it must lead the window.
+    files = _prior_driver_artifacts(14)
+    assert len(files) >= 14, "expected the committed r1-r14 artifacts"
+    green = _hash_green_union(files)
+    never = [n for n in QUERIES if n not in green]
+    assert sorted(never) == sorted(R15_WINDOW[: len(never)]), (
+        "never-certified queries must occupy the window head",
+        never,
+    )
+
+
+def test_r15_window_rechecks_every_changed_code_query():
+    # Round-15 changed code: dp_release_counts (self-delimiting noise
+    # key encoding — q_dp_counts' values CHANGE) and simhash_near_pairs
+    # (pluggable salt_hash; dedup_simhash runs through it on the
+    # default path).
+    changed = ["q_dp_counts", "dedup_simhash"]
+    left_out = [n for n in changed if n not in R15_WINDOW]
+    assert left_out == [], f"changed-code queries not re-audited: {left_out}"
+    assert R15_WINDOW[1 : 1 + len(changed)] == changed
+
+
+def test_r15_window_rechecks_the_r10_cohort():
+    # Staleness invariant: every slot that is neither never-certified
+    # nor a changed-code re-check must come from the two oldest
+    # cohorts (latest green in r10 or r11), and the ENTIRE r10 cohort
+    # is present — after r15 the oldest certification moves to r11.
+    import json
+    import re as _re
+
+    files = _prior_driver_artifacts(14)
+    latest: dict[str, int] = {}
+    for f in files:
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    r10_cohort = sorted(n for n, r in latest.items() if r == 10)
+    missing = [n for n in r10_cohort if n not in R15_WINDOW]
+    assert missing == [], f"r10-stale queries left out: {missing}"
+    head = set(R15_WINDOW[:3])
+    for n in R15_WINDOW:
+        if n in head:
+            continue
+        assert latest.get(n) in (10, 11), (n, latest.get(n))
