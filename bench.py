@@ -335,9 +335,13 @@ def run_all():
         "queries": rows,
     }
     io1 = _cpu_stat()
-    if io1[1] > io0[1]:
+    if io1[2] > io0[2]:
+        dt = io1[2] - io0[2]
         out["calibration"]["iowait_pct"] = round(
-            100.0 * (io1[0] - io0[0]) / (io1[1] - io0[1]), 2
+            100.0 * (io1[0] - io0[0]) / dt, 2
+        )
+        out["calibration"]["steal_pct"] = round(
+            100.0 * (io1[1] - io0[1]) / dt, 2
         )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_ALL.json"
@@ -348,20 +352,24 @@ def run_all():
                       ("metric", "value", "unit", "sf", "n_queries")}))
 
 
-def _cpu_stat() -> tuple[int, int]:
-    """(iowait_ticks, total_ticks) from /proc/stat — the r14 lesson:
-    the CPU sentinel cannot see DISK pressure (a bench taken right
-    after the spill-heavy sf0.1 sweeps read 3-4x on checkpoint/spill
-    queries with a near-neutral host_factor). The interval iowait
-    fraction is recorded next to host_factor so an I/O-polluted
-    reading is self-identifying. Returns (0, 0) off-Linux."""
+def _cpu_stat() -> tuple[int, int, int]:
+    """(iowait_ticks, steal_ticks, total_ticks) from /proc/stat — the
+    r14 lesson: the CPU sentinel cannot see DISK pressure (a bench
+    taken right after the spill-heavy sf0.1 sweeps read 3-4x on
+    checkpoint/spill queries with a near-neutral host_factor); the r15
+    lesson: on a VM it cannot reliably see HYPERVISOR STEAL either
+    (intermittent co-tenant bursts read the query mix ~1.13x with
+    at-neutral sentinels — vmstat showed 2-5% st). The interval iowait
+    and steal fractions are recorded next to host_factor so a polluted
+    reading is self-identifying. Returns (0, 0, 0) off-Linux."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return vals[4], sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+        return vals[4], steal, sum(vals)
     except Exception:
-        return 0, 0
+        return 0, 0, 0
 
 
 def main():
@@ -491,9 +499,13 @@ def main():
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     io1 = _cpu_stat()
-    if io1[1] > io0[1]:
+    if io1[2] > io0[2]:
+        dt = io1[2] - io0[2]
         calibration["iowait_pct"] = round(
-            100.0 * (io1[0] - io0[0]) / (io1[1] - io0[1]), 2
+            100.0 * (io1[0] - io0[0]) / dt, 2
+        )
+        calibration["steal_pct"] = round(
+            100.0 * (io1[1] - io0[1]) / dt, 2
         )
     if retimed:
         # full per-query retime records go to the detail file; the
@@ -523,6 +535,13 @@ def main():
                 f"suspect: disk pressure (interval iowait"
                 f" {calibration['iowait_pct']}%) — spill/checkpoint"
                 " queries may read high; let writeback drain and re-run"
+            )
+        elif calibration.get("steal_pct", 0.0) > 2.0:
+            flag = (
+                f"suspect: hypervisor steal (interval steal"
+                f" {calibration['steal_pct']}%) — a co-tenant is taking"
+                " cycles; readings are uniformly inflated beyond what"
+                " the sentinel can normalize"
             )
     if flag:
         print(f"# FLAG: {flag}", file=sys.stderr)
