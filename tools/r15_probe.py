@@ -14,14 +14,19 @@ Sharding is a PARTITION of the candidate set — the union of slice
 outputs is set-identical to the monolithic output (asserted via the
 pair count), so recall is untouched by construction.
 
-    python tools/r15_probe.py [n_docs] [dup_rate] [mode] [K]
-      mode: mono (default) | sharded
+    python tools/r15_probe.py [n_docs] [dup_rate] [mode] [K] [dir]
+      mode: mono (default) | sharded | prep | verify-mono | verify-sharded
 
-Run the two modes as SEPARATE invocations: the JVM never returns
-heap to the OS, so a single-process A/B would let the first mode's
-peak mask the second's. Corpus shape is identical to tools/
-r14_probe.py (groups of 4 consecutive ids, dup_rate collapse onto
-the group head's 40 base tokens + 0-2 per-doc suffix tokens).
+Run the modes as SEPARATE invocations: the JVM never returns heap to
+the OS, so a single-process A/B would let the first mode's peak mask
+the second's. In particular the candidate stage peaks ~52 GiB at 20M
+docs, masking the verify stage's own footprint in-process — the
+``prep`` mode therefore writes corpus + candidates to ``dir`` once,
+and ``verify-mono`` / ``verify-sharded`` load them in FRESH processes
+so each verify variant's peak RSS is its own. Corpus shape is
+identical to tools/r14_probe.py (groups of 4 consecutive ids,
+dup_rate collapse onto the group head's 40 base tokens + 0-2 per-doc
+suffix tokens).
 """
 
 from __future__ import annotations
@@ -38,12 +43,77 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from r14_probe import PeakRss  # noqa: E402
 
 
+def _verify_phase(out, mode, n_shards, work_dir):
+    """Fresh-process verify A/B: load the prepped corpus + candidate
+    parquet, build + persist the shingle arrays (one corpus scan —
+    timed separately, shared by both variants), then verify either in
+    one job or in K sequential candidate-hash slices. Peak RSS here
+    is the verify variant's OWN footprint."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.dedup import ngram_jaccard_pairs, token_shingles
+    from tabata_spark.session import get_spark
+
+    spark = get_spark("r15-verify-" + mode)
+    docs = spark.read.parquet(os.path.join(work_dir, "corpus"))
+    cand = spark.read.parquet(os.path.join(work_dir, "candidates"))
+    with PeakRss() as rss:
+        arr = docs.select(
+            F.col("doc_id").alias("id"),
+            token_shingles(F.col("text"), 3).alias("sh_arr"),
+        ).persist()
+        t0 = time.perf_counter()
+        out["n_arr"] = arr.count()
+        out["arr_build_s"] = round(time.perf_counter() - t0, 2)
+        out["peak_rss_after_arr_mib"] = round(rss.peak_mib, 1)
+        t0 = time.perf_counter()
+        if mode == "verify-mono":
+            n_pairs = ngram_jaccard_pairs(
+                docs, threshold=0.8, candidates=cand, shingle_arrays=arr
+            ).count()
+        else:
+            out["n_shards"] = n_shards
+            slice_walls = []
+            n_pairs = 0
+            shard = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_shards))
+            for k in range(n_shards):
+                tk = time.perf_counter()
+                n_pairs += ngram_jaccard_pairs(
+                    docs,
+                    threshold=0.8,
+                    candidates=cand.filter(shard == k),
+                    shingle_arrays=arr,
+                ).count()
+                slice_walls.append(round(time.perf_counter() - tk, 2))
+                print(
+                    f"# verify slice {k}: {slice_walls[-1]}s"
+                    f" (cum pairs {n_pairs},"
+                    f" rss {round(rss.peak_mib, 1)} MiB)",
+                    file=sys.stderr,
+                )
+            out["verify_slice_walls_s"] = slice_walls
+        out["verify_s"] = round(time.perf_counter() - t0, 2)
+        out["n_pairs"] = n_pairs
+    out["peak_rss_mib"] = round(rss.peak_mib, 1)
+    print(json.dumps(out))
+
+
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     dup_rate = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
     mode = sys.argv[3] if len(sys.argv) > 3 else "mono"
     n_shards = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    assert mode in ("mono", "sharded"), mode
+    work_dir = sys.argv[5] if len(sys.argv) > 5 else None
+    assert mode in (
+        "mono", "sharded", "prep", "verify-mono", "verify-sharded"
+    ), mode
+
+    if mode in ("verify-mono", "verify-sharded"):
+        assert work_dir, "verify modes need the prep dir as argv[5]"
+        _verify_phase(
+            {"n_docs": n_docs, "mode": mode}, mode, n_shards, work_dir
+        )
+        return
 
     from pyspark.sql import functions as F
 
@@ -83,7 +153,7 @@ def main():
             F.slice(F.array(*[suf(i) for i in range(2)]), F.lit(1), n_suffix),
         ).alias("text"),
     )
-    tmp = tempfile.mkdtemp(prefix="r15_probe_")
+    tmp = work_dir or tempfile.mkdtemp(prefix="r15_probe_")
     path = os.path.join(tmp, "corpus")
     t0 = time.perf_counter()
     corpus.write.mode("overwrite").parquet(path)
@@ -117,6 +187,17 @@ def main():
             f" rss {out['peak_rss_after_cand_mib']} MiB)",
             file=sys.stderr,
         )
+
+        if mode == "prep":
+            t0 = time.perf_counter()
+            cand.write.mode("overwrite").parquet(
+                os.path.join(tmp, "candidates")
+            )
+            out["candidates_write_s"] = round(time.perf_counter() - t0, 2)
+            out["work_dir"] = tmp
+            out["peak_rss_mib"] = round(rss.peak_mib, 1)
+            print(json.dumps(out))
+            return
 
         # -- stage 2: exact-Jaccard verify -----------------------------
         t0 = time.perf_counter()
