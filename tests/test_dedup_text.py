@@ -277,6 +277,75 @@ def test_near_dup_pairs_hot_bucket_passthrough(spark):
     assert all(0 <= a < 60 and 0 <= b < 60 for a, b in hot_salted)
 
 
+def test_near_dup_pairs_staged_matches_lazy(spark):
+    """near_dup_pairs_staged is the bounded-memory sequential form of
+    near_dup_pairs (SCALE.md r15 probes): band-group candidate passes
+    are a partition of the one-job candidate set and verify slices a
+    partition of the candidates, so the verified pair set must be
+    IDENTICAL to the lazy pipeline's — across degenerate (1,1), even,
+    and non-dividing band_groups, and under the salt policy."""
+    from pyspark.sql import functions as F
+
+    from tabata_spark.operators.dedup import (
+        near_dup_pairs,
+        near_dup_pairs_staged,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(30):
+        t = " ".join(rng.choice(words, size=25))
+        docs.append((2 * i, t))
+        if i % 3 == 0:
+            docs.append((2 * i + 1, t))  # planted exact dup
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def key(frame):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in frame.collect()
+        }
+
+    lazy = key(near_dup_pairs(df, threshold=0.8, max_bucket_size=10))
+    assert len(lazy) >= 10  # the planted dups are found at all
+    for bg, vs in [(1, 1), (4, 3), (5, 8)]:  # 5 does not divide 16
+        staged = key(
+            near_dup_pairs_staged(
+                df,
+                threshold=0.8,
+                max_bucket_size=10,
+                band_groups=bg,
+                verify_slices=vs,
+            )
+        )
+        assert staged == lazy, (bg, vs)
+
+    # salt policy passthrough parity on a hot corpus
+    boiler = " ".join(rng.choice(words, size=25))
+    hot = df.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, boiler) for i in range(40)], "doc_id long, text string"
+        )
+    )
+    lazy_salt = key(
+        near_dup_pairs(hot, threshold=0.8, max_bucket_size=10,
+                       hot_bucket="salt")
+    )
+    staged_salt = key(
+        near_dup_pairs_staged(hot, threshold=0.8, max_bucket_size=10,
+                              band_groups=4, verify_slices=2,
+                              hot_bucket="salt")
+    )
+    assert staged_salt == lazy_salt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        near_dup_pairs_staged(df, band_groups=0)
+    with _pytest.raises(ValueError):
+        near_dup_pairs_staged(df, verify_slices=0)
+
+
 def test_connected_components_chain_and_singletons(spark):
     from tabata_spark.operators.dedup import (
         connected_components,
