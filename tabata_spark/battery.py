@@ -1788,6 +1788,104 @@ def dedup_minhash_salted(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _ngram_allpairs_planted_sql(threshold: float) -> str:
+    """DuckDB all-pairs exact n-gram Jaccard ground truth over the
+    two-snapshot corpus PLUS three planted extra copies of every tenth
+    document (5-identical-copy groups) — the ``_ngram_allpairs_sql``
+    construction with a hot arm. Total recall at ``threshold`` still
+    holds (planted pairs are J=1.0; the organic corpus has no pairs
+    between J=0.2 and J≈0.85), so this stays a pure ground-truth
+    oracle: no LSH, no banding, no staging is modeled — which is the
+    point when certifying a STAGED engine pipeline, because any
+    band-group or verify-slice seam that loses or duplicates a pair
+    breaks the hash match."""
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + k * 1000000 AS doc_id, text
+      FROM documents, generate_series(2, 4) AS g(k)
+      WHERE doc_id % 10 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS sh
+      FROM toks
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_staged", _ngram_allpairs_planted_sql(0.8))
+def dedup_minhash_staged(spark, sf_dir):
+    """The bounded-memory SEQUENTIAL dedup recipe, driver-certified
+    end-to-end (VERDICT r15 next-round #5): ``near_dup_pairs_staged``
+    with band_groups=4 and verify_slices=8 over the two-snapshot
+    corpus plus planted 5-copy groups (every tenth document) — the
+    production entry point whose staged seams the r15 20M-doc probes
+    measured (SCALE.md: per-pass working set ∝ 1/groups, verify 5.4×
+    faster at flat RSS in 8 slices).
+
+    What the hash-match certifies: the result set of the staged form
+    is PARTITION-INVARIANT by design — each band group's candidate
+    pass is a partition of the one-job candidate set and the
+    cross-group distinct union restores it exactly; the verify slices
+    partition the candidate set by pair hash and their union restores
+    it exactly — so staged output ≡ lazy output ≡ all-pairs ground
+    truth at J ≥ 0.8 (total recall per the dedup_minhash_lsh
+    argument: bands=16 × rows=2 puts the miss probability at ~1e-7
+    for J=0.8, the planted groups collide in EVERY band, and bucket
+    sizes stay far under the default cap). The planted 5-copy groups
+    make every band group re-discover the SAME dense pair set, so the
+    distinct-union seam does real dedup work (4× overlap) instead of
+    passing disjoint sets through, and the oracle — a pure DuckDB
+    all-pairs ground truth with no staging model — red-flags any
+    seam that loses or duplicates a pair. Reference for the staged
+    semantics: operators/dedup.py near_dup_pairs_staged."""
+    from tabata_spark.operators.dedup import near_dup_pairs_staged
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(2), F.lit(4))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(planted)
+    return near_dup_pairs_staged(
+        corpus,
+        num_hashes=32,
+        bands=16,
+        rows=2,
+        threshold=0.8,
+        band_groups=4,
+        verify_slices=8,
+    ).orderBy("id_a", "id_b")
+
+
 def _simhash_oracle_sql(
     max_hamming: int = 3, blocks: int = 4, max_bucket_size: int = 200
 ) -> str:
@@ -13088,6 +13186,70 @@ _DRIVER_WINDOW_R15 = [
 ]
 
 
+_DRIVER_WINDOW_R16 = [
+    # (a) never driver-certified — the r16 addition
+    "dedup_minhash_staged",
+    # (b) changed code this round: NONE of the 218 previously
+    # registered queries' code paths changed in r16 (near_dup_pairs_
+    # staged gained unpersists + sig_store and is used only by the new
+    # query above; stats.dp_budget and compat.Selector are not in any
+    # query path; bench.py is not correctness)
+    # (c) the r11 cohort — stalest certifications (VERDICT r15 #1)
+    "a_label_centroids",
+    "a_quadratic_trend",
+    "decontaminate",
+    "dedup_ingest_pipeline",
+    "mixture_temp",
+    "q1_pricing_summary",
+    "q_assoc_brands",
+    "q_eval_slices",
+    "q_histogram_depth",
+    "q_json_events",
+    "q_sigidx_probe",
+    "q_string_funcs",
+    "q_txlog_merge",
+    "q_txlog_orders",
+    "q_txlog_zorder",
+    "q_type_crosscorr",
+    "sample_domain_cap_weighted",
+    "sim_ivf_ann",
+    "sim_ivf_knn_batch",
+    "sim_knn_join",
+    "sim_lsh_ann",
+    "sim_semantic_dedup",
+    "sim_topk_cosine",
+    "text_bpe_tokens",
+    "text_chunks",
+    "text_collocations",
+    "text_gopher",
+    # (d) r12 fills to 50 — first 22 of the 42-query r12 cohort in
+    # alphabetical order (deterministic, auditable rule; the remaining
+    # 20 form the r17 staleness floor)
+    "a_detect_error",
+    "a_out_of_tube",
+    "a_standardize",
+    "a_user_summary",
+    "a_winsorize_events",
+    "j_highlight",
+    "j_slice_left",
+    "multimodal_features",
+    "pipeline_end_to_end",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_anti_parts",
+    "q_bloom_join",
+    "q_cube_orders",
+    "q_distinct_parts",
+    "q_except_customers",
+    "q_gini_sources",
+    "q_kmv_overlap",
+    "q_label_propagation",
+    "q_month_revenue",
+    "q_quantiles",
+    "q_rollup_nation",
+]
+
+
 def _rotate_driver_window(window: list[str]) -> None:
     missing = [n for n in window if n not in QUERIES]
     if missing:
@@ -13100,4 +13262,4 @@ def _rotate_driver_window(window: list[str]) -> None:
         d.update(snapshot)
 
 
-_rotate_driver_window(_DRIVER_WINDOW_R15)
+_rotate_driver_window(_DRIVER_WINDOW_R16)

@@ -234,6 +234,11 @@ class Selector(Opset):
     # ------------------------------------------------- pos <-> name
 
     def _name(self, pos: int) -> str:
+        if not self.records:
+            raise ValueError(
+                "Selector store has no records — nothing to view or"
+                " label (the store exists but is empty)"
+            )
         return self.records[pos % len(self.records)]
 
     def _pos_map(self, by_name: dict[str, int]) -> dict[int, int]:
@@ -315,8 +320,15 @@ class Selector(Opset):
         """The slider-navigation transition (reference update_plot,
         instants.py:727-740): move the cursor to ``pos`` (optionally
         switching the displayed column to ``name``) and add the
-        position to ``viewed``."""
-        self.sigpos = pos % max(len(self.records), 1)
+        position to ``viewed``. Raises a descriptive ValueError on an
+        empty store (Selector only requires that the store EXIST;
+        labeling needs at least one record)."""
+        if not self.records:
+            raise ValueError(
+                "Selector store has no records — nothing to view or"
+                " label (the store exists but is empty)"
+            )
+        self.sigpos = pos % len(self.records)
         if name is not None:
             self.colname = get_colname(self.sset.channels, name)
         self.viewed.add(self.sigpos)

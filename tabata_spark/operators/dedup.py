@@ -608,6 +608,7 @@ def near_dup_pairs_staged(
     verify_slices: int = 8,
     hot_bucket: str = "drop",
     salt_hash=None,
+    sig_store: str | None = None,
 ) -> DataFrame:
     """:func:`near_dup_pairs` executed as SEQUENTIAL bounded-memory
     passes — the single-node (or per-executor-group) form of the
@@ -633,7 +634,26 @@ def near_dup_pairs_staged(
     cluster; use this when the candidate or verify shuffle would
     spill (boilerplate-heavy corpora, single fat node, or a capped
     executor group). Returns the verified (id_a, id_b, jaccard)
-    pairs, all slices persisted."""
+    pairs, all slices persisted.
+
+    Intermediates are UNPERSISTED as soon as a later pass supersedes
+    them — the signature table and per-group candidate parts after
+    the distinct union is materialized, the shingle arrays and the
+    candidate set after the last verify slice — so repeated calls do
+    not accumulate executor storage; only the returned verified
+    slices stay cached.
+
+    ``sig_store``: optional parquet path; the (``id_col``, sig)
+    signature table — THE thing to persist between ingests — is
+    written there before the candidate passes, so the corpus-sized
+    signature stage (the pipeline's most expensive aggregation,
+    907.6 s at 20M docs in the r14 probe) is paid once per corpus:
+    later batches hand the stored table to
+    :func:`incremental_near_dup` via ``corpus_sigs=`` (or
+    :func:`read_signature_store`) and pay only batch-sized work.
+    Store and reader agree as long as ``num_hashes``/``shingle_n``
+    match between the staged build and the ingest calls (both
+    default 32/3) and the default xxhash64 hash pair is used."""
     if not 1 <= band_groups <= bands:
         raise ValueError(f"band_groups must be in [1, {bands}]")
     if verify_slices < 1:
@@ -646,6 +666,10 @@ def near_dup_pairs_staged(
     sig = minhash_signatures_from_shingles(
         sh, id_col="id", num_hashes=num_hashes
     ).persist()
+    if sig_store is not None:
+        sig.select(F.col("id").alias(id_col), "sig").write.mode(
+            "overwrite"
+        ).parquet(sig_store)
     banded = sig.select(
         F.col("id").alias("__id"),
         F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
@@ -671,6 +695,14 @@ def near_dup_pairs_staged(
         cand = cand.unionByName(p)
     cand = cand.distinct().persist() if len(cand_parts) > 1 else cand_parts[0]
     cand.count()
+    # the distinct union supersedes the per-group parts, and nothing
+    # past the candidate passes reads signatures — free both now so
+    # the verify stage starts from the bounded working set the
+    # function exists to provide
+    sig.unpersist()
+    if len(cand_parts) > 1:
+        for p in cand_parts:
+            p.unpersist()
     shard = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(int(verify_slices)))
     out_parts = []
     for k in range(verify_slices):
@@ -686,10 +718,33 @@ def near_dup_pairs_staged(
         ).persist()
         v.count()
         out_parts.append(v)
+    # every slice is materialized — the shingle arrays and the
+    # candidate set have served their purpose
+    arr.unpersist()
+    cand.unpersist()
     out = out_parts[0]
     for v in out_parts[1:]:
         out = out.unionByName(v)
     return out
+
+
+def read_signature_store(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Read a signature store written by
+    :func:`near_dup_pairs_staged(sig_store=...)` — the (``id_col``,
+    sig: array<bigint>) table a recurring ingest hands to
+    :func:`incremental_near_dup` as ``corpus_sigs`` so the corpus
+    signature stage is never recomputed. Validates the contract
+    (both columns present) so a wrong path fails at read time with a
+    clear message, not deep inside the ingest join."""
+    sigs = spark.read.parquet(path)
+    missing = {id_col, "sig"} - set(sigs.columns)
+    if missing:
+        raise ValueError(
+            f"signature store at {path!r} is missing column(s) "
+            f"{sorted(missing)}; expected ({id_col!r}, 'sig') as "
+            "written by near_dup_pairs_staged(sig_store=...)"
+        )
+    return sigs.select(id_col, "sig")
 
 
 def simhash(

@@ -193,7 +193,19 @@ def dp_release_counts(
     raised). PRODUCTION NOTE: deterministic noise means re-releasing
     under the same salt spends no new privacy budget but re-releasing
     under a NEW salt does — rotate salts only when accounting for the
-    additional ε (:func:`dp_budget`)."""
+    additional ε (:func:`dp_budget`).
+
+    MIGRATION NOTE (noise-breaking, round 15): the self-delimiting
+    key encoding above replaced a plain ``':'``-join — a correctness
+    fix (injectivity + NULL handling), but it changes the uniform
+    drawn for every pre-existing (salt, group-key) pair, so outputs
+    published under the old encoding will NOT reproduce, and a
+    re-release of an old table under its old salt draws FRESH
+    correlated noise: per :func:`dp_budget` semantics that is an
+    additional ε spend, not a free replay. Account any post-migration
+    re-release under a pre-migration salt as a new release (give it
+    a distinct ``release_id``), or rotate to a new salt explicitly
+    so the break is visible in the ledger."""
     p = math.exp(-epsilon)
     parts = []
     for c in group_cols:
@@ -225,21 +237,37 @@ def dp_release_counts(
     )
 
 
-def dp_budget(releases: list[tuple[str, float]]) -> float:
+def dp_budget(releases: list[tuple]) -> float:
     """Total ε spent by a sequence of :func:`dp_release_counts`
-    releases, as (salt, epsilon) pairs — the accounting the
-    PRODUCTION NOTE on that function states, made checkable.
+    releases, as ``(salt, epsilon)`` or ``(salt, epsilon,
+    release_id)`` tuples — the accounting the PRODUCTION NOTE on that
+    function states, made checkable.
 
     Because the noise is a pure function of (group key, salt),
-    re-releasing under the SAME (salt, epsilon) is a bit-identical
-    replay and spends nothing new; each DISTINCT salt draws fresh
-    noise and composes sequentially (budgets add). The same salt at a
-    DIFFERENT epsilon maps the same underlying uniforms through a
-    different inverse CDF — correlated with, but not identical to,
-    the earlier release — and is charged conservatively as a fresh
-    release. Hence: total = sum of epsilon over distinct
-    (salt, epsilon) pairs."""
-    return float(sum(e for _, e in {(s, float(e)) for s, e in releases}))
+    re-releasing the SAME release (same table, same grouping) under
+    the SAME (salt, epsilon) is a bit-identical replay and spends
+    nothing new; each DISTINCT salt draws fresh noise and composes
+    sequentially (budgets add). The same salt at a DIFFERENT epsilon
+    maps the same underlying uniforms through a different inverse
+    CDF — correlated with, but not identical to, the earlier
+    release — and is charged conservatively as a fresh release.
+
+    ``release_id`` is the identity of WHAT was released (table +
+    group spec, e.g. ``"documents:source,lang"``): two DIFFERENT
+    releases under the same (salt, epsilon) — easy to produce, since
+    both ``salt='dp'`` and ``epsilon=1.0`` are defaults — are NOT
+    replays of each other and must each be charged, so the dedup key
+    is the full (salt, epsilon, release_id) tuple. The 2-tuple form
+    remains accepted for the caller who guarantees one salt is never
+    reused across distinct releases (it normalizes to
+    ``release_id=""``); when a salt IS shared across releases, omit
+    the id and this function would UNDER-report — pass the id.
+    Hence: total = sum of epsilon over distinct
+    (salt, epsilon, release_id) tuples."""
+    seen = {
+        (r[0], float(r[1]), r[2] if len(r) > 2 else "") for r in releases
+    }
+    return float(sum(e for _, e, _ in seen))
 
 
 def chi_squared_independence(

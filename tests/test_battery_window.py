@@ -344,9 +344,9 @@ def _hash_green_union(files):
 
 
 def test_first_50_registration_order_is_pinned():
-    from tabata_spark.battery import _DRIVER_WINDOW_R15
+    from tabata_spark.battery import _DRIVER_WINDOW_R16
 
-    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R15 == R15_WINDOW
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW_R16 == R16_WINDOW
 
 
 def test_historical_windows_are_mutually_disjoint():
@@ -391,6 +391,7 @@ def test_r11_window_covers_every_never_certified_query():
         "dedup_minhash_salted",  # r14
         "q_dp_counts",  # r14
         "dedup_simhash_salted",  # r15
+        "dedup_minhash_staged",  # r16
     }
     never = [  # outside this HISTORICAL invariant's universe
         n for n in QUERIES if n not in green and n not in added_after_r11
@@ -430,7 +431,7 @@ def test_r11_window_recheks_every_changed_code_query():
 def test_rotation_preserves_the_full_battery():
     # Rotation must reorder, never drop/duplicate, and ORACLES must
     # stay aligned with QUERIES.
-    assert len(QUERIES) == len(set(QUERIES)) == 218
+    assert len(QUERIES) == len(set(QUERIES)) == 219
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
@@ -650,6 +651,7 @@ def test_r13_window_leads_with_every_never_certified_query():
     added_after_r13 = {
         "dedup_minhash_salted", "q_dp_counts",  # r14
         "dedup_simhash_salted",  # r15
+        "dedup_minhash_staged",  # r16
     }
     never = [
         n for n in QUERIES if n not in green and n not in added_after_r13
@@ -771,7 +773,10 @@ def test_r14_window_leads_with_every_never_certified_query():
     files = _prior_driver_artifacts(13)
     assert len(files) >= 13, "expected the committed r1-r13 artifacts"
     green = _hash_green_union(files)
-    added_after_r14 = {"dedup_simhash_salted"}  # r15
+    added_after_r14 = {
+        "dedup_simhash_salted",  # r15
+        "dedup_minhash_staged",  # r16
+    }
     never = [
         n for n in QUERIES if n not in green and n not in added_after_r14
     ]
@@ -884,7 +889,10 @@ def test_r15_window_leads_with_every_never_certified_query():
     files = _prior_driver_artifacts(14)
     assert len(files) >= 14, "expected the committed r1-r14 artifacts"
     green = _hash_green_union(files)
-    never = [n for n in QUERIES if n not in green]
+    added_after_r15 = {"dedup_minhash_staged"}  # r16
+    never = [
+        n for n in QUERIES if n not in green and n not in added_after_r15
+    ]
     assert sorted(never) == sorted(R15_WINDOW[: len(never)]), (
         "never-certified queries must occupy the window head",
         never,
@@ -926,3 +934,119 @@ def test_r15_window_rechecks_the_r10_cohort():
         if n in head:
             continue
         assert latest.get(n) in (10, 11), (n, latest.get(n))
+
+
+R16_WINDOW = [
+    # (a) never driver-certified (new this round)
+    "dedup_minhash_staged",
+    # (b) changed code this round: NONE — r16 touched only code
+    # outside every previously registered query's path (near_dup_
+    # pairs_staged, used solely by the new query above; stats.
+    # dp_budget, a pure helper no query calls; compat.Selector;
+    # bench.py)
+    # (c) the entire r11 cohort — stalest certifications
+    "a_label_centroids",
+    "a_quadratic_trend",
+    "decontaminate",
+    "dedup_ingest_pipeline",
+    "mixture_temp",
+    "q1_pricing_summary",
+    "q_assoc_brands",
+    "q_eval_slices",
+    "q_histogram_depth",
+    "q_json_events",
+    "q_sigidx_probe",
+    "q_string_funcs",
+    "q_txlog_merge",
+    "q_txlog_orders",
+    "q_txlog_zorder",
+    "q_type_crosscorr",
+    "sample_domain_cap_weighted",
+    "sim_ivf_ann",
+    "sim_ivf_knn_batch",
+    "sim_knn_join",
+    "sim_lsh_ann",
+    "sim_semantic_dedup",
+    "sim_topk_cosine",
+    "text_bpe_tokens",
+    "text_chunks",
+    "text_collocations",
+    "text_gopher",
+    # (d) r12 fills to 50 — first 22 of the 42-query r12 cohort,
+    # alphabetical (deterministic rule; the other 20 are the r17 floor)
+    "a_detect_error",
+    "a_out_of_tube",
+    "a_standardize",
+    "a_user_summary",
+    "a_winsorize_events",
+    "j_highlight",
+    "j_slice_left",
+    "multimodal_features",
+    "pipeline_end_to_end",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_anti_parts",
+    "q_bloom_join",
+    "q_cube_orders",
+    "q_distinct_parts",
+    "q_except_customers",
+    "q_gini_sources",
+    "q_kmv_overlap",
+    "q_label_propagation",
+    "q_month_revenue",
+    "q_quantiles",
+    "q_rollup_nation",
+]
+
+
+def test_r16_window_leads_with_every_never_certified_query():
+    # Cumulative ledger was 218/218 after r15; the only never-certified
+    # query is this round's addition and it must lead the window.
+    files = _prior_driver_artifacts(15)
+    assert len(files) >= 15, "expected the committed r1-r15 artifacts"
+    green = _hash_green_union(files)
+    never = [n for n in QUERIES if n not in green]
+    assert never == ["dedup_minhash_staged"], never
+    assert R16_WINDOW[0] == "dedup_minhash_staged"
+
+
+def test_r16_window_rechecks_the_r11_cohort():
+    # Staleness invariant (VERDICT r15 #1): the ENTIRE 27-query r11
+    # cohort is present, and every slot that is not the never-certified
+    # head comes from the two oldest cohorts (latest green r11 or r12)
+    # — after r16 the oldest certification moves to r12.
+    import json
+    import re as _re
+
+    files = _prior_driver_artifacts(15)
+    latest: dict[str, int] = {}
+    for f in files:
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    r11_cohort = sorted(n for n, r in latest.items() if r == 11)
+    assert len(r11_cohort) == 27, r11_cohort
+    missing = [n for n in r11_cohort if n not in R16_WINDOW]
+    assert missing == [], f"r11-stale queries left out: {missing}"
+    for n in R16_WINDOW[1:]:
+        assert latest.get(n) in (11, 12), (n, latest.get(n))
+
+
+def test_r16_r12_fills_follow_the_pinned_rule():
+    # The 22 fills are the first 22 of the r12 cohort alphabetically —
+    # a deterministic, auditable selection rule.
+    import json
+    import re as _re
+
+    files = _prior_driver_artifacts(15)
+    latest: dict[str, int] = {}
+    for f in files:
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, res in json.load(fh).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    r12_cohort = sorted(n for n, r in latest.items() if r == 12)
+    assert R16_WINDOW[28:] == r12_cohort[:22]

@@ -345,3 +345,27 @@ def test_from_hdf5_gated_without_pytables(spark, tmp_path):
         pass
     with pytest.raises(ImportError):
         from_hdf5(spark, str(tmp_path / "store.h5"))
+
+
+def test_selector_empty_store_raises_descriptive_error(tmp_path, spark, sset):
+    """ADVICE r15: a store that EXISTS but holds zero records must
+    raise a descriptive ValueError from mark_viewed/label, not a
+    ZeroDivisionError from the pos % len(records) in _name."""
+    import types
+
+    import pytest as _pytest
+
+    from tabata_spark.compat import Selector
+
+    store = str(tmp_path / "empty_rec_store")
+    sset.save(store)
+    sel = Selector(store, spark=spark)
+    # simulate the zero-record store the constructor's existence check
+    # does not exclude
+    sel.sset = types.SimpleNamespace(records=[])
+    with _pytest.raises(ValueError, match="no records"):
+        sel.mark_viewed(0)
+    with _pytest.raises(ValueError, match="no records"):
+        sel.label(0, 10)
+    with _pytest.raises(ValueError, match="no records"):
+        sel._name(0)

@@ -357,3 +357,23 @@ def test_dp_budget_composition():
     assert dp_budget([("s1", 1.0), ("s2", 0.5)]) == 1.5
     # same salt, different epsilon: conservative fresh charge
     assert dp_budget([("s1", 1.0), ("s1", 0.5)]) == 1.5
+
+
+def test_dp_budget_release_identity():
+    """ADVICE r15: two DIFFERENT releases (different table/grouping)
+    under the same default (salt, epsilon) must each be charged — the
+    dedup key includes the release identity; 2-tuples remain accepted
+    for the never-reuse-a-salt caller and normalize to one identity."""
+    from tabata_spark.operators.stats import dp_budget
+
+    # distinct releases under the same default salt+eps: both charged
+    assert dp_budget(
+        [("dp", 1.0, "documents:source"), ("dp", 1.0, "documents:lang")]
+    ) == 2.0
+    # a true replay (same release id) is charged once
+    assert dp_budget(
+        [("dp", 1.0, "documents:source"), ("dp", 1.0, "documents:source")]
+    ) == 1.0
+    # mixed forms compose; the 2-tuple normalizes to release_id=""
+    assert dp_budget([("dp", 1.0), ("dp", 1.0, "")]) == 1.0
+    assert dp_budget([("dp", 1.0), ("dp", 1.0, "documents:lang")]) == 2.0
