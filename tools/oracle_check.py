@@ -233,10 +233,22 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # SPARK_GRAFT_CLEARCACHE=1: drop all cached data between queries.
+    # For the ADVERSARIAL full-battery marathons only (bare 1 GiB x
+    # all 219 queries): cached state accumulates across queries faster
+    # than the ContextCleaner's weak-ref GC drains it, and at a 1 GiB
+    # budget the marathon session eventually dies of storage pressure
+    # that no single query causes (r16: 188 green, then a GCLocker
+    # death at q_pagerank_weighted which passes alone; r15's order
+    # squeaked through at 218). The driver's real gate runs 50 queries
+    # on a default session — leave this OFF for driver-shaped runs.
+    clear_cache = bool(os.environ.get("SPARK_GRAFT_CLEARCACHE"))
     n_pass = n_fail = 0
     for name, fn in battery.QUERIES.items():
         if only and name not in only:
             continue
+        if clear_cache:
+            spark.catalog.clearCache()
         status, detail = "PASS", ""
         try:
             sdf = fn(spark, sf_dir)
