@@ -251,18 +251,49 @@ def _run_sentinel(spark, sf_dir) -> None:
     )
 
 
+def _reference_optimizer(spark):
+    """Context manager pinning Spark's DEFAULT optimizer rule set for
+    the calibration probes. The sentinel/basket reference constants
+    were pinned under the default rules (r13/r16); the r16 session
+    excludes InferFiltersFromGenerate for the battery, which speeds
+    the explode-shaped probes and would silently shift host_factor /
+    basket_factor off their pinned scale. Probe CODE stays frozen;
+    this pins the probe ENVIRONMENT to the one the refs were taken
+    in."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.optimizer.excludedRules"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(key, "")
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    return _cm()
+
+
 def _time_sentinel(spark, sf_dir) -> float:
     """min-of-3-steady sentinel seconds after TWO unmeasured warm
     runs — the first pays whole-stage codegen, the second damps
     second-order JIT/page-cache effects (measured: a single cold run
     left the next reading ~35% above steady state)."""
-    for _ in range(2):
-        _run_sentinel(spark, sf_dir)
-    steady = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _run_sentinel(spark, sf_dir)
-        steady.append(time.perf_counter() - t0)
+    with _reference_optimizer(spark):
+        for _ in range(2):
+            _run_sentinel(spark, sf_dir)
+        steady = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _run_sentinel(spark, sf_dir)
+            steady.append(time.perf_counter() - t0)
     return round(min(steady), 4)
 
 
@@ -376,16 +407,17 @@ def _time_basket(spark) -> dict[str, float]:
     """Per-shape block seconds: one unmeasured warm block, then min of
     3 timed blocks of BASKET_REPS back-to-back executions each."""
     out: dict[str, float] = {}
-    for name, fn in _basket_probes(spark, BASKET_SF_DIR).items():
-        fn()
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(BASKET_REPS):
-                fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 4)
+    with _reference_optimizer(spark):
+        for name, fn in _basket_probes(spark, BASKET_SF_DIR).items():
+            fn()
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(BASKET_REPS):
+                    fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 4)
     return out
 
 

@@ -12242,7 +12242,12 @@ def q_good_turing(spark, sf_dir):
     and the totals cross-join are broadcast-trivial; exact integer
     counts end to end, the one double division rounded at the
     boundary."""
-    docs = _t(spark, sf_dir, "documents")
+    from tabata_spark.operators.spread import spread_scan
+
+    # trigram construction is scan-stage CPU (array slice + join per
+    # token); spread the single-row-group scan so it parallelizes
+    # (r16: 2.2 s one-task vs 1.0 s spread at sf0.1; no-op at scale)
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ", -1)
     k = F.size(toks) - F.lit(2)
     grams = F.when(

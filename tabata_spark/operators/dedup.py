@@ -68,7 +68,19 @@ def token_shingles(text: str | Column, n: int = 3) -> Column:
     Pure built-ins: split → sliding n-window via transform over index
     sequence → concat. Empty/short docs yield their full token string
     as a single shingle so they still participate.
+
+    A plain column name takes the one-``F.expr`` fast path (r16 plan-
+    construction hygiene — the py4j lambda plumbing of the Column
+    form costs ~15 round trips per call site); Column inputs keep the
+    Column form. Both parse to the identical expression tree.
     """
+    if isinstance(text, str):
+        toks = f"split({text}, ' ', -1)"
+        return F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size({toks})"
+            f" - {n - 1}, 1) - 1), i -> array_join(slice({toks}, i + 1,"
+            f" {n}), ' ')))"
+        )
     toks = F.split(text, " ", -1)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - F.lit(1))
@@ -90,7 +102,7 @@ def minhash_signatures(
     xxhash64 minima in one groupBy (map-side partial min — the shuffle
     carries k longs per doc, not the shingles)."""
     sh = df.select(
-        F.col(id_col), F.explode(token_shingles(F.col(text), shingle_n)).alias("sh")
+        F.col(id_col), F.explode(token_shingles(text, shingle_n)).alias("sh")
     )
     return minhash_signatures_from_shingles(sh, id_col=id_col, num_hashes=num_hashes)
 
@@ -130,31 +142,33 @@ def minhash_signatures_from_shingles(
         b2 = F.xxhash64(F.col("sh"), F.lit(1))
     else:
         b1, b2 = hash_pair(F.col("sh"))
-    h1 = F.pmod(b1, F.lit(P))
-    h2 = F.pmod(b2, F.lit(P))
+    # r16 plan-construction hygiene: the k min-aggregates are emitted
+    # as one SQL string each over pre-projected base hashes (the
+    # Column form cost ~8 py4j round trips per hash); identical
+    # parsed expressions, identical results.
+    pre = sh.select(
+        id_col,
+        F.pmod(b1, F.lit(P)).alias("__h1"),
+        F.pmod(b2, F.lit(P)).alias("__h2"),
+    )
     aggs = [
-        F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(P))).alias(f"h{i}")
+        F.expr(f"min(pmod(__h1 + {i} * __h2, {P})) as h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    sig = pre.groupBy(id_col).agg(*aggs)
+    arr_sql = "array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ")"
+    return sig.select(id_col, F.expr(f"{arr_sql} as sig"))
 
 
-def _bucket_pairs(ids: Column) -> Column:
-    """All ordered pairs (id_a < id_b) from a SORTED id array, as an
-    array of structs — the in-array replacement for a bucket
-    self-join: for each element, pair it with every later element."""
-    n = F.size(ids)
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, n),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+def _bucket_pairs(ids: str) -> Column:
+    """All ordered pairs (id_a < id_b) from a SORTED id array column
+    (by name), as an array of structs — the in-array replacement for
+    a bucket self-join: for each element, pair it with every later
+    element. One F.expr (r16 plan-construction hygiene)."""
+    return F.expr(
+        f"flatten(transform({ids}, (x, i) -> "
+        f"transform(slice({ids}, i + 2, size({ids})), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
     )
 
 
@@ -240,7 +254,7 @@ def bucket_candidate_pairs(
     if max_bucket_size:
         bucket = bucket.filter(F.size("__ids") <= max_bucket_size)
     return (
-        bucket.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+        bucket.select(F.explode(_bucket_pairs("__ids")).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
@@ -248,18 +262,15 @@ def bucket_candidate_pairs(
 
 def _band_hash_array(bands: int, rows: int) -> Column:
     """Array of per-band hashes over a ``sig`` signature column:
-    band b = xxhash64 of its ``rows`` signature slots, salted by b."""
-    return F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ":", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
+    band b = xxhash64 of its ``rows`` signature slots, salted by b.
+    One F.expr (r16 plan-construction hygiene)."""
+    terms = ", ".join(
+        "xxhash64(concat_ws(':', "
+        + ", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows))
+        + f"), {b})"
+        for b in range(bands)
     )
+    return F.expr(f"array({terms})")
 
 
 def minhash_candidates(
@@ -334,7 +345,7 @@ def ngram_jaccard_pairs(
             arr = _materialize(
                 df.select(
                     F.col(id_col).alias("id"),
-                    token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+                    token_shingles(text, shingle_n).alias("sh_arr"),
                 ),
                 materialize,
             )
@@ -358,7 +369,7 @@ def ngram_jaccard_pairs(
     else:
         sh = df.select(
             F.col(id_col).alias("id"),
-            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+            F.explode(token_shingles(text, shingle_n)).alias("sh"),
         )
         # the plan consumes the exploded shingles three times (sizes,
         # A-side, B-side) — materialize the explode once
@@ -411,7 +422,7 @@ def containment_pairs(
     arr = _materialize(
         df.select(
             F.col(id_col).alias("id"),
-            token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+            token_shingles(text, shingle_n).alias("sh_arr"),
         ),
         materialize,
     )
@@ -420,7 +431,7 @@ def containment_pairs(
     else:
         sh = df.select(
             F.col(id_col).alias("id"),
-            F.explode(token_shingles(F.col(text), shingle_n)).alias("sh"),
+            F.explode(token_shingles(text, shingle_n)).alias("sh"),
         )
         sh = _materialize(sh, materialize)
         cand = (
@@ -568,7 +579,7 @@ def near_dup_pairs(
     arr = _materialize(
         df.select(
             F.col(id_col).alias("id"),
-            token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+            token_shingles(text, shingle_n).alias("sh_arr"),
         ),
         materialize,
     )
@@ -660,7 +671,7 @@ def near_dup_pairs_staged(
         raise ValueError("verify_slices must be >= 1")
     arr = df.select(
         F.col(id_col).alias("id"),
-        token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+        token_shingles(text, shingle_n).alias("sh_arr"),
     ).persist()
     sh = arr.select("id", F.explode("sh_arr").alias("sh"))
     sig = minhash_signatures_from_shingles(
@@ -847,13 +858,13 @@ def simhash_near_pairs(
     replay bit-for-bit. ``materialize`` is unused (nothing
     is consumed twice anymore) and kept for signature compat."""
     width = 64 // blocks
-    block_vals = F.array(
-        *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
+    block_vals = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftright(simhash, {i * width}) & {(1 << width) - 1}"
             for i in range(blocks)
-        ]
+        )
+        + ")"
     )
     b = fp.select(
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h")).alias(
@@ -896,21 +907,11 @@ def simhash_near_pairs(
     )
     if max_bucket_size:
         bucket = bucket.filter(F.size("__items") <= max_bucket_size)
-    items = F.col("__items")
-    n = F.size(items)
-    pair_arr = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, n),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["h"].alias("ha"),
-                    y["h"].alias("hb"),
-                ),
-            ),
-        )
+    pair_arr = F.expr(
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, size(__items)), "
+        "y -> named_struct('id_a', x.id, 'id_b', y.id, "
+        "'ha', x.h, 'hb', y.h))))"
     )
     pairs = (
         bucket.select(F.explode(pair_arr).alias("p"))
@@ -1230,7 +1231,7 @@ def incremental_near_dup(
     arr = _materialize(
         touched.select(
             F.col(id_col).alias("id"),
-            token_shingles(F.col(text), shingle_n).alias("sh_arr"),
+            token_shingles(text, shingle_n).alias("sh_arr"),
         ),
         materialize,
     )

@@ -434,7 +434,7 @@ def neardup_probe(
         }
     )
     cand_sh = corpus.select(
-        id_col, F.explode(token_shingles(F.col(text), shingle_n)).alias("__sh")
+        id_col, F.explode(token_shingles(text, shingle_n)).alias("__sh")
     )
     stats = cand_sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),

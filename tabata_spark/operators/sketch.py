@@ -591,7 +591,13 @@ def bloom_filtered_join(
             F.collect_list(F.struct(F.col("word_idx"), F.col("bits")))
         ).alias("__bm")
     )
-    probed = big.join(F.broadcast(bitmap))
+    # the k salted-hash probes are scan-stage CPU on the big side; a
+    # single-row-group input would run them on one core (r16 measured
+    # 4.4 s -> 1.6 s at sf0.1) — spread_scan is a no-op whenever the
+    # big side already has enough splits (always, at scale)
+    from tabata_spark.operators.spread import spread_scan
+
+    probed = spread_scan(big).join(F.broadcast(bitmap))
     test = F.lit(True)
     pcols = []
     for i in range(k):

@@ -923,7 +923,7 @@ def novelty_scores(
     Returns (id_col, n_grams, n_novel, novelty)."""
     from tabata_spark.operators.dedup import token_shingles
 
-    sh = token_shingles(F.col(text_col), ngram)
+    sh = token_shingles(text_col, ngram)
     base = docs.select(F.col(id_col), F.size(sh).cast("long").alias("n_grams"))
     pairs = docs.select(
         F.col(id_col), F.explode_outer(sh).alias("__g")
@@ -970,14 +970,14 @@ def decontaminate(
 
     eval_grams = (
         eval_docs.select(
-            F.explode(token_shingles(F.col(text_col), ngram)).alias("__g")
+            F.explode(token_shingles(text_col, ngram)).alias("__g")
         )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     pairs = docs.select(
         F.col(id_col),
-        F.explode_outer(token_shingles(F.col(text_col), ngram)).alias("__g"),
+        F.explode_outer(token_shingles(text_col, ngram)).alias("__g"),
     )
     scored = (
         pairs.join(F.broadcast(eval_grams), "__g", "left")

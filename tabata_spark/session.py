@@ -42,6 +42,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r16 (opt guide §1.2 "per-task work"): InferFiltersFromGenerate
+        # plants `size(<genExpr>) > 0` below every explode/posexplode and
+        # pushes it to the scan. Higher-order functions (transform/
+        # array_distinct — the shingle, n-gram and band-hash builders)
+        # are CodegenFallback, so the inferred filter re-evaluates the
+        # FULL array expression once per row in addition to the
+        # projection — a 2x scan-stage CPU tax that grows linearly with
+        # corpus size (measured at sf0.1: simhash fingerprints 1.6 s ->
+        # 0.45 s, minhash signatures 3.6 s -> 2.4 s with the rule
+        # excluded). The rule's upside (dropping empty-array rows before
+        # a downstream shuffle) never applies to these pipelines: the
+        # generators feed aggregations directly and the array builders
+        # emit >= 1 element by construction. Results are identical —
+        # the filter only removes rows explode would emit zero times.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata ts shapes vary by generation: legacy INT64
