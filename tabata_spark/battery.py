@@ -5851,7 +5851,11 @@ def text_index_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
-    idx = inverted_index(docs, min_df=2, max_df_frac=0.1, ngram=3)
+    # the index frame is consumed twice (query-term derivation collect
+    # + the search join) — without the persist the full posting-list
+    # aggregation ran twice per call (r16 plan audit; guide §5
+    # "caching is worth it when a DataFrame is reused")
+    idx = inverted_index(docs, min_df=2, max_df_frac=0.1, ngram=3).persist()
     top6 = [
         r["term"]
         for r in idx.orderBy(F.desc("df"), "term").limit(6).collect()

@@ -127,18 +127,31 @@ def association_rules(
         .filter(F.col("n_joint") >= min_support)
     )
 
-    # both rule directions from the one pair table
+    # both rule directions from the one pair table. As a UNION of two
+    # selects over the (unmaterialized) pair frame, the basket
+    # self-join + pair aggregation subtree appeared TWICE in the
+    # physical plan and executed twice — the query's dominant stage
+    # duplicated outright (r16 plan audit: two identical SortMergeJoin
+    # + double HashAggregate subtrees). Emitting both directions as a
+    # 2-element struct-array explode keeps the plan lazy AND runs the
+    # self-join once (guide §2.4 — remove shuffles outright; same row
+    # multiset, bit-identical columns).
     rules = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "n_joint",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            "n_joint",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_joint"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_joint"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.antecedent", "__r.consequent", "__r.n_joint")
 
     # margins: every rule item is frequent (support(pair) <=
     # support(item)), so the margin tables are the FREQUENT subset —

@@ -260,15 +260,19 @@ def bucket_candidate_pairs(
     )
 
 
-def _band_hash_array(bands: int, rows: int) -> Column:
+def _band_hash_array(bands: int, rows: int, start: int = 0) -> Column:
     """Array of per-band hashes over a ``sig`` signature column:
     band b = xxhash64 of its ``rows`` signature slots, salted by b.
-    One F.expr (r16 plan-construction hygiene)."""
+    One F.expr (r16 plan-construction hygiene). ``start`` emits only
+    bands [start, start+bands) — the staged band-group passes hash
+    just their own slice instead of hashing all bands and filtering
+    (the hash values are per-band salted constants, so a slice is
+    bit-identical to the corresponding slice of the full array)."""
     terms = ", ".join(
         "xxhash64(concat_ws(':', "
         + ", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows))
         + f"), {b})"
-        for b in range(bands)
+        for b in range(start, start + bands)
     )
     return F.expr(f"array({terms})")
 
@@ -681,18 +685,28 @@ def near_dup_pairs_staged(
         sig.select(F.col("id").alias(id_col), "sig").write.mode(
             "overwrite"
         ).parquet(sig_store)
-    banded = sig.select(
-        F.col("id").alias("__id"),
-        F.posexplode(_band_hash_array(bands, rows)).alias("band", "bh"),
-    )
     per = -(-bands // band_groups)  # ceil
     cand_parts = []
     for g in range(band_groups):
         lo, hi = g * per, min((g + 1) * per, bands) - 1
         if lo > hi:
             break
+        # r16 (opt guide §2.3 "don't compute what you throw away"):
+        # each pass hashes ONLY its own band slice — posexplode of the
+        # [lo, hi] sub-array with the global band index restored from
+        # the position, instead of hashing all `bands` bands per row
+        # and filtering; bit-identical buckets (band hashes are
+        # per-band salted constants), band_groups× less hash work
+        banded_g = sig.select(
+            F.col("id").alias("__id"),
+            F.posexplode(_band_hash_array(hi - lo + 1, rows, start=lo)).alias(
+                "__pos", "bh"
+            ),
+        ).select(
+            "__id", (F.col("__pos") + F.lit(lo)).alias("band"), "bh"
+        )
         p = bucket_candidate_pairs(
-            banded.filter(F.col("band").between(lo, hi)),
+            banded_g,
             ["band", "bh"],
             "__id",
             max_bucket_size=max_bucket_size,
@@ -714,6 +728,14 @@ def near_dup_pairs_staged(
     if len(cand_parts) > 1:
         for p in cand_parts:
             p.unpersist()
+    # NOTE (r16, measured and rejected): pre-pruning `arr` to the ids
+    # present in `cand` via a semi-join before the verify slices
+    # (guide §3.2) is result-identical but was a 2.2× REGRESSION at
+    # sf0.1 (10.4 s -> 23.1 s isolated min-of-3): the extra persist +
+    # count pass and per-slice re-broadcasts of the array-payload
+    # table cost far more than the cached-table scans they replace.
+    # Each verify slice joins the small candidate slice (broadcast)
+    # against the CACHED corpus array table instead.
     shard = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(int(verify_slices)))
     out_parts = []
     for k in range(verify_slices):
