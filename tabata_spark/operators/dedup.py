@@ -354,6 +354,17 @@ def ngram_jaccard_pairs(
                 materialize,
             )
         cand = candidates.select("id_a", "id_b")
+        # NOTE (r16, measured and REJECTED — do not re-attempt): a
+        # melt-and-regroup single-pass fetch (explode each pair to
+        # (pair, side, id) rows, one inner join against arr, groupBy
+        # pair re-assembling __a/__b) replaces the second scan of the
+        # array table with a shuffle of the MATCHED ARRAYS — the
+        # payload is the per-doc shingle arrays themselves, far wider
+        # than the scan it saves. Quiet-host A/B at sf0.1:
+        # dedup_minhash_staged 9.1 s -> 13.1 s (arr is persisted in
+        # the staged path, so the two extra scans are cache reads),
+        # dedup_minhash_lsh 3.47 -> 3.25 s (noise). The two broadcast
+        # equi-joins below keep the corpus-sized table unshuffled.
         joined = cand.join(
             arr.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("__a")),
             "id_a",
@@ -877,8 +888,12 @@ def simhash_near_pairs(
     bucket_candidate_pairs) producing the nonnegative long the shard
     is taken modulo from; defaults to seeded xxhash64. Pass an
     md5-derived hash for the engine-portable variant a SQL oracle can
-    replay bit-for-bit. ``materialize`` is unused (nothing
-    is consumed twice anymore) and kept for signature compat."""
+    replay bit-for-bit. ``materialize`` applies only to the salt
+    branch, where the exploded block frame is consumed twice (shard
+    census + the bucket pass) — without it the ENTIRE upstream
+    fingerprint aggregation executed twice (r16 plan audit; guide §5
+    "cache a frame reused by more than one subtree"); the drop branch
+    consumes nothing twice and caches nothing."""
     width = 64 // blocks
     block_vals = F.expr(
         "array("
@@ -896,6 +911,11 @@ def simhash_near_pairs(
     )
     group_cols = ["blk", "bv"]
     if max_bucket_size and hot_block == "salt":
+        # the exploded block frame feeds BOTH the shard census and the
+        # bucket pass below — materialize it so the upstream simhash()
+        # aggregation (token explode + 17 packed-lane aggregates over
+        # the whole corpus) runs once, not once per consumer (r16)
+        b = _materialize(b, materialize)
         shards = (
             b.groupBy("blk", "bv")
             .agg(F.count(F.lit(1)).alias("__n"))

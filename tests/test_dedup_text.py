@@ -61,6 +61,32 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert (0, 3) not in pairs  # no shared shingles
 
 
+def test_ngram_jaccard_candidate_path_semantics(docs, spark):
+    """Pin the candidate-verify path's contract across the r16
+    single-pass array fetch (melt + regroup instead of two equi-joins):
+    values identical to the no-candidates path, only requested pairs
+    verified, and a candidate naming an id absent from the corpus is
+    dropped, not errored or emitted."""
+    from tabata_spark.operators.dedup import ngram_jaccard_pairs
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 5), (4, 999)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.0, candidates=cand
+        ).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (3, 5)}  # 999 absent -> dropped
+    for k, v in got.items():
+        assert v == full[k]
+
+
 def test_minhash_lsh_candidates_contain_dups(docs):
     from tabata_spark.operators.dedup import minhash_candidates, minhash_signatures
 
