@@ -216,6 +216,16 @@ def bucket_candidate_pairs(
     float-representation boundary.
     """
     group_cols: list = list(key_cols)
+    # NOTE (r16, measured and REJECTED — do not re-attempt): persisting
+    # `keyed` here because the salt census + bucket pass consume it
+    # twice. The static plan does show two signature towers
+    # (dedup_minhash_salted_before.txt), but the interleaved
+    # same-session A/B at sf0.1 read the persist variant SLOWER
+    # (min-of-4: 7.2 s vs 4.6 s unmaterialized): the census's map-side
+    # work re-runs over the caller's already-persisted shingle-array
+    # cache (cheap), while the cache build adds a materialization
+    # barrier AQE cannot pipeline past. Callers whose upstream is NOT
+    # already cached should persist the banded frame themselves.
     if max_bucket_size and hot_bucket == "salt":
         shards = (
             keyed.groupBy(*key_cols)
