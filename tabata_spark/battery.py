@@ -4461,11 +4461,18 @@ def dedup_lines(spark, sf_dir):
     from tabata_spark.operators.dedup import line_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    from tabata_spark.operators.dedup import bind1
+
+    # r17: let-bind the token array — the chunk transform lambda would
+    # otherwise re-run split() once per chunk index (dedup.bind1)
+    chunks = bind1(
+        F.split("text", " "),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(t) / F.lit(8.0)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(t, i * 8 + 1, 8), " "),
+        ),
     )
     lined = docs.select("doc_id", chunks.alias("lines"))
     return (
@@ -12251,16 +12258,21 @@ def q_good_turing(spark, sf_dir):
     # trigram construction is scan-stage CPU (array slice + join per
     # token); spread the single-row-group scan so it parallelizes
     # (r16: 2.2 s one-task vs 1.0 s spread at sf0.1; no-op at scale)
+    from tabata_spark.operators.dedup import bind1
+
     docs = spread_scan(_t(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ", -1)
-    k = F.size(toks) - F.lit(2)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda p: F.array_join(F.slice(toks, p, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r17: let-bind the token array — the transform lambda would
+    # otherwise re-run split() once per trigram start (dedup.bind1)
+    grams = bind1(
+        F.split(F.col("text"), " ", -1),
+        lambda t: F.when(
+            F.size(t) - F.lit(2) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(2), F.lit(1))),
+                lambda p: F.array_join(F.slice(t, p, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     ngr = docs.select(F.explode(grams).alias("ng"))
     cnt = ngr.groupBy("ng").agg(F.count(F.lit(1)).alias("f"))
     fof = cnt.groupBy("f").agg(F.count(F.lit(1)).alias("n_r"))

@@ -116,22 +116,28 @@ def chunk_documents(
     Returns (id_col, chunk_idx, chunk_start, n_chunk_tokens,
     chunk_text).
     """
-    toks = F.split(F.col(text), " ", -1)
-    n = F.size(toks)
-    n_chunks = (
-        F.ceil(F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)) + 1
-    ).cast("int")
-    starts = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
-    )
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            s.alias("chunk_start"),
-            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk_text"),
-        ),
-    )
+    from tabata_spark.operators.dedup import bind1
+
+    # r17: let-bind the token array — the chunk transform lambda would
+    # otherwise re-run split() once per chunk start (dedup.bind1)
+    def _chunks(t):
+        n = F.size(t)
+        n_chunks = (
+            F.ceil(F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)) + 1
+        ).cast("int")
+        starts = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                s.alias("chunk_start"),
+                F.array_join(F.slice(t, s + 1, window), " ").alias("chunk_text"),
+            ),
+        )
+
+    chunks = bind1(F.split(F.col(text), " ", -1), _chunks)
     ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
     return ex.select(
         id_col,

@@ -118,21 +118,46 @@ def repetition_columns(text: str | Column) -> dict[str, Column]:
     distinct-token ratio and duplicate-bigram fraction (1 − distinct
     bigrams / bigrams). High repetition = low-quality boilerplate /
     generated spam; the standard pre-training filter signals."""
+    from tabata_spark.operators.dedup import bind1
+
     t = F.col(text) if isinstance(text, str) else text
     toks = tokens(t)
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
-        ),
-    )
+    # r17: each output column let-binds the token array once — the
+    # bigram transform lambda would otherwise re-run split() twice
+    # per bigram index (see dedup.bind1)
     return {
-        "distinct_ratio": F.round(F.size(F.array_distinct(toks)) / n, 6),
-        "dup_bigram_frac": F.when(
-            n >= 2,
-            F.round(1 - F.size(F.array_distinct(bigrams)) / (n - 1), 6),
-        ).otherwise(F.lit(0.0)),
+        "distinct_ratio": bind1(
+            toks,
+            lambda tk: F.round(
+                F.size(F.array_distinct(tk)) / F.size(tk), 6
+            ),
+        ),
+        "dup_bigram_frac": bind1(
+            toks,
+            lambda tk: F.when(
+                F.size(tk) >= 2,
+                F.round(
+                    1
+                    - F.size(
+                        F.array_distinct(
+                            F.transform(
+                                F.sequence(
+                                    F.lit(1),
+                                    F.greatest(F.size(tk) - 1, F.lit(1)),
+                                ),
+                                lambda i: F.concat_ws(
+                                    " ",
+                                    F.try_element_at(tk, i),
+                                    F.try_element_at(tk, i + 1),
+                                ),
+                            )
+                        )
+                    )
+                    / (F.size(tk) - 1),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        ),
     }
 
 
@@ -443,19 +468,30 @@ def inverted_index(
 
     At 100 TB the output is written partitioned/bucketed by term hash;
     query-time term lookups are then partition-pruned scans."""
+    from tabata_spark.operators.dedup import bind1
+
     toks = F.split(F.col(text), " ", -1)
     if ngram <= 1:
         terms = F.array_distinct(toks)
     else:
-        k = F.size(toks) - F.lit(ngram - 1)
-        terms = F.array_distinct(
-            F.when(
-                k >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                    lambda p: F.array_join(F.slice(toks, p, ngram), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+        # r17: let-bind the token array — the transform lambda would
+        # otherwise re-run split() once per n-gram start (dedup.bind1)
+        terms = bind1(
+            toks,
+            lambda t: F.array_distinct(
+                F.when(
+                    F.size(t) - F.lit(ngram - 1) >= 1,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(t) - F.lit(ngram - 1), F.lit(1)
+                            ),
+                        ),
+                        lambda p: F.array_join(F.slice(t, p, ngram), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ),
         )
     pairs = df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
     if max_df is not None or max_df_frac is not None:
@@ -502,17 +538,24 @@ def collocations(
 
     Returns (a, b, c_ab, pmi) unrounded; callers quantize/rank.
     """
+    from tabata_spark.operators.dedup import bind1
+
     toks = F.split(F.col(text), " ", -1)
-    k = F.size(toks) - F.lit(1)
-    bigrams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda p: F.struct(
-                F.element_at(toks, p).alias("a"), F.element_at(toks, p + 1).alias("b")
+    # r17: let-bind the token array — the transform lambda would
+    # otherwise re-run split() twice per bigram index (dedup.bind1)
+    bigrams = bind1(
+        toks,
+        lambda t: F.when(
+            F.size(t) - F.lit(1) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(1), F.lit(1))),
+                lambda p: F.struct(
+                    F.element_at(t, p).alias("a"),
+                    F.element_at(t, p + 1).alias("b"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+    )
     bc = (
         df.select(F.explode(bigrams).alias("g"))
         .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
@@ -732,19 +775,30 @@ def domain_similarity(
     (domain_a, domain_b, n_a, n_b, n_common) with a < b; Jaccard =
     n_common / (n_a + n_b - n_common) left to the caller's precision
     convention."""
+    from tabata_spark.operators.dedup import bind1
+
     toks = F.split(F.col(text), " ", -1)
     if ngram <= 1:
         grams = F.array_distinct(toks)
     else:
-        k = F.size(toks) - F.lit(ngram - 1)
-        grams = F.array_distinct(
-            F.when(
-                k >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                    lambda p: F.array_join(F.slice(toks, p, ngram), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+        # r17: let-bind the token array (dedup.bind1) — the lambda
+        # would otherwise re-run split() once per n-gram start
+        grams = bind1(
+            toks,
+            lambda t: F.array_distinct(
+                F.when(
+                    F.size(t) - F.lit(ngram - 1) >= 1,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(t) - F.lit(ngram - 1), F.lit(1)
+                            ),
+                        ),
+                        lambda p: F.array_join(F.slice(t, p, ngram), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ),
         )
     from tabata_spark.operators.dedup import _materialize
 
@@ -790,18 +844,23 @@ def bigram_logprob(
     subtree recomputes otherwise); joins are on uniform token/bigram
     keys; the scalars fold in via one broadcast.
     """
-    from tabata_spark.operators.dedup import _materialize
+    from tabata_spark.operators.dedup import _materialize, bind1
     toks = F.split(F.col(text), " ", -1)
-    k = F.size(toks) - F.lit(1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda p: F.struct(
-                F.element_at(toks, p).alias("a"), F.element_at(toks, p + 1).alias("b")
+    # r17: let-bind the token array — the transform lambda would
+    # otherwise re-run split() twice per bigram index (dedup.bind1)
+    grams = bind1(
+        toks,
+        lambda t: F.when(
+            F.size(t) - F.lit(1) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(1), F.lit(1))),
+                lambda p: F.struct(
+                    F.element_at(t, p).alias("a"),
+                    F.element_at(t, p + 1).alias("b"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+    )
     big = _materialize(
         df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("g")).select(
             "__id", F.col("g.a").alias("a"), F.col("g.b").alias("b")
