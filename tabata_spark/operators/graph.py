@@ -289,6 +289,14 @@ def label_propagation(
         counts = nb.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
+        # NOTE (r17, measured and REJECTED — do not re-attempt):
+        # replacing this row_number window with
+        # `max_by(label, struct(c, -label))` (one aggregation, no
+        # sort, identical rows — oracle PASS at sf0.001/sf0.01) read
+        # 3.80 s vs 3.29 s isolated min-of-3 on q_label_propagation:
+        # the struct-comparator partial aggregation costs more than
+        # the codegen'd sort it removes at this shape (few candidate
+        # labels per node).
         w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
         adopted = (
             counts.withColumn("__rn", F.row_number().over(w))

@@ -404,6 +404,16 @@ def bm25_rank(
     """
     import math
 
+    # NOTE (r17, measured and REJECTED — do not re-attempt):
+    # projecting the token array once (`__toks` in a first select,
+    # dl/tf over the column ref in a second) won the ISOLATED stats
+    # scan 1.25x (0.539 -> 0.432 s interleaved A/B, m=5 — codegen CSE
+    # does not reach across the CodegenFallback filter() columns, so
+    # each row pays m+1 splits here), but the FULL query regressed 2x
+    # (0.53 -> 1.06 s isolated min-of-3, quiet host): the scoring
+    # pass and TakeOrdered re-run the doubled projection and the
+    # materialized intermediate array costs more than the saved
+    # splits. Whole-query measurement wins (guide §1).
     toks = F.split(F.col(text), " ", -1)
     tf_cols = [
         F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf{i}")
