@@ -48,6 +48,45 @@ def test_token_shingles(docs):
     assert len(row["sh"]) == len(set(row["sh"]))  # distinct
 
 
+def test_bind1_let_binding_equivalence(spark):
+    """r17: bind1 (the let-binding behind every n-gram builder) must be
+    value-transparent — identical results to inlining the expression,
+    including null propagation and empty/short inputs."""
+    from tabata_spark.operators.dedup import bind1, token_shingles
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, ""), (2, None), (3, "x"), (4, "a a a a")],
+        "id long, text string",
+    )
+    # bind1(v, f) == f(v) for a pure f, row by row
+    out = df.select(
+        bind1(F.split("text", " ", -1), lambda t: F.size(t)).alias("b"),
+        F.size(F.split("text", " ", -1)).alias("d"),
+    ).collect()
+    for r in out:
+        assert r["b"] == r["d"]
+    # string path and Column path of token_shingles agree exactly
+    # (both are let-bound; the string path is one SQL expr)
+    rows = df.select(
+        token_shingles("text", 3).alias("s"),
+        token_shingles(F.col("text"), 3).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["s"] == r["c"]
+    by_id = {
+        r["id"]: r["s"]
+        for r in df.select("id", token_shingles("text", 3).alias("s")).collect()
+    }
+    assert by_id[0] == ["a b c", "b c d", "c d e"]
+    assert by_id[1] == [""]  # empty text -> single empty-token shingle
+    # null text: split -> null array; the sliding window still emits
+    # one slot (greatest() skips nulls) whose join is null — [null],
+    # the pre-r17 behavior, preserved exactly
+    assert by_id[2] == [None]
+    assert by_id[3] == ["x"]  # shorter than n -> whole text
+    assert by_id[4] == ["a a a"]  # distinct keeps first occurrence
+
+
 def test_ngram_jaccard_finds_near_dups(docs):
     from tabata_spark.operators.dedup import ngram_jaccard_pairs
 
